@@ -1,0 +1,22 @@
+"""bio_data_validation_spark — a PySpark-native rule-based validation engine.
+
+A brand-new engine with the *capabilities* of the reference
+``jscaldwell55/bio_data_validation`` (single-node pandas/Pydantic), re-expressed
+Spark-first: all checks compile to Catalyst column expressions and grouped
+aggregations, fused into one DataFrame pass per partition, with explicit
+repartitioning by repo hash, salted aggregation for skew, per-partition
+pass/fail verdicts + violation rows carrying (rule_id, rule_version) lineage,
+and checkpoint/resume via a per-partition ledger.
+
+Layout:
+    datagen/     deterministic synthetic source-code table (clean + dirty)
+    rules/       versioned YAML rule registry + compiler to Spark expressions
+    engine/      fused stats pass, violation pass, drift checks, runner
+    checkpoint/  per-partition ledger (resume)
+    policy/      severity counts -> decision matrix (reference semantics)
+    functions/   text analysis, dedup, similarity-search ops (pipeline extras)
+    sources/     pluggable source layer (parquet emulation of Iceberg layout)
+    streaming/   Structured Streaming validation over an event stream
+"""
+
+__version__ = "0.1.0"

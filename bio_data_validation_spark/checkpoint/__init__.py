@@ -1,0 +1,1 @@
+from .ledger import Ledger  # noqa: F401

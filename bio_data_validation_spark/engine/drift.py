@@ -1,0 +1,191 @@
+"""Distribution-drift checks: chi-square on the lang histogram, binned
+two-sample KS on the content-length histogram (north-rule ops, SURVEY §2.12).
+
+A baseline profile (global histograms of the *clean* snapshot, FIXTURES F3)
+is persisted once; each run compares every partition's histograms against it.
+The per-partition computation runs as a grouped ``applyInPandas`` (Arrow,
+vectorized — one small pandas frame per pid), satisfying the "vectorized
+pandas/Arrow UDFs, no per-row Python" constraint while the heavy lifting
+(histogram construction) stays in the fused JVM aggregation of PASS 1.
+
+Reference twins: class-imbalance histogram (rule_validator.py:332-352,
+BIAS_001), quartile/skewness distribution checks (rule_validator.py:355-371,
+:391-405). Exact KS needs a global sort; we use fixed log-spaced bins →
+ECDF by cumulative sums (documented approximation, SURVEY §7.4; agreement
+with exact KS tested on small data).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..rules import Registry
+from .stats import chi2_sf
+
+
+# ---------------------------------------------------------------- profile
+def build_profile(
+    lang_hist: DataFrame, len_hist: DataFrame, registry: Registry, out_dir: str | Path,
+    snapshot_id: str = "",
+) -> None:
+    """Persist the baseline profile (global histograms) from a clean run's
+    PASS-1 rollups. Tiny tables — written via pandas parquet."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    lang_pdf = (
+        lang_hist.toPandas().groupby("lang", dropna=False)["rows"].sum().reset_index()
+    )
+    lang_pdf = lang_pdf[lang_pdf["lang"].notna()]
+    len_pdf = len_hist.toPandas().groupby("len_bucket")["rows"].sum().reset_index()
+    lang_pdf.to_parquet(out / "lang_hist.parquet", index=False)
+    len_pdf.to_parquet(out / "len_hist.parquet", index=False)
+    (out / "profile.json").write_text(
+        json.dumps(
+            {
+                "snapshot_id": snapshot_id,
+                "ruleset_hash": registry.ruleset_hash,
+                "rule_version": registry.version,
+                "length_hist_bins": registry.length_hist_bins,
+            }
+        )
+    )
+
+
+def load_profile(profile_dir: str | Path) -> dict:
+    out = Path(profile_dir)
+    return {
+        "lang": pd.read_parquet(out / "lang_hist.parquet"),
+        "len": pd.read_parquet(out / "len_hist.parquet"),
+        "meta": json.loads((out / "profile.json").read_text()),
+    }
+
+
+# ------------------------------------------------------- chi-square (lang)
+def chi_square_stat(observed: dict[str, int], baseline: dict[str, int]) -> tuple[float, int]:
+    """Pearson chi-square of observed category counts vs baseline proportions.
+
+    Union of categories with a 0.5 pseudo-count on the baseline side keeps
+    expected counts strictly positive for categories unseen in the baseline
+    (deterministic; replicated exactly by the pytest oracle).
+    """
+    cats = sorted(set(observed) | set(baseline))
+    base_total = sum(baseline.values()) + 0.5 * len(cats)
+    obs_total = sum(observed.values())
+    if obs_total == 0 or len(cats) < 2:
+        return 0.0, max(len(cats) - 1, 1)
+    stat = 0.0
+    for c in cats:
+        e = obs_total * (baseline.get(c, 0) + 0.5) / base_total
+        o = observed.get(c, 0)
+        stat += (o - e) ** 2 / e
+    return stat, len(cats) - 1
+
+
+def evaluate_lang_drift(lang_hist: DataFrame, baseline_lang: pd.DataFrame) -> pd.DataFrame:
+    """Per-pid chi-square via grouped applyInPandas → (pid, statistic, dof, p_value)."""
+    base = {str(r.lang): int(r.rows) for r in baseline_lang.itertuples()}
+
+    def per_pid(pdf: pd.DataFrame) -> pd.DataFrame:
+        obs_pdf = pdf[pdf["lang"].notna()]
+        observed = dict(zip(obs_pdf["lang"].astype(str), obs_pdf["rows"].astype(int)))
+        stat, dof = chi_square_stat(observed, base)
+        return pd.DataFrame(
+            {
+                "pid": [int(pdf["pid"].iloc[0])],
+                "statistic": [stat],
+                "dof": [dof],
+                "p_value": [chi2_sf(stat, dof)],
+            }
+        )
+
+    return (
+        lang_hist.groupBy("pid")
+        .applyInPandas(per_pid, schema="pid int, statistic double, dof int, p_value double")
+        .toPandas()
+    )
+
+
+# --------------------------------------------------------- binned KS (len)
+def ks_binned_stat(observed: dict[int, int], baseline: dict[int, int]) -> float:
+    """D = max |ECDF_obs - ECDF_base| over the shared log-spaced buckets."""
+    buckets = sorted(set(observed) | set(baseline))
+    o_total = sum(observed.values())
+    b_total = sum(baseline.values())
+    if o_total == 0 or b_total == 0:
+        return 0.0
+    o_cum = b_cum = 0.0
+    d = 0.0
+    for b in buckets:
+        o_cum += observed.get(b, 0) / o_total
+        b_cum += baseline.get(b, 0) / b_total
+        d = max(d, abs(o_cum - b_cum))
+    return d
+
+
+def evaluate_len_drift(len_hist: DataFrame, baseline_len: pd.DataFrame) -> pd.DataFrame:
+    """Per-pid binned-KS via grouped applyInPandas → (pid, d_stat)."""
+    base = {int(r.len_bucket): int(r.rows) for r in baseline_len.itertuples()}
+
+    def per_pid(pdf: pd.DataFrame) -> pd.DataFrame:
+        observed = dict(zip(pdf["len_bucket"].astype(int), pdf["rows"].astype(int)))
+        return pd.DataFrame(
+            {"pid": [int(pdf["pid"].iloc[0])], "d_stat": [ks_binned_stat(observed, base)]}
+        )
+
+    return (
+        len_hist.groupBy("pid")
+        .applyInPandas(per_pid, schema="pid int, d_stat double")
+        .toPandas()
+    )
+
+
+# ------------------------------------------------------------ rule results
+def drift_rule_results(
+    lang_hist: DataFrame,
+    len_hist: DataFrame,
+    profile: dict,
+    registry: Registry,
+) -> pd.DataFrame:
+    """Evaluate configured drift rules → rows
+    (pid, rule_id, severity, statistic, threshold, passed)."""
+    frames: list[pd.DataFrame] = []
+    for rule in registry.drift_rules:
+        if rule["kind"] == "chi_square":
+            res = evaluate_lang_drift(lang_hist, profile["lang"])
+            thr = float(rule["p_value_threshold"])
+            out = pd.DataFrame(
+                {
+                    "pid": res["pid"],
+                    "rule_id": rule["id"],
+                    "severity": rule["severity"],
+                    "statistic": res["p_value"],
+                    "threshold": thr,
+                    "passed": res["p_value"] >= thr,
+                }
+            )
+        elif rule["kind"] == "ks_binned":
+            res = evaluate_len_drift(len_hist, profile["len"])
+            thr = float(rule["d_threshold"])
+            out = pd.DataFrame(
+                {
+                    "pid": res["pid"],
+                    "rule_id": rule["id"],
+                    "severity": rule["severity"],
+                    "statistic": res["d_stat"],
+                    "threshold": thr,
+                    "passed": res["d_stat"] <= thr,
+                }
+            )
+        else:
+            raise ValueError(f"unknown drift kind {rule['kind']!r}")
+        frames.append(out)
+    if not frames:
+        return pd.DataFrame(
+            columns=["pid", "rule_id", "severity", "statistic", "threshold", "passed"]
+        )
+    return pd.concat(frames, ignore_index=True)

@@ -1,0 +1,120 @@
+"""PASS 1 — the fused per-partition statistics aggregation.
+
+Everything the aggregate/drift rules need is computed in ONE shuffle:
+a single fine-grained ``groupBy(pid, lang, len_bucket)`` aggregation whose
+output is tiny (≤ P × |langs|+1 × bins+1 rows) and fully re-aggregable:
+
+  - row counts            → sums
+  - per-column null counts → sums (lang/content nulls fall out of the keys)
+  - content length min/max/sum → min/max/sum
+  - commit cardinality    → HLL sketches (``hll_sketch_agg``), merged upward
+                            with ``hll_union_agg`` — the mergeable replacement
+                            for ``approx_count_distinct`` that survives
+                            two-level rollup exactly.
+
+Map-side partial aggregation (Tungsten hash agg) means the shuffle carries
+only combined partials per task — a Zipf mega-repo does NOT skew this
+shuffle, because the group keys (pid, lang, bucket) are low-cardinality and
+combined locally before exchange. Skew handling for *high-cardinality* keyed
+aggregations lives in :mod:`.skew` (salted two-phase agg).
+
+Reference twins: per-column stats & null rates (matrix_validator.py:194-206,
+:333-371; rule_validator.py:375-388), class histogram (rule_validator.py:332-352),
+quartile/length buckets (rule_validator.py:355-371), cardinality
+(rule_validator.py:338 nunique).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..rules import Registry
+
+LENGTH_CAP = 250_000  # log-spaced bucket domain upper bound
+
+
+def length_bucket(col, bins: int):
+    """Log-spaced content-length bucket in [0, bins-1]; -1 for null content."""
+    scaled = F.floor(F.log1p(col) / F.lit(math.log1p(LENGTH_CAP)) * F.lit(bins))
+    return (
+        F.when(col.isNull(), F.lit(-1))
+        .otherwise(F.least(F.lit(bins - 1), scaled))
+        .cast("int")
+    )
+
+
+def fine_grained_agg(df: DataFrame, registry: Registry) -> DataFrame:
+    """The single fused aggregation: groupBy(pid, lang, len_bucket).
+
+    Returns the fine stats table; every coarser view (per-pid stats, lang
+    histogram, length histogram) rolls up from it without touching the
+    source again.
+    """
+    bins = registry.length_hist_bins
+    clen = F.length(F.col("content"))
+    prepared = df.select(
+        "pid",
+        "lang",
+        length_bucket(clen, bins).alias("len_bucket"),
+        clen.alias("content_len"),
+        "repo",
+        "path",
+        "commit",
+    )
+    return prepared.groupBy("pid", "lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("repo").isNull(), 1).otherwise(0)).alias("null_repo"),
+        F.sum(F.when(F.col("path").isNull(), 1).otherwise(0)).alias("null_path"),
+        F.sum(F.when(F.col("commit").isNull(), 1).otherwise(0)).alias("null_commit"),
+        F.min("content_len").alias("min_len"),
+        F.max("content_len").alias("max_len"),
+        F.sum("content_len").alias("sum_len"),
+        F.hll_sketch_agg(F.col("commit")).alias("commit_hll"),
+    )
+
+
+def rollup_pid_stats(fine: DataFrame) -> DataFrame:
+    """Per-pid stats from the fine table (second-level agg over tiny data)."""
+    return (
+        fine.groupBy("pid")
+        .agg(
+            F.sum("rows").alias("rows"),
+            F.sum(F.when(F.col("lang").isNull(), F.col("rows")).otherwise(0)).alias("null_lang"),
+            F.sum(F.when(F.col("len_bucket") == -1, F.col("rows")).otherwise(0)).alias(
+                "null_content"
+            ),
+            F.sum("null_repo").alias("null_repo"),
+            F.sum("null_path").alias("null_path"),
+            F.sum("null_commit").alias("null_commit"),
+            F.min("min_len").alias("min_len"),
+            F.max("max_len").alias("max_len"),
+            F.sum("sum_len").alias("sum_len"),
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("commit_hll"))).alias(
+                "approx_distinct_commit"
+            ),
+        )
+        .withColumn(
+            "mean_len",
+            F.when(
+                F.col("rows") > F.col("null_content"),
+                F.col("sum_len") / (F.col("rows") - F.col("null_content")),
+            ),
+        )
+    )
+
+
+def rollup_lang_hist(fine: DataFrame) -> DataFrame:
+    """(pid, lang, rows) histogram — feeds the chi-square drift check."""
+    return fine.groupBy("pid", "lang").agg(F.sum("rows").alias("rows"))
+
+
+def rollup_len_hist(fine: DataFrame) -> DataFrame:
+    """(pid, len_bucket, rows) histogram — feeds the binned-KS drift check."""
+    return (
+        fine.filter(F.col("len_bucket") >= 0)
+        .groupBy("pid", "len_bucket")
+        .agg(F.sum("rows").alias("rows"))
+    )

@@ -1,0 +1,229 @@
+"""End-to-end validation run: the Spark lifecycle of SURVEY §3.4.
+
+    registry load+hash → plan-time structural checks (CRITICAL short-circuit)
+    → ledger resume filter (partition-pruned scan)
+    → PASS 1: one fused fine-grained aggregation (+ rollups, all tiny)
+    → drift vs baseline profile (grouped Arrow UDF)
+    → PASS 2: one fused violation pass (predicates ∪ uniqueness window ∪
+      sha-dup window ∪ broadcast RI join), written partition-overwrite by pid
+    → verdicts + decisions → ledger append → report.json, exit code.
+
+Exactly two scans of the source per run; every post-aggregation table is
+O(P × rules) and handled driver-side. Short-circuit semantics mirror the
+reference orchestrator (orchestrator.py:363-381); exit-code semantics mirror
+check_status.py:39-45.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..checkpoint import Ledger
+from ..rules import Registry, load_registry
+from ..sources import read_manifest, read_source, with_pid
+from . import drift as drift_mod
+from .fused import fine_grained_agg, rollup_lang_hist, rollup_len_hist, rollup_pid_stats
+from .verdicts import build_verdicts, global_decision, partition_decisions
+from .violations import violation_counts, violation_pass
+
+_SPARK_TYPE_NAMES = {"string": "string", "int": "integer", "long": "bigint", "double": "double"}
+
+
+def structural_check(df: DataFrame, registry: Registry) -> list[dict]:
+    """Plan-time CONS_001/CONS_002: required columns + declared types.
+
+    Reference: rule_validator.py:178-200; CRITICAL aborts the run
+    (orchestrator.py:366-371)."""
+    issues: list[dict] = []
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for col in registry.required_columns:
+        if col not in fields:
+            issues.append(
+                {"rule_id": "CONS_001", "severity": "critical", "column": col,
+                 "message": f"required column {col!r} missing from schema"}
+            )
+    for col, want in registry.column_types.items():
+        have = fields.get(col)
+        if have is not None and have != _SPARK_TYPE_NAMES.get(want, want):
+            issues.append(
+                {"rule_id": "CONS_002", "severity": "critical", "column": col,
+                 "message": f"column {col!r} is {have}, registry declares {want}"}
+            )
+    return issues
+
+
+def run_validation(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    manifest_path: str | None = None,
+    registry_path: str | None = None,
+    profile_dir: str | None = None,
+    build_baseline: bool = False,
+    snapshot_id: str | None = None,
+    resume: bool = True,
+    source_format: str = "parquet",
+) -> dict:
+    """Run the full validation pipeline; returns the report dict
+    (also written to ``{out_dir}/report.json``)."""
+    t0 = time.time()
+    registry = load_registry(registry_path) if registry_path else load_registry()
+    snapshot_id = snapshot_id or source_path
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    report: dict = {
+        "snapshot_id": snapshot_id,
+        "ruleset_metadata": {
+            "rule_version": registry.version,
+            "ruleset_hash": registry.ruleset_hash,
+            "registry_path": registry.path,
+        },
+        "short_circuited": False,
+    }
+
+    df = with_pid(read_source(spark, source_path, source_format), registry.n_partitions)
+
+    # ---- stage: structural (blocking, reference orchestrator.py:363-371)
+    structural = structural_check(df, registry)
+    if any(i["severity"] == "critical" for i in structural):
+        report.update(
+            {
+                "short_circuited": True,
+                "final_decision": "rejected",
+                "structural_issues": structural,
+                "exit_code": 1,
+                "elapsed_sec": time.time() - t0,
+            }
+        )
+        (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
+        return report
+
+    # ---- resume: drop completed partitions (prunes at scan via pid dirs)
+    full_df = df
+    ledger = Ledger(out / "ledger")
+    skipped: set[int] = set()
+    if resume:
+        skipped = ledger.completed_pids(snapshot_id, registry.ruleset_hash)
+        if skipped:
+            df = df.filter(~F.col("pid").isin(sorted(skipped)))
+    report["resumed_skipped_pids"] = sorted(skipped)
+
+    # ---- PASS 1: fused stats (one shuffle), rollups from the tiny fine table
+    fine = fine_grained_agg(df, registry).cache()
+    stats = rollup_pid_stats(fine).toPandas()
+    if stats.empty:
+        # Nothing left to process — the decision must still reflect the FULL
+        # on-disk verdict table, or a no-op resume would mask a rejection
+        # (check_status.py:39-45 semantics require the gate to stay red).
+        report.update({"note": "no partitions to process", "elapsed_sec": time.time() - t0})
+        verdicts_path = out / "verdicts"
+        if verdicts_path.exists():
+            all_verdicts = spark.read.parquet(str(verdicts_path)).toPandas()
+            g = global_decision(all_verdicts, registry)
+            decisions = partition_decisions(all_verdicts, registry)
+            any_rej = bool((decisions["decision"] == "rejected").any())
+            report.update(
+                {
+                    "final_decision": g["decision"],
+                    "severity_counts": g["severity_counts"],
+                    "failed_rules": g["failed_rules"],
+                    "exit_code": 1 if (g["decision"] == "rejected" or any_rej) else 0,
+                }
+            )
+        else:
+            report.update({"final_decision": "accepted", "exit_code": 0})
+        (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
+        return report
+    lang_hist_df = rollup_lang_hist(fine)
+    len_hist_df = rollup_len_hist(fine)
+    lang_hist = lang_hist_df.toPandas()
+
+    # ---- baseline profile (FIXTURES F3)
+    drift_results = pd.DataFrame()
+    if build_baseline:
+        drift_mod.build_profile(
+            lang_hist_df, len_hist_df, registry,
+            profile_dir or out / "profile", snapshot_id=snapshot_id,
+        )
+    elif profile_dir and Path(profile_dir, "profile.json").exists():
+        profile = drift_mod.load_profile(profile_dir)
+        drift_results = drift_mod.drift_rule_results(lang_hist_df, len_hist_df, profile, registry)
+    fine.unpersist()
+
+    # ---- PASS 2: fused violation rows, deterministic order, pid-overwrite
+    manifest = read_manifest(spark, manifest_path) if manifest_path else None
+    violations = violation_pass(df, registry, manifest, full_df=full_df).persist()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        violations.repartition("pid")
+        .sortWithinPartitions("pid", "rule_id", "repo", "path", "commit")
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .parquet(str(out / "violations"))
+    )
+    viol_counts = violation_counts(violations).toPandas()
+    violations.unpersist()
+
+    # ---- verdicts + decisions
+    verdicts = build_verdicts(stats, lang_hist, viol_counts, drift_results, registry)
+    verdicts_sdf = spark.createDataFrame(verdicts)
+    (
+        verdicts_sdf.repartition("pid")
+        .sortWithinPartitions("pid", "rule_id")
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .parquet(str(out / "verdicts"))
+    )
+
+    # Read back the FULL verdict table (this run + prior resumed runs) so the
+    # dataset decision covers every partition.
+    all_verdicts = spark.read.parquet(str(out / "verdicts")).toPandas()
+    decisions = partition_decisions(all_verdicts, registry)
+    decisions.to_parquet(out / "decisions.parquet", index=False)
+    g = global_decision(all_verdicts, registry)
+
+    # ---- ledger append (one completion row per processed pid)
+    per_pid_viol = verdicts.groupby("pid")["violation_count"].sum()
+    rows_by_pid = stats.set_index("pid")["rows"]
+    ledger.append(
+        [
+            {
+                "pid": int(pid),
+                "snapshot_id": snapshot_id,
+                "ruleset_hash": registry.ruleset_hash,
+                "rule_version": registry.version,
+                "status": "completed",
+                "rows": int(rows_by_pid.get(pid, 0)),
+                "violation_rows": int(per_pid_viol.get(pid, 0)),
+                "run_id": f"run-{int(t0)}",
+            }
+            for pid in stats["pid"].astype(int)
+        ]
+    )
+
+    elapsed = time.time() - t0
+    total_rows = int(stats["rows"].sum())
+    any_pid_rejected = bool((decisions["decision"] == "rejected").any())
+    report.update(
+        {
+            "final_decision": g["decision"],
+            "requires_human_review": g["requires_review"],
+            "severity_counts": g["severity_counts"],
+            "failed_rules": g["failed_rules"],
+            "partitions_processed": sorted(stats["pid"].astype(int).tolist()),
+            "partition_decisions": decisions.to_dict("records"),
+            "records_processed": total_rows,
+            "rows_per_sec": total_rows / elapsed if elapsed > 0 else None,
+            "elapsed_sec": elapsed,
+            "exit_code": 1 if (g["decision"] == "rejected" or any_pid_rejected) else 0,
+        }
+    )
+    (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
+    return report

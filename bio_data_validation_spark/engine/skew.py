@@ -1,0 +1,64 @@
+"""Skew handling: salted two-phase aggregation for Zipf-skewed repo keys.
+
+The synthetic table (like real code corpora) has a mega-repo holding ~20% of
+all rows. Aggregations keyed by ``repo`` would put that repo's entire volume
+through one reducer. The standard fix (SURVEY §4.2): phase 1 groups by
+``(repo, salt)`` with ``salt = pmod(xxhash64(path, commit), S)`` spreading the
+hot key across S reducers; phase 2 re-merges the S partials per repo —
+tiny input, exact results for decomposable aggregates (sum/count/min/max,
+HLL-sketch union for distinct counts).
+
+The fused PASS-1 stats don't need this (group keys there are low-cardinality
+and map-side combined); it is used for the per-repo skew profile that sizes
+partitions and for any per-repo rule a registry adds. AQE skew-join splitting
+(`spark.sql.adaptive.skewJoin.enabled`) covers the join side.
+
+Reference precedent: batch-imbalance detection
+(sample_metadata_validator.py:444-484) — detect-only; here we both detect
+and neutralize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_repo_stats(df: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Exact per-repo (rows, distinct commits, total content bytes) via a
+    salted two-phase aggregation. Returns (repo, rows, distinct_commits,
+    sum_len)."""
+    salt = F.pmod(F.xxhash64(F.col("path"), F.col("commit")), F.lit(salt_buckets))
+    partial = (
+        df.groupBy(F.col("repo"), salt.alias("__salt"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.hll_sketch_agg(F.col("commit")).alias("commit_hll"),
+            F.sum(F.length("content")).alias("sum_len"),
+        )
+    )
+    return partial.groupBy("repo").agg(
+        F.sum("rows").alias("rows"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("commit_hll"))).alias("distinct_commits"),
+        F.sum("sum_len").alias("sum_len"),
+    )
+
+
+def skew_report(repo_stats: DataFrame, top_n: int = 10) -> dict:
+    """Driver-side skew summary: max/median repo size ratio + top repos.
+
+    Mirrors the reference's batch-imbalance ratio check
+    (sample_metadata_validator.py:444-484)."""
+    pdf = repo_stats.orderBy(F.desc("rows")).limit(top_n).toPandas()
+    agg = repo_stats.agg(
+        F.max("rows").alias("max_rows"),
+        F.expr("percentile(rows, 0.5)").alias("median_rows"),
+        F.sum("rows").alias("total_rows"),
+    ).collect()[0]
+    return {
+        "max_rows": int(agg["max_rows"]),
+        "median_rows": float(agg["median_rows"]),
+        "imbalance_ratio": float(agg["max_rows"]) / max(float(agg["median_rows"]), 1.0),
+        "top_repo_share": float(pdf["rows"].iloc[0]) / max(int(agg["total_rows"]), 1),
+        "top_repos": pdf[["repo", "rows"]].to_dict("records"),
+    }

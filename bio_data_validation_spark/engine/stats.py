@@ -1,0 +1,73 @@
+"""Pure-Python statistical helpers (no scipy in the runtime image).
+
+``chi2_sf`` implements the chi-square survival function via the regularized
+incomplete gamma function, using the classic series / continued-fraction
+split (standard public algorithm, cf. Abramowitz & Stegun 6.5 / Numerical
+Recipes ``gammp``/``gammq``). Accuracy is ~1e-12, verified in tests against
+known reference values.
+"""
+
+from __future__ import annotations
+
+import math
+
+_EPS = 3e-14
+_FPMIN = 1e-300
+_MAX_ITER = 500
+
+
+def _lower_reg_gamma_series(s: float, x: float) -> float:
+    """P(s, x) by series expansion — converges fast for x < s + 1."""
+    term = 1.0 / s
+    total = term
+    a = s
+    for _ in range(_MAX_ITER):
+        a += 1.0
+        term *= x / a
+        total += term
+        if abs(term) < abs(total) * _EPS:
+            break
+    return total * math.exp(-x + s * math.log(x) - math.lgamma(s))
+
+
+def _upper_reg_gamma_cf(s: float, x: float) -> float:
+    """Q(s, x) by modified Lentz continued fraction — for x >= s + 1."""
+    b = x + 1.0 - s
+    c = 1.0 / _FPMIN
+    d = 1.0 / b
+    h = d
+    for i in range(1, _MAX_ITER + 1):
+        an = -i * (i - s)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < _FPMIN:
+            d = _FPMIN
+        c = b + an / c
+        if abs(c) < _FPMIN:
+            c = _FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < _EPS:
+            break
+    return h * math.exp(-x + s * math.log(x) - math.lgamma(s))
+
+
+def gammainc_upper_reg(s: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(s, x) = Γ(s,x)/Γ(s)."""
+    if x < 0 or s <= 0:
+        raise ValueError("require x >= 0 and s > 0")
+    if x == 0:
+        return 1.0
+    if x < s + 1.0:
+        return 1.0 - _lower_reg_gamma_series(s, x)
+    return _upper_reg_gamma_cf(s, x)
+
+
+def chi2_sf(x: float, k: int) -> float:
+    """P(X >= x) for X ~ chi-square with k degrees of freedom."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if x <= 0:
+        return 1.0
+    return gammainc_upper_reg(k / 2.0, x / 2.0)

@@ -1,0 +1,162 @@
+"""Verdict assembly: per-partition rule results → decisions.
+
+Produces the per-partition pass/fail matrix the north rule mandates:
+one row per (pid, rule_id) with severity, violation_count, passed, plus
+(rule_version, ruleset_hash) lineage — the Spark equivalent of the
+reference's per-validator ValidationResult (base_schemas.py:276-286) at
+partition granularity. Operates on driver-side pandas frames: every input
+here is an already-aggregated table of at most P × |rules| rows,
+independent of data scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..policy import Decision, decide, requires_review, severity_counts
+from ..rules import Registry
+
+VERDICT_COLUMNS = [
+    "pid",
+    "rule_id",
+    "rule_version",
+    "ruleset_hash",
+    "severity",
+    "violation_count",
+    "passed",
+]
+
+
+def _agg_rule_results(stats: pd.DataFrame, lang_hist: pd.DataFrame, registry: Registry) -> list[dict]:
+    """Evaluate PASS-1 aggregate rules per pid from the rolled-up stats."""
+    rows: list[dict] = []
+    lang_by_pid = {
+        pid: grp for pid, grp in lang_hist[lang_hist["lang"].notna()].groupby("pid")
+    }
+    for rec in stats.itertuples():
+        pid = int(rec.pid)
+        total = int(rec.rows)
+        for rule in registry.agg_rules:
+            kind = rule["kind"]
+            if kind == "null_rate":
+                null_map = {
+                    "repo": rec.null_repo, "path": rec.null_path, "commit": rec.null_commit,
+                    "lang": rec.null_lang, "content": rec.null_content,
+                }
+                worst = max(int(null_map[c]) for c in rule["columns"])
+                frac = worst / total if total else 0.0
+                passed = frac <= float(rule["max_null_frac"])
+                count = worst if not passed else 0
+            elif kind == "min_distinct_frac":
+                frac = float(rec.approx_distinct_commit) / total if total else 1.0
+                passed = frac >= float(rule["min_distinct_frac"])
+                count = 0 if passed else total
+            elif kind == "min_class_frac":
+                grp = lang_by_pid.get(pid)
+                if grp is None or grp["rows"].sum() == 0:
+                    passed, count = True, 0
+                else:
+                    min_frac = grp["rows"].min() / grp["rows"].sum()
+                    passed = min_frac >= float(rule["min_class_frac"])
+                    count = 0 if passed else int(grp["rows"].min())
+            elif kind == "length_bounds":
+                mean_len = rec.mean_len if rec.mean_len == rec.mean_len else 0.0  # NaN guard
+                passed = mean_len is None or float(mean_len or 0.0) <= float(rule["max_mean_length"])
+                count = 0 if passed else 1
+            else:
+                raise ValueError(f"unknown agg rule kind {kind!r}")
+            rows.append(
+                {
+                    "pid": pid,
+                    "rule_id": rule["id"],
+                    "severity": rule["severity"],
+                    "violation_count": int(count),
+                    "passed": bool(passed),
+                }
+            )
+    return rows
+
+
+def build_verdicts(
+    stats: pd.DataFrame,
+    lang_hist: pd.DataFrame,
+    viol_counts: pd.DataFrame,
+    drift_results: pd.DataFrame,
+    registry: Registry,
+) -> pd.DataFrame:
+    """The per-partition pass/fail matrix."""
+    pids = sorted(stats["pid"].astype(int).tolist())
+    rows: list[dict] = []
+
+    # Row-level rule families: one verdict per (pid, rule), count from PASS 2.
+    row_rule_meta = [(r.rule_id, r.severity) for r in registry.row_rules]
+    for extra in (registry.uniqueness, registry.content_duplicates, registry.referential):
+        if extra:
+            row_rule_meta.append((extra["id"], extra["severity"]))
+    vc = {
+        (int(r.pid), str(r.rule_id)): int(r.violation_count)
+        for r in viol_counts.itertuples()
+    }
+    for pid in pids:
+        for rule_id, severity in row_rule_meta:
+            count = vc.get((pid, rule_id), 0)
+            rows.append(
+                {
+                    "pid": pid,
+                    "rule_id": rule_id,
+                    "severity": severity,
+                    "violation_count": count,
+                    "passed": count == 0,
+                }
+            )
+
+    rows.extend(_agg_rule_results(stats, lang_hist, registry))
+
+    if drift_results is not None and len(drift_results):
+        for rec in drift_results.itertuples():
+            rows.append(
+                {
+                    "pid": int(rec.pid),
+                    "rule_id": rec.rule_id,
+                    "severity": rec.severity,
+                    "violation_count": 0 if rec.passed else 1,
+                    "passed": bool(rec.passed),
+                }
+            )
+
+    out = pd.DataFrame(rows)
+    out["rule_version"] = registry.version
+    out["ruleset_hash"] = registry.ruleset_hash
+    return out[VERDICT_COLUMNS].sort_values(["pid", "rule_id"]).reset_index(drop=True)
+
+
+def partition_decisions(verdicts: pd.DataFrame, registry: Registry) -> pd.DataFrame:
+    """Per-pid decision via the reference decision matrix."""
+    out = []
+    for pid, grp in verdicts.groupby("pid"):
+        counts = severity_counts(grp.to_dict("records"))
+        out.append(
+            {
+                "pid": int(pid),
+                "decision": decide(counts, registry.decision_matrix).value,
+                "requires_review": requires_review(counts, registry.review_triggers),
+                **{f"n_{k}": v for k, v in counts.items()},
+            }
+        )
+    return pd.DataFrame(out).sort_values("pid").reset_index(drop=True)
+
+
+def global_decision(verdicts: pd.DataFrame, registry: Registry) -> dict:
+    """Dataset-level decision: a rule counts once per severity if it failed
+    in any partition (reference granularity: one issue per failed check)."""
+    failed = verdicts[~verdicts["passed"]][["rule_id", "severity"]].drop_duplicates()
+    counts = {"info": 0, "warning": 0, "error": 0, "critical": 0}
+    for sev in failed["severity"]:
+        counts[str(sev).lower()] += 1
+    d = decide(counts, registry.decision_matrix)
+    return {
+        "decision": d.value,
+        "requires_review": requires_review(counts, registry.review_triggers),
+        "severity_counts": counts,
+        "failed_rules": sorted(failed["rule_id"].tolist()),
+    }

@@ -1,0 +1,153 @@
+"""PASS 2 — the fused violation-row pass.
+
+One scan of the source evaluates EVERY row-level rule, the composite-key
+uniqueness rule, the duplicate-content rule, and the referential-integrity
+rule, emitting one violation row per (row, failed rule) tagged with
+(rule_id, rule_version, ruleset_hash) audit lineage.
+
+Physical shape (what .explain shows):
+  - all ``violation_when`` predicates → one codegen'd ``array(when(...))``
+    + ``filter`` + ``explode`` projection (no Python, no extra scan);
+  - uniqueness on (repo,path,commit) → ``count(*) over (partition by keys)``
+    (one hash shuffle; keys are near-unique so no single hot partition);
+  - duplicate content → same window over ``sha2(content,256)``;
+  - referential integrity → ``broadcast`` left join against repo_manifest
+    (no shuffle), orphan = no manifest match.
+
+Reference twins: per-record Pydantic constraints → column predicates
+(schema_validator.py:335-394), DUP_002 (rule_validator.py:273-286),
+DUP_003 duplicate content (rule_validator.py:292-305), LOOKUP_001 anti-join
+membership (bio_lookups.py:745-764). The sha256 column doubles as the
+per-row fidelity invariant mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..rules import Registry
+
+VIOLATION_COLUMNS = [
+    "pid",
+    "rule_id",
+    "rule_version",
+    "ruleset_hash",
+    "severity",
+    "repo",
+    "path",
+    "commit",
+    "column",
+    "message",
+]
+
+
+def _check_struct(rule_id: str, severity: str, column: str, message: str, cond: Column) -> Column:
+    return F.when(
+        cond,
+        F.struct(
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(severity).alias("severity"),
+            F.lit(column).alias("column"),
+            F.lit(message).alias("message"),
+        ),
+    )
+
+
+def violation_pass(
+    df: DataFrame,
+    registry: Registry,
+    manifest: DataFrame | None = None,
+    full_df: DataFrame | None = None,
+) -> DataFrame:
+    """Emit the violations DataFrame for every row-level rule family.
+
+    ``full_df`` is the UNFILTERED source: duplicate-content groups span
+    partitions, so the duplicated-sha set must be computed over all data even
+    when a resumed run processes only the remaining partitions (``df``).
+    All other rule families are partition-local and run on ``df`` only.
+    """
+    checks: list[Column] = [
+        _check_struct(r.rule_id, r.severity, r.column, r.message, F.expr(r.violation_when))
+        for r in registry.row_rules
+    ]
+
+    work = df
+
+    uniq = registry.uniqueness
+    if uniq:
+        w = Window.partitionBy(*[F.col(k) for k in uniq["keys"]])
+        work = work.withColumn("__dup_n", F.count(F.lit(1)).over(w))
+        checks.append(
+            _check_struct(
+                uniq["id"], uniq["severity"], ",".join(uniq["keys"]), uniq["message"],
+                F.col("__dup_n") > 1,
+            )
+        )
+
+    cdup = registry.content_duplicates
+    if cdup:
+        # Duplicated-sha set from the FULL source (content column only —
+        # Catalyst prunes the scan to one column; map-side combine keeps the
+        # shuffle at ~one sha per distinct content). AQE converts the join to
+        # broadcast when the dup set is small.
+        src = full_df if full_df is not None else df
+        dup_shas = (
+            src.filter(F.col("content").isNotNull())
+            .select(F.sha2(F.col("content"), 256).alias("content_sha256"))
+            .groupBy("content_sha256")
+            .count()
+            .filter(F.col("count") > 1)
+            .select("content_sha256", F.lit(1).alias("__sha_dup"))
+        )
+        work = work.withColumn("content_sha256", F.sha2(F.col("content"), 256)).join(
+            dup_shas, "content_sha256", "left"
+        )
+        checks.append(
+            _check_struct(
+                cdup["id"], cdup["severity"], "content", cdup["message"],
+                F.col("content").isNotNull() & F.col("__sha_dup").isNotNull(),
+            )
+        )
+
+    ref = registry.referential
+    if ref and manifest is not None:
+        keys = list(ref["keys"])
+        dim = manifest.select(*keys).dropDuplicates(keys).withColumn("__in_dim", F.lit(1))
+        work = work.join(F.broadcast(dim), on=keys, how="left")
+        not_null = F.lit(True)
+        for k in keys:
+            not_null = not_null & F.col(k).isNotNull()
+        checks.append(
+            _check_struct(
+                ref["id"], ref["severity"], ",".join(keys), ref["message"],
+                not_null & F.col("__in_dim").isNull(),
+            )
+        )
+
+    arr = F.array(*checks)
+    fired = F.filter(arr, lambda x: x.isNotNull())
+    return (
+        work.select(
+            "pid", "repo", "path", "commit", F.explode(fired).alias("v")
+        )
+        .select(
+            "pid",
+            F.col("v.rule_id").alias("rule_id"),
+            F.lit(registry.version).alias("rule_version"),
+            F.lit(registry.ruleset_hash).alias("ruleset_hash"),
+            F.col("v.severity").alias("severity"),
+            "repo",
+            "path",
+            "commit",
+            F.col("v.column").alias("column"),
+            F.col("v.message").alias("message"),
+        )
+    )
+
+
+def violation_counts(violations: DataFrame) -> DataFrame:
+    """(pid, rule_id, severity, violation_count) — verdict input."""
+    return violations.groupBy("pid", "rule_id", "severity").agg(
+        F.count(F.lit(1)).alias("violation_count")
+    )

@@ -1,0 +1,1 @@
+from .decision import Decision, decide, requires_review, severity_counts  # noqa: F401

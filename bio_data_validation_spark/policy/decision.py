@@ -1,0 +1,62 @@
+"""Decision engine — exact reference decision-matrix semantics.
+
+Ported semantics (not code) from the reference PolicyEngine
+(src/engine/policy_engine.py:145-182) and config/policy_config.yml:10-15:
+
+  1. critical >= 1                      -> REJECTED
+  2. errors   >= reject_error_min (5)   -> REJECTED
+  3. errors   >= 1                      -> CONDITIONAL_ACCEPT
+  4. warnings >= conditional_warning_min-> CONDITIONAL_ACCEPT
+  5. else                               -> ACCEPTED
+
+Review triggers (policy_engine.py:184-208, policy_config.yml:20-26):
+critical>0 OR errors>=3 OR warnings>=15.
+
+Counts are *failed-rule* counts by severity (the reference counts
+ValidationIssue objects per stage; our per-pid verdict rows are the
+equivalent granularity). The CI gate semantics mirror
+scripts/validation/check_status.py:39-45 — exit 1 on any REJECTED.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+
+class Decision(str, Enum):
+    ACCEPTED = "accepted"
+    CONDITIONAL_ACCEPT = "conditional_accept"
+    REJECTED = "rejected"
+
+
+def severity_counts(rows: list[dict]) -> dict[str, int]:
+    """Count failed rules by severity from verdict-row dicts
+    (each with 'severity' and boolean 'passed')."""
+    counts = {"info": 0, "warning": 0, "error": 0, "critical": 0}
+    for r in rows:
+        if not r["passed"]:
+            counts[str(r["severity"]).lower()] += 1
+    return counts
+
+
+def decide(counts: dict[str, int], matrix: dict[str, int]) -> Decision:
+    critical = counts.get("critical", 0)
+    errors = counts.get("error", 0)
+    warnings = counts.get("warning", 0)
+    if critical >= matrix.get("reject_critical_min", 1):
+        return Decision.REJECTED
+    if errors >= matrix.get("reject_error_min", 5):
+        return Decision.REJECTED
+    if errors >= matrix.get("conditional_error_min", 1):
+        return Decision.CONDITIONAL_ACCEPT
+    if warnings >= matrix.get("conditional_warning_min", 5):
+        return Decision.CONDITIONAL_ACCEPT
+    return Decision.ACCEPTED
+
+
+def requires_review(counts: dict[str, int], triggers: dict[str, int]) -> bool:
+    return (
+        counts.get("critical", 0) >= triggers.get("critical_min", 1)
+        or counts.get("error", 0) >= triggers.get("error_min", 3)
+        or counts.get("warning", 0) >= triggers.get("warning_min", 15)
+    )

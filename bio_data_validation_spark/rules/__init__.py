@@ -1,0 +1,129 @@
+"""Rule registry: load, version, hash, and compile to Spark expressions.
+
+Mirrors the reference's registry semantics — YAML with version / last_updated
+/ changelog (reference config/validation_rules.yml:5-23) and sha256 content
+hashing stamped into every report (reference src/agents/orchestrator.py:130-177,
+hash truncated to 16 hex chars at :155-158). Compilation targets Catalyst:
+row rules become `F.expr(...)` boolean columns; aggregate/drift rules become
+specs consumed by the fused PASS-1 aggregation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+_RULES_DIR = Path(__file__).parent
+DEFAULT_REGISTRY = str(_RULES_DIR / "rules_v1.0.0.yml")
+
+SEVERITIES = ("info", "warning", "error", "critical")
+
+
+@dataclass(frozen=True)
+class RowRule:
+    rule_id: str
+    severity: str
+    column: str
+    violation_when: str  # Spark SQL boolean, TRUE = violation
+    message: str
+
+
+@dataclass
+class Registry:
+    """Parsed, hashed rule registry."""
+
+    version: str
+    ruleset_hash: str  # sha256(file bytes)[:16], reference orchestrator.py:155-158
+    path: str
+    raw: dict[str, Any]
+    row_rules: list[RowRule] = field(default_factory=list)
+
+    @property
+    def settings(self) -> dict[str, Any]:
+        return self.raw.get("settings", {})
+
+    @property
+    def n_partitions(self) -> int:
+        return int(self.settings.get("n_partitions", 64))
+
+    @property
+    def length_hist_bins(self) -> int:
+        return int(self.settings.get("length_hist_bins", 64))
+
+    @property
+    def salt_buckets(self) -> int:
+        return int(self.settings.get("salt_buckets", 8))
+
+    @property
+    def required_columns(self) -> list[str]:
+        return list(self.raw.get("required_columns", []))
+
+    @property
+    def column_types(self) -> dict[str, str]:
+        return dict(self.raw.get("column_types", {}))
+
+    @property
+    def uniqueness(self) -> dict[str, Any] | None:
+        return self.raw.get("uniqueness")
+
+    @property
+    def content_duplicates(self) -> dict[str, Any] | None:
+        return self.raw.get("content_duplicates")
+
+    @property
+    def referential(self) -> dict[str, Any] | None:
+        return self.raw.get("referential")
+
+    @property
+    def agg_rules(self) -> list[dict[str, Any]]:
+        return list(self.raw.get("agg_rules", []))
+
+    @property
+    def drift_rules(self) -> list[dict[str, Any]]:
+        return list(self.raw.get("drift_rules", []))
+
+    @property
+    def decision_matrix(self) -> dict[str, int]:
+        return {k: int(v) for k, v in self.raw.get("decision_matrix", {}).items()}
+
+    @property
+    def review_triggers(self) -> dict[str, int]:
+        return {k: int(v) for k, v in self.raw.get("review_triggers", {}).items()}
+
+
+def load_registry(path: str | Path = DEFAULT_REGISTRY) -> Registry:
+    """Load + validate + hash a YAML registry."""
+    p = Path(path)
+    content = p.read_bytes()
+    raw = yaml.safe_load(content)
+    if not isinstance(raw, dict) or "version" not in raw:
+        raise ValueError(f"registry {p} missing 'version'")
+    ruleset_hash = hashlib.sha256(content).hexdigest()[:16]
+
+    row_rules: list[RowRule] = []
+    for section in ("row_rules", "custom_rules"):
+        for r in raw.get(section, []) or []:
+            sev = str(r["severity"]).lower()
+            if sev not in SEVERITIES:
+                raise ValueError(f"rule {r.get('id')}: bad severity {sev!r}")
+            row_rules.append(
+                RowRule(
+                    rule_id=str(r["id"]),
+                    severity=sev,
+                    column=str(r.get("column", "")),
+                    violation_when=str(r["violation_when"]),
+                    message=str(r.get("message", "")),
+                )
+            )
+
+    return Registry(
+        version=str(raw["version"]),
+        ruleset_hash=ruleset_hash,
+        path=str(p),
+        raw=raw,
+        row_rules=row_rules,
+    )

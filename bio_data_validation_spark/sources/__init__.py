@@ -1,0 +1,49 @@
+"""Pluggable source layer.
+
+Production target is an Iceberg table (``spark.read.table``) partitioned by a
+bucket transform on ``repo``; the sandbox has no Iceberg runtime jar, so the
+default source is a parquet directory hive-partitioned by ``pid`` that
+emulates the same layout (SURVEY.md §7.0). All engine semantics (stable
+partition ids, resume pruning, verdicts) are identical across sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SOURCE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_source(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:
+    """Read the source-code table.
+
+    ``fmt='iceberg'`` treats ``location`` as a catalog table name;
+    ``fmt='parquet'`` reads a hive-partitioned directory (pid=NN/...).
+    """
+    if fmt == "iceberg":
+        return spark.read.table(location)
+    if fmt == "parquet":
+        return spark.read.parquet(location)
+    raise ValueError(f"unknown source format {fmt!r}")
+
+
+def with_pid(df: DataFrame, n_partitions: int) -> DataFrame:
+    """Ensure the stable partition id column exists.
+
+    pid = crc32(repo) % P. Pure function of the row (never of cluster size),
+    so N- and 4N-executor runs produce identical per-partition verdicts and
+    the resume ledger is portable across cluster shapes (SURVEY.md §4.2).
+    When the source is already partitioned by pid (the Iceberg bucket-layout
+    emulation), the stored column is reused — filters on it prune at the scan.
+    """
+    if "pid" in df.columns:
+        return df.withColumn("pid", F.col("pid").cast("int"))
+    return df.withColumn(
+        "pid", F.pmod(F.crc32(F.col("repo").cast("string")), F.lit(n_partitions)).cast("int")
+    )
+
+
+def read_manifest(spark: SparkSession, location: str) -> DataFrame:
+    """The repo_manifest(repo, path) referential dimension."""
+    return spark.read.parquet(location)

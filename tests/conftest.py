@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.dataset as ds
+import pytest
+
+from bio_data_validation_spark.datagen import generate_snapshot
+from bio_data_validation_spark.session import get_spark
+
+SF = 0.001
+GEN_DIR = "data/gen_sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("local[4]", shuffle_partitions=8, app_name="tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def snapshot():
+    """Paths to the deterministic sf0.001 clean/dirty snapshots."""
+    return generate_snapshot(SF, GEN_DIR)
+
+
+def read_pdf(path: str) -> pd.DataFrame:
+    return ds.dataset(path, partitioning="hive").to_table().to_pandas()
+
+
+@pytest.fixture(scope="session")
+def clean_pdf(snapshot) -> pd.DataFrame:
+    return read_pdf(snapshot["clean"])
+
+
+@pytest.fixture(scope="session")
+def dirty_pdf(snapshot) -> pd.DataFrame:
+    return read_pdf(snapshot["dirty"])
+
+
+@pytest.fixture(scope="session")
+def manifest_pdf(snapshot) -> pd.DataFrame:
+    return pd.read_parquet(snapshot["manifest"])

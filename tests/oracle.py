@@ -1,0 +1,89 @@
+"""Independent pandas oracle for every rule — the differential-test reference.
+
+Deliberately re-implements rule semantics with pandas/hashlib (NOT the
+engine's Spark expressions), mirroring the reference's check logic shapes so
+Spark output can be compared exactly (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+
+LANG_ENUM = {
+    "python", "javascript", "java", "go", "rust", "c", "cpp", "markdown", "yaml", "other",
+}
+COMMIT_RE = re.compile(r"^[0-9a-f]{40}$")
+PATH_RE = re.compile(r"^[A-Za-z0-9_./-]+$")
+
+
+def sha256_series(content: pd.Series) -> pd.Series:
+    return content.map(
+        lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest() if isinstance(c, str) else None
+    )
+
+
+def row_rule_masks(df: pd.DataFrame, manifest: pd.DataFrame) -> dict[str, pd.Series]:
+    """violation mask per rule_id — semantics must match rules_v1.0.0.yml."""
+    content = df["content"]
+    clen = content.str.len()
+    masks: dict[str, pd.Series] = {}
+    masks["KEY_NULL_001"] = df["repo"].isna() | df["path"].isna() | df["commit"].isna()
+    masks["FMT_COMMIT_001"] = df["commit"].notna() & ~df["commit"].astype(str).str.match(COMMIT_RE)
+    masks["FMT_PATH_001"] = df["path"].notna() & (
+        (df["path"].str.len() < 2) | ~df["path"].astype(str).str.match(PATH_RE)
+    )
+    masks["LEN_001A"] = content.notna() & (clen == 0)
+    masks["LEN_001C"] = content.notna() & (clen > 250_000)
+    masks["LANG_ENUM_001"] = df["lang"].notna() & ~df["lang"].isin(LANG_ENUM)
+    masks["CUSTOM_EXT_LANG_001"] = (
+        (df["lang"] == "python") & df["path"].notna() & ~df["path"].str.endswith(".py")
+    )
+    # DUP_002 uniqueness on (repo,path,commit), keep=False semantics
+    trip_count = df.groupby(["repo", "path", "commit"], dropna=False)["repo"].transform("size")
+    masks["DUP_002"] = df["repo"].notna() & (trip_count > 1)
+    # DUP_003 duplicate content sha256
+    sha = sha256_series(content)
+    sha_count = sha.groupby(sha).transform("size")
+    masks["DUP_003"] = content.notna() & (sha_count > 1)
+    # LOOKUP_001 referential: (repo, path) not in manifest
+    keys = set(zip(manifest["repo"], manifest["path"]))
+    masks["LOOKUP_001"] = (
+        df["repo"].notna()
+        & df["path"].notna()
+        & ~pd.Series(list(zip(df["repo"], df["path"])), index=df.index).isin(keys)
+    )
+    return masks
+
+
+def violation_counts(df: pd.DataFrame, manifest: pd.DataFrame) -> pd.DataFrame:
+    """(pid, rule_id, violation_count) expected table."""
+    masks = row_rule_masks(df, manifest)
+    out = []
+    for rule_id, mask in masks.items():
+        grp = df.loc[mask].groupby("pid").size()
+        for pid, n in grp.items():
+            out.append({"pid": int(pid), "rule_id": rule_id, "violation_count": int(n)})
+    return (
+        pd.DataFrame(out, columns=["pid", "rule_id", "violation_count"])
+        .sort_values(["pid", "rule_id"])
+        .reset_index(drop=True)
+    )
+
+
+def pid_stats(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-pid stats oracle for the fused PASS-1 rollup (exact fields only)."""
+    clen = df["content"].str.len()
+    g = df.assign(clen=clen).groupby("pid")
+    out = g.agg(
+        rows=("repo", "size"),
+        null_lang=("lang", lambda s: s.isna().sum()),
+        null_content=("content", lambda s: s.isna().sum()),
+        min_len=("clen", "min"),
+        max_len=("clen", "max"),
+        sum_len=("clen", "sum"),
+        distinct_commit=("commit", "nunique"),
+    ).reset_index()
+    out["mean_len"] = out["sum_len"] / (out["rows"] - out["null_content"])
+    return out

@@ -1,0 +1,41 @@
+"""Datagen determinism + stable-pid parity between Python and Spark."""
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.datagen import N_PARTITIONS, generate_clean, pid_of
+
+
+def test_deterministic():
+    a = generate_clean(0.0005)
+    b = generate_clean(0.0005)
+    assert a.equals(b)
+
+
+def test_zipf_mega_repo():
+    df = generate_clean(0.001)
+    top_share = df["repo"].value_counts(normalize=True).iloc[0]
+    assert 0.10 < top_share < 0.30  # one mega-repo ~20% of rows
+
+
+def test_pid_matches_spark_crc32(spark, clean_pdf):
+    """crc32(repo) % P must be bit-identical between zlib and F.crc32 —
+    the resume ledger and per-partition verdicts depend on it."""
+    repos = clean_pdf["repo"].drop_duplicates().tolist()
+    sdf = spark.createDataFrame([(r,) for r in repos], "repo string").withColumn(
+        "pid", F.pmod(F.crc32(F.col("repo")), F.lit(N_PARTITIONS)).cast("int")
+    )
+    for row in sdf.collect():
+        assert row["pid"] == pid_of(row["repo"]) == zlib.crc32(row["repo"].encode()) % N_PARTITIONS
+
+
+def test_injections_present(dirty_pdf, clean_pdf, manifest_pdf):
+    n = len(clean_pdf)
+    assert dirty_pdf["lang"].isna().sum() == int(n * 0.015)
+    assert dirty_pdf["content"].isna().sum() == int(n * 0.005)
+    assert (dirty_pdf["commit"] == "not-a-sha").sum() == int(n * 0.002)
+    assert dirty_pdf["path"].str.startswith("__orphan__").sum() == int(n * 0.004)
+    assert dirty_pdf.duplicated(["repo", "path", "commit"]).sum() >= int(n * 0.008)
+    keys = set(zip(manifest_pdf["repo"], manifest_pdf["path"]))
+    assert all((r, p) in keys for r, p in zip(clean_pdf["repo"], clean_pdf["path"]))

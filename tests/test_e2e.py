@@ -1,0 +1,99 @@
+"""End-to-end runs: clean ACCEPTED, dirty REJECTED, drift localized to the
+injected partitions, exit codes per check_status semantics."""
+
+import json
+
+import pandas as pd
+import pytest
+
+from bio_data_validation_spark.datagen import pid_of
+from bio_data_validation_spark.engine import run_validation
+
+
+@pytest.fixture(scope="module")
+def runs(spark, snapshot, tmp_path_factory):
+    out = tmp_path_factory.mktemp("e2e")
+    clean_rep = run_validation(
+        spark, snapshot["clean"], str(out / "clean"),
+        manifest_path=snapshot["manifest"], build_baseline=True,
+        profile_dir=str(out / "profile"), snapshot_id="clean",
+    )
+    dirty_rep = run_validation(
+        spark, snapshot["dirty"], str(out / "dirty"),
+        manifest_path=snapshot["manifest"], profile_dir=str(out / "profile"),
+        snapshot_id="dirty",
+    )
+    return out, clean_rep, dirty_rep
+
+
+def test_clean_accepted(runs):
+    _, clean_rep, _ = runs
+    assert clean_rep["final_decision"] == "accepted"
+    assert clean_rep["exit_code"] == 0
+    assert clean_rep["severity_counts"] == {"info": 0, "warning": 0, "error": 0, "critical": 0}
+
+
+def test_dirty_rejected_with_expected_rules(runs):
+    _, _, dirty_rep = runs
+    assert dirty_rep["final_decision"] == "rejected"
+    assert dirty_rep["exit_code"] == 1
+    # every injected rule family must be among the failed rules
+    for rule in ("FMT_COMMIT_001", "LEN_001A", "LEN_001C", "DUP_002", "DUP_003",
+                 "LOOKUP_001", "CARD_001", "DRIFT_LANG_001", "DRIFT_LEN_001"):
+        assert rule in dirty_rep["failed_rules"], rule
+    # rules with no injected violations must NOT fail
+    for rule in ("KEY_NULL_001", "FMT_PATH_001", "LANG_ENUM_001"):
+        assert rule not in dirty_rep["failed_rules"], rule
+
+
+def test_drift_localized_to_injected_pids(runs, dirty_pdf):
+    out, _, _ = runs
+    verdicts = pd.read_parquet(out / "dirty" / "verdicts")
+    pids_present = sorted(dirty_pdf["pid"].unique().tolist())
+    drift_lang_pids = set(pids_present[0:2])
+    drift_len_pids = set(pids_present[2:4])
+    card_pid = pids_present[4]
+
+    lang_failed = set(
+        verdicts[(verdicts["rule_id"] == "DRIFT_LANG_001") & ~verdicts["passed"]]["pid"]
+    )
+    len_failed = set(
+        verdicts[(verdicts["rule_id"] == "DRIFT_LEN_001") & ~verdicts["passed"]]["pid"]
+    )
+    card_failed = set(
+        verdicts[(verdicts["rule_id"] == "CARD_001") & ~verdicts["passed"]]["pid"]
+    )
+    assert drift_lang_pids <= lang_failed
+    assert drift_len_pids <= len_failed
+    assert card_pid in card_failed
+    # localization: no more than 2 extra partitions flagged per drift rule
+    assert len(lang_failed - drift_lang_pids) <= 2
+    assert len(len_failed - drift_len_pids) <= 2
+
+
+def test_partition_verdict_lineage(runs):
+    out, _, _ = runs
+    verdicts = pd.read_parquet(out / "dirty" / "verdicts")
+    assert (verdicts["rule_version"] == "1.0.0").all()
+    assert verdicts["ruleset_hash"].nunique() == 1
+
+
+def test_report_shape(runs):
+    out, _, _ = runs
+    rep = json.loads((out / "dirty" / "report.json").read_text())
+    for key in ("snapshot_id", "ruleset_metadata", "final_decision", "severity_counts",
+                "partition_decisions", "records_processed", "rows_per_sec", "exit_code"):
+        assert key in rep, key
+    assert rep["ruleset_metadata"]["rule_version"] == "1.0.0"
+
+
+def test_structural_short_circuit(spark, runs, tmp_path):
+    """Missing required column → CRITICAL short-circuit REJECTED
+    (reference orchestrator.py:366-371)."""
+    bad = spark.createDataFrame([("r", "p")], "repo string, path string")
+    bad.write.mode("overwrite").parquet(str(tmp_path / "bad"))
+    rep = run_validation(spark, str(tmp_path / "bad"), str(tmp_path / "out"))
+    assert rep["short_circuited"] is True
+    assert rep["final_decision"] == "rejected"
+    assert rep["exit_code"] == 1
+    assert any(i["rule_id"] == "CONS_001" for i in rep["structural_issues"])

@@ -1,0 +1,60 @@
+"""PASS-1 fused stats vs exact pandas oracle."""
+
+import pandas as pd
+import pytest
+
+from bio_data_validation_spark.engine.fused import (
+    fine_grained_agg,
+    rollup_lang_hist,
+    rollup_pid_stats,
+)
+from bio_data_validation_spark.rules import load_registry
+from bio_data_validation_spark.sources import read_source, with_pid
+
+from .oracle import pid_stats
+
+
+@pytest.fixture(scope="module")
+def rollups(spark, snapshot):
+    registry = load_registry()
+    df = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
+    fine = fine_grained_agg(df, registry).cache()
+    stats = rollup_pid_stats(fine).toPandas().sort_values("pid").reset_index(drop=True)
+    lang = rollup_lang_hist(fine).toPandas()
+    fine.unpersist()
+    return stats, lang
+
+
+def test_pid_stats_exact(rollups, dirty_pdf):
+    stats, _ = rollups
+    expected = pid_stats(dirty_pdf).sort_values("pid").reset_index(drop=True)
+    assert stats["pid"].tolist() == expected["pid"].tolist()
+    for col in ("rows", "null_lang", "null_content", "min_len", "max_len", "sum_len"):
+        assert stats[col].astype("int64").tolist() == expected[col].astype("int64").tolist(), col
+    pd.testing.assert_series_equal(
+        stats["mean_len"], expected["mean_len"], check_names=False, rtol=1e-12
+    )
+
+
+def test_hll_cardinality_within_tolerance(rollups, dirty_pdf):
+    """HLL estimate is approximate; verdicts use thresholds, so assert the
+    estimate tracks exact nunique within a conservative 15% (SURVEY §7.4)."""
+    stats, _ = rollups
+    expected = pid_stats(dirty_pdf).set_index("pid")["distinct_commit"]
+    for rec in stats.itertuples():
+        exact = int(expected[rec.pid])
+        assert abs(rec.approx_distinct_commit - exact) <= max(3, 0.15 * exact)
+
+
+def test_lang_hist_exact(rollups, dirty_pdf):
+    _, lang = rollups
+    got = {
+        (int(r.pid), r.lang if isinstance(r.lang, str) else None): int(r.rows)
+        for r in lang.itertuples()
+    }
+    exp = dirty_pdf.groupby(["pid", "lang"], dropna=False).size()
+    expected = {
+        (int(pid), lg if isinstance(lg, str) else None): int(n)
+        for (pid, lg), n in exp.items()
+    }
+    assert got == expected

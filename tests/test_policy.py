@@ -1,0 +1,59 @@
+"""Decision-matrix semantics — exact reference behavior
+(policy_engine.py:145-182, policy_config.yml:10-26)."""
+
+import pytest
+
+from bio_data_validation_spark.policy import Decision, decide, requires_review
+from bio_data_validation_spark.rules import load_registry
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_registry()
+
+
+@pytest.mark.parametrize(
+    "counts,expected",
+    [
+        ({"critical": 1, "error": 0, "warning": 0}, Decision.REJECTED),
+        ({"critical": 0, "error": 5, "warning": 0}, Decision.REJECTED),
+        ({"critical": 0, "error": 4, "warning": 0}, Decision.CONDITIONAL_ACCEPT),
+        ({"critical": 0, "error": 1, "warning": 0}, Decision.CONDITIONAL_ACCEPT),
+        ({"critical": 0, "error": 0, "warning": 5}, Decision.CONDITIONAL_ACCEPT),
+        ({"critical": 0, "error": 0, "warning": 4}, Decision.ACCEPTED),
+        ({"critical": 0, "error": 0, "warning": 0, "info": 99}, Decision.ACCEPTED),
+        ({}, Decision.ACCEPTED),
+    ],
+)
+def test_decision_matrix(registry, counts, expected):
+    assert decide(counts, registry.decision_matrix) is expected
+
+
+@pytest.mark.parametrize(
+    "counts,expected",
+    [
+        ({"critical": 1}, True),
+        ({"error": 3}, True),
+        ({"error": 2}, False),
+        ({"warning": 15}, True),
+        ({"warning": 14}, False),
+        ({}, False),
+    ],
+)
+def test_review_triggers(registry, counts, expected):
+    assert requires_review(counts, registry.review_triggers) is expected
+
+
+def test_registry_hash_and_version(registry, tmp_path):
+    assert registry.version == "1.0.0"
+    assert len(registry.ruleset_hash) == 16
+    # hash changes when content changes (reproducibility semantics,
+    # reference scripts/test_rule_versioning.py:128-176)
+    from bio_data_validation_spark.rules import load_registry as lr
+
+    p = tmp_path / "r.yml"
+    src = open(registry.path, "rb").read()
+    p.write_bytes(src)
+    assert lr(p).ruleset_hash == registry.ruleset_hash  # same content, same hash
+    p.write_bytes(src + b"\n# tweak\n")
+    assert lr(p).ruleset_hash != registry.ruleset_hash

@@ -1,0 +1,79 @@
+"""Checkpoint/resume: a killed run's completed partitions are skipped and the
+merged outputs are identical to an uninterrupted run (FIXTURES F5)."""
+
+import shutil
+from pathlib import Path
+
+import pandas as pd
+
+from bio_data_validation_spark.checkpoint import Ledger
+from bio_data_validation_spark.engine import run_validation
+from bio_data_validation_spark.rules import load_registry
+
+
+def _read_sorted(path: Path, cols: list[str]) -> pd.DataFrame:
+    df = pd.read_parquet(path)
+    return df.sort_values(cols).reset_index(drop=True)[sorted(df.columns)]
+
+
+def test_resume_skips_completed_and_outputs_match(spark, snapshot, tmp_path):
+    registry = load_registry()
+    full_out = tmp_path / "full"
+    res_out = tmp_path / "resumed"
+
+    full_rep = run_validation(
+        spark, snapshot["dirty"], str(full_out),
+        manifest_path=snapshot["manifest"], snapshot_id="dirty",
+    )
+    all_pids = full_rep["partitions_processed"]
+    done_pids = all_pids[: len(all_pids) // 2]
+
+    # Simulate a killed run: completed partitions have their violations +
+    # verdicts pid-directories and ledger rows on disk; the rest are missing.
+    ledger = Ledger(res_out / "ledger")
+    full_ledger = Ledger(full_out / "ledger").metrics()
+    ledger.append(
+        full_ledger[full_ledger["pid"].isin(done_pids)].to_dict("records")
+    )
+    for sub in ("violations", "verdicts"):
+        for pid in done_pids:
+            src = full_out / sub / f"pid={pid}"
+            if src.exists():
+                shutil.copytree(src, res_out / sub / f"pid={pid}")
+
+    res_rep = run_validation(
+        spark, snapshot["dirty"], str(res_out),
+        manifest_path=snapshot["manifest"], snapshot_id="dirty",
+    )
+
+    assert res_rep["resumed_skipped_pids"] == sorted(done_pids)
+    assert sorted(res_rep["partitions_processed"]) == sorted(
+        set(all_pids) - set(done_pids)
+    )
+
+    # Merged outputs identical to the uninterrupted run.
+    vcols = ["pid", "rule_id", "repo", "path", "commit"]
+    pd.testing.assert_frame_equal(
+        _read_sorted(full_out / "violations", vcols),
+        _read_sorted(res_out / "violations", vcols),
+    )
+    pd.testing.assert_frame_equal(
+        _read_sorted(full_out / "verdicts", ["pid", "rule_id"]),
+        _read_sorted(res_out / "verdicts", ["pid", "rule_id"]),
+    )
+    # Identical global decision; ledger covers all pids.
+    assert res_rep["final_decision"] == full_rep["final_decision"]
+    assert set(
+        Ledger(res_out / "ledger").completed_pids("dirty", registry.ruleset_hash)
+    ) == set(all_pids)
+
+    # A third run has nothing to do — but must still report the dataset's
+    # real decision from the on-disk verdicts (a no-op resume may not turn
+    # a red CI gate green).
+    rep3 = run_validation(
+        spark, snapshot["dirty"], str(res_out),
+        manifest_path=snapshot["manifest"], snapshot_id="dirty",
+    )
+    assert rep3.get("note") == "no partitions to process"
+    assert rep3["final_decision"] == full_rep["final_decision"] == "rejected"
+    assert rep3["exit_code"] == 1

@@ -1,0 +1,21 @@
+"""Per-row fidelity invariant (BASELINE.json input_hint): Spark's
+sha2(content, 256) must equal Python hashlib.sha256 row-for-row."""
+
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.sources import read_source
+
+from .oracle import sha256_series
+
+
+def test_content_sha256_row_fidelity(spark, snapshot, clean_pdf):
+    sdf = read_source(spark, snapshot["clean"]).select(
+        "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("sha")
+    )
+    got = sdf.toPandas().set_index(["repo", "path", "commit"])["sha"]
+    expected = clean_pdf.set_index(["repo", "path", "commit"])["content"].pipe(
+        lambda s: sha256_series(s)
+    )
+    joined = got.to_frame("spark").join(expected.to_frame("python"), how="outer")
+    assert len(joined) == len(clean_pdf)
+    assert (joined["spark"] == joined["python"]).all()

@@ -1,0 +1,38 @@
+"""chi2_sf against published chi-square table values (no scipy in image)."""
+
+import math
+
+import pytest
+
+from bio_data_validation_spark.engine.stats import chi2_sf, gammainc_upper_reg
+
+
+@pytest.mark.parametrize(
+    "x,k,expected",
+    [
+        (3.841, 1, 0.05004),  # classic 95% critical value, 1 dof
+        (5.991, 2, 0.05001),
+        (16.919, 9, 0.05000),
+        (2.706, 1, 0.09999),
+        (6.635, 1, 0.01004),
+        (23.209, 10, 0.01000),
+        (1.0, 1, 0.31731),
+        (10.0, 10, 0.44049),
+    ],
+)
+def test_chi2_sf_table(x, k, expected):
+    assert chi2_sf(x, k) == pytest.approx(expected, abs=5e-4)
+
+
+def test_chi2_sf_edges():
+    assert chi2_sf(0.0, 3) == 1.0
+    assert chi2_sf(-1.0, 3) == 1.0
+    assert chi2_sf(1e6, 3) < 1e-12
+    with pytest.raises(ValueError):
+        chi2_sf(1.0, 0)
+
+
+def test_gamma_q_known():
+    # Q(1, x) = exp(-x) exactly
+    for x in (0.1, 1.0, 5.0, 20.0):
+        assert gammainc_upper_reg(1.0, x) == pytest.approx(math.exp(-x), rel=1e-10)

@@ -1,0 +1,49 @@
+"""PASS-2 violation rows vs pandas oracle — exact (pid, rule_id) count parity,
+the correctness gate of BASELINE.json."""
+
+import pytest
+
+from bio_data_validation_spark.engine.violations import violation_counts, violation_pass
+from bio_data_validation_spark.rules import load_registry
+from bio_data_validation_spark.sources import read_manifest, read_source, with_pid
+
+from .oracle import violation_counts as oracle_counts
+
+
+@pytest.fixture(scope="module")
+def spark_counts(spark, snapshot):
+    registry = load_registry()
+    df = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
+    manifest = read_manifest(spark, snapshot["manifest"])
+    viols = violation_pass(df, registry, manifest)
+    return (
+        violation_counts(viols)
+        .toPandas()
+        .sort_values(["pid", "rule_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_violation_counts_exact(spark_counts, dirty_pdf, manifest_pdf):
+    expected = oracle_counts(dirty_pdf, manifest_pdf)
+    got = spark_counts[["pid", "rule_id", "violation_count"]].reset_index(drop=True)
+    exp_map = {(r.pid, r.rule_id): r.violation_count for r in expected.itertuples()}
+    got_map = {(r.pid, r.rule_id): r.violation_count for r in got.itertuples()}
+    assert got_map == exp_map
+
+
+def test_lineage_stamping(spark, snapshot):
+    registry = load_registry()
+    df = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
+    manifest = read_manifest(spark, snapshot["manifest"])
+    row = violation_pass(df, registry, manifest).limit(1).collect()[0]
+    assert row["rule_version"] == registry.version
+    assert row["ruleset_hash"] == registry.ruleset_hash
+    assert len(row["ruleset_hash"]) == 16
+
+
+def test_clean_snapshot_has_no_violations(spark, snapshot):
+    registry = load_registry()
+    df = with_pid(read_source(spark, snapshot["clean"]), registry.n_partitions)
+    manifest = read_manifest(spark, snapshot["manifest"])
+    assert violation_pass(df, registry, manifest).limit(1).count() == 0
