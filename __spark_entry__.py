@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the flagship fused-profile query; ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus the
+training-pipeline extras (dedup, similarity, text analysis), each paired with
+an ANSI-SQL DuckDB oracle where SQL can express it (Spark-only operators —
+MinHash LSH, SimHash, LSH ANN — get rows-only checks).
 """
 
 from __future__ import annotations
@@ -12,27 +12,37 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark import contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the fused per-group validation profile over documents —
+    the engine's signature pattern (ALL stats in ONE aggregation pass:
+    null rates, length stats, cardinality, token/quality metrics)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from bio_data_validation_spark.functions import text as T
+
+    nt = T.token_count(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("null_text"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_lang"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.approx_count_distinct("text").alias("approx_distinct_text"),
+        F.sum(nt).cast("long").alias("sum_tokens"),
+        F.round(F.avg(T.quality_score(F.col("text"), nt)), 6).alias("avg_quality"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (SURVEY.md §2 + pipeline extras)."""
+    return dict(contract.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """Equivalent DuckDB SQL for every SQL-expressible query."""
+    return dict(contract.ORACLES)

@@ -1,0 +1,164 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "...", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>, "rows_per_sec": ..., "cpus": ...}
+
+Headline: wall time of the FULL fused validation run (PASS 1 + drift +
+PASS 2 + verdicts + ledger) on the synthetic dirty source-code snapshot at
+the SF matching $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), on
+local[$SPARK_GRAFT_CPUS]. `rows_per_sec` is the BASELINE.json metric
+(validated files/sec through the fused constraint pass).
+
+`queries` times each contract operator on the driver testdata tables
+(noop-sink writes so nothing is collected). Quadratic text-pair operators are
+excluded from timing at bench scale (they are correctness-gated at sf0.01).
+
+--scaling runs the identical job at local[8] and local[32] and writes
+BENCH/BASELINE.md with throughput + scaling efficiency (BASELINE.json
+criterion: efficiency >= 0.8 between N and 4N cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+SKIP_AT_BENCH = {"ngram_jaccard", "minhash_lsh_candidates"}  # O(n^2) pair ops
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _ensure_snapshot(sf: float) -> dict[str, str]:
+    from bio_data_validation_spark.datagen import generate_snapshot
+
+    return generate_snapshot(sf, REPO / "data" / f"gen_sf{sf}")
+
+
+def _ensure_profile(spark, paths: dict[str, str], sf: float) -> str:
+    """Baseline profile from the clean snapshot (cached next to the data)."""
+    from bio_data_validation_spark.engine import run_validation
+
+    profile_dir = REPO / "data" / f"gen_sf{sf}" / "profile"
+    if not (profile_dir / "profile.json").exists():
+        scratch = REPO / "data" / f"gen_sf{sf}" / "_profile_run"
+        shutil.rmtree(scratch, ignore_errors=True)
+        run_validation(
+            spark, paths["clean"], str(scratch), manifest_path=paths["manifest"],
+            build_baseline=True, profile_dir=str(profile_dir),
+            snapshot_id=f"clean-sf{sf}", resume=False,
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+    return str(profile_dir)
+
+
+def run_fused_validation(spark, sf: float) -> dict:
+    """The headline job: full validation of the dirty snapshot, fresh run."""
+    from bio_data_validation_spark.engine import run_validation
+
+    paths = _ensure_snapshot(sf)
+    profile_dir = _ensure_profile(spark, paths, sf)
+    out = REPO / "data" / f"bench_out_sf{sf}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    report = run_validation(
+        spark, paths["dirty"], str(out), manifest_path=paths["manifest"],
+        profile_dir=profile_dir, snapshot_id=f"dirty-sf{sf}", resume=False,
+    )
+    elapsed = time.time() - t0
+    return {
+        "elapsed_sec": elapsed,
+        "rows": report["records_processed"],
+        "rows_per_sec": report["records_processed"] / elapsed,
+        "decision": report["final_decision"],
+    }
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from bio_data_validation_spark.contract import QUERIES
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        if name in SKIP_AT_BENCH:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def one_run(master: str, sf: float, sf_dir: str, with_queries: bool = True) -> dict:
+    from bio_data_validation_spark.session import get_spark
+
+    spark = get_spark(master, app_name=f"bench-{master}")
+    fused = run_fused_validation(spark, sf)
+    queries = time_queries(spark, sf_dir) if with_queries else {}
+    spark.stop()
+    return {"fused": fused, "queries": queries}
+
+
+def main() -> int:
+    sf = _sf_from_dir(SF_DIR)
+    if "--scaling" in sys.argv:
+        results = {}
+        for cores in (8, 32):
+            r = one_run(f"local[{cores}]", sf, SF_DIR, with_queries=False)
+            results[cores] = r["fused"]
+            print(f"# local[{cores}]: {r['fused']['rows_per_sec']:.0f} rows/s "
+                  f"({r['fused']['elapsed_sec']:.1f}s)", file=sys.stderr)
+        eff = (results[32]["rows_per_sec"] / results[8]["rows_per_sec"]) / 4.0
+        md = REPO / "BENCH" / "BASELINE.md"
+        md.parent.mkdir(exist_ok=True)
+        md.write_text(
+            "# BENCH/BASELINE — measured engine throughput & scaling\n\n"
+            f"Dataset: synthetic dirty source-code snapshot, sf={sf} "
+            f"({results[32]['rows']} rows), full fused validation run\n"
+            "(PASS 1 stats + drift + PASS 2 violations + verdicts + ledger).\n\n"
+            "| parallelism | elapsed (s) | rows/sec |\n|---|---|---|\n"
+            f"| local[8] (N) | {results[8]['elapsed_sec']:.2f} | {results[8]['rows_per_sec']:.0f} |\n"
+            f"| local[32] (4N) | {results[32]['elapsed_sec']:.2f} | {results[32]['rows_per_sec']:.0f} |\n\n"
+            f"**Scaling efficiency (T_N/T_4N)/4 = {eff:.3f}** "
+            f"(BASELINE.json criterion: >= 0.8).\n\n"
+            "Identical per-partition verdicts at both parallelism levels "
+            "(pid = crc32(repo) % 64 is cluster-size independent).\n"
+        )
+        print(json.dumps({"sf": sf, "scaling_efficiency": round(eff, 3),
+                          "rows_per_sec": {k: round(v["rows_per_sec"]) for k, v in results.items()}}))
+        return 0
+
+    r = one_run(f"local[{CPUS}]", sf, SF_DIR)
+    fused = r["fused"]
+    print(
+        json.dumps(
+            {
+                "metric": "fused validation pass wall time (dirty synthetic snapshot)",
+                "value": round(fused["elapsed_sec"], 3),
+                "unit": "sec",
+                "queries": r["queries"],
+                "sf": sf,
+                "rows": fused["rows"],
+                "rows_per_sec": round(fused["rows_per_sec"], 1),
+                "cpus": CPUS,
+                "decision": fused["decision"],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, str(REPO))
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""spark-submit entry point.
+
+Usage (cluster):
+    spark-submit --py-files bio_data_validation_spark.zip \
+        -m bio_data_validation_spark.cli validate \
+        --source <path-or-iceberg-table> --source-format parquet|iceberg \
+        --manifest <repo_manifest.parquet> --rules <rules.yml> \
+        --out <warehouse-dir> [--profile <profile-dir>] [--build-baseline] \
+        [--snapshot-id ID] [--no-resume]
+
+Local: ``python -m bio_data_validation_spark.cli validate ...``
+
+Exit code mirrors the reference CI gate (check_status.py:39-45):
+0 = accepted/conditional everywhere, 1 = any rejection or critical failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .engine import run_validation
+from .session import get_spark
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bio_data_validation_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run the validation pipeline")
+    v.add_argument("--source", required=True, help="source table path or Iceberg table name")
+    v.add_argument("--source-format", default="parquet", choices=["parquet", "iceberg"])
+    v.add_argument("--manifest", default=None, help="repo_manifest parquet path")
+    v.add_argument("--rules", default=None, help="rule registry YAML (default: bundled v1.0.0)")
+    v.add_argument("--out", required=True, help="output warehouse directory")
+    v.add_argument("--profile", default=None, help="baseline profile dir (enables drift rules)")
+    v.add_argument("--build-baseline", action="store_true", help="persist this run's profile")
+    v.add_argument("--snapshot-id", default=None)
+    v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--master", default=None, help="spark master override (e.g. local[8])")
+
+    g = sub.add_parser("datagen", help="generate the synthetic snapshot")
+    g.add_argument("--sf", type=float, required=True)
+    g.add_argument("--out", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.cmd == "datagen":
+        from .datagen import generate_snapshot
+
+        paths = generate_snapshot(args.sf, args.out)
+        print(json.dumps(paths))
+        return 0
+
+    spark = get_spark(master=args.master, app_name="bio_data_validation_spark.validate")
+    report = run_validation(
+        spark,
+        source_path=args.source,
+        out_dir=args.out,
+        manifest_path=args.manifest,
+        registry_path=args.rules,
+        profile_dir=args.profile,
+        build_baseline=args.build_baseline,
+        snapshot_id=args.snapshot_id,
+        resume=not args.no_resume,
+        source_format=args.source_format,
+    )
+    print(
+        json.dumps(
+            {
+                "final_decision": report.get("final_decision"),
+                "severity_counts": report.get("severity_counts"),
+                "failed_rules": report.get("failed_rules"),
+                "records_processed": report.get("records_processed"),
+                "rows_per_sec": report.get("rows_per_sec"),
+                "exit_code": report.get("exit_code"),
+            },
+            default=str,
+        )
+    )
+    return int(report.get("exit_code", 1))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

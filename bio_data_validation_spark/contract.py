@@ -1,0 +1,846 @@
+"""Query contract: every implemented operator as a (Spark callable, oracle SQL)
+pair over the driver testdata tables.
+
+Each entry maps one operator family from SURVEY.md §2 (or a training-pipeline
+extra) onto the testdata star schema. Spark implementations are DataFrame-API
+first (Catalyst/codegen); the oracle SQL is ANSI SQL for DuckDB with
+IDENTICAL column names and value semantics (floats rounded the same way on
+both sides so value hashes match).
+
+Parity discipline:
+  - counts: F.count(...) ↔ count(*) FILTER / CAST(... AS BIGINT) — never raw
+    duckdb sum(int) (it yields HUGEINT).
+  - floats: round(x, N) on BOTH sides, after identical arithmetic.
+  - regex: Spark regexp_replace is global; duckdb needs the 'g' flag.
+  - buckets: integer-exact definitions (decimal-digit buckets) so engines
+    can't disagree on boundaries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .functions.dedup import exact_duplicates, ngram_jaccard_pairs
+from .functions.similarity import cosine
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# §2.2/§2.3 — schema & rule-engine family (null rates, types, ranges, dup,
+# uniqueness, referential integrity, custom expressions)
+# --------------------------------------------------------------------------
+
+def q_null_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIAS_002 null-rate per column (rule_validator.py:375-388)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("null_text"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_lang"),
+        F.count(F.when(F.col("source").isNull(), 1)).alias("null_source"),
+        F.round(
+            F.count(F.when(F.col("lang").isNull(), 1)) / F.count(F.lit(1)), 6
+        ).alias("null_frac_lang"),
+    )
+
+
+SQL_NULL_RATE_PROFILE = """
+SELECT count(*) AS n_rows,
+       count(*) FILTER (text IS NULL) AS null_text,
+       count(*) FILTER (lang IS NULL) AS null_lang,
+       count(*) FILTER (source IS NULL) AS null_source,
+       round(count(*) FILTER (lang IS NULL) / CAST(count(*) AS DOUBLE), 6) AS null_frac_lang
+FROM documents
+"""
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range metadata block (matrix_validator.py:194-206)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)).cast("double"), 6).alias("median_chars"),
+        F.countDistinct("lang").alias("distinct_lang"),
+    )
+
+
+SQL_COLUMN_STATS = """
+SELECT count(*) AS n_rows,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 6) AS median_chars,
+       count(DISTINCT lang) AS distinct_lang
+FROM documents
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution histogram, integer-exact decimal-digit buckets
+    (BIAS_001B quartile-binning twin, rule_validator.py:355-371)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.length(F.col("n_chars").cast("string")).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(length(CAST(n_chars AS VARCHAR)) AS INTEGER) AS bucket, count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUP_002 key uniqueness (rule_validator.py:273-286)."""
+    d = _t(spark, sf_dir, "documents")
+    per_key = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("distinct_ids"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).cast("long").alias("dup_rows"),
+    )
+
+
+SQL_UNIQUENESS = """
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       count(*) AS distinct_ids,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_rows
+FROM (SELECT doc_id, count(*) AS n FROM documents GROUP BY doc_id)
+"""
+
+
+def q_duplicate_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUP_003 duplicate content via sha256 (rule_validator.py:292-305)."""
+    d = _t(spark, sf_dir, "documents")
+    groups = exact_duplicates(d, "text", "doc_id")
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_dup_groups"),
+        F.coalesce(F.sum("group_size"), F.lit(0)).cast("long").alias("n_dup_rows"),
+    )
+
+
+SQL_DUPLICATE_TEXTS = """
+SELECT count(*) AS n_dup_groups,
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_rows
+FROM (SELECT sha256(text) AS sha, count(*) AS n FROM documents
+      WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1)
+"""
+
+
+def q_referential_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOOKUP_001 referential integrity via broadcast anti-join
+    (bio_lookups.py:745-764)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    orphans = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+    return orphans.agg(
+        F.count(F.lit(1)).alias("n_orphan_orders"),
+        F.countDistinct("o_custkey").alias("n_orphan_custkeys"),
+    )
+
+
+SQL_REFERENTIAL_ORDERS = """
+SELECT count(*) AS n_orphan_orders,
+       count(DISTINCT o_custkey) AS n_orphan_custkeys
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIAS_001 class histogram (rule_validator.py:332-352)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_LANG_HISTOGRAM = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+def q_class_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    counts = d.filter(F.col("lang").isNotNull()).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(F.min("n") / F.sum("n").cast("double"), 6).alias("min_class_frac"),
+    )
+
+
+SQL_CLASS_IMBALANCE = """
+SELECT count(*) AS n_classes,
+       round(min(n) / CAST(sum(n) AS DOUBLE), 6) AS min_class_frac
+FROM (SELECT lang, count(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+"""
+
+
+def q_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONS_003/004 value-range rule counts fused in ONE agg
+    (rule_validator.py:202-229)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.when(F.col("l_quantity") < 1, 1)).alias("n_qty_low"),
+        F.count(F.when(F.col("l_quantity") > 50, 1)).alias("n_qty_high"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+        ).alias("n_disc_oor"),
+        F.count(F.when(F.col("l_tax") < 0, 1)).alias("n_tax_neg"),
+        F.count(F.when(F.col("l_extendedprice") <= 0, 1)).alias("n_price_nonpos"),
+    )
+
+
+SQL_RANGE_VIOLATIONS = """
+SELECT count(*) FILTER (l_quantity < 1) AS n_qty_low,
+       count(*) FILTER (l_quantity > 50) AS n_qty_high,
+       count(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS n_disc_oor,
+       count(*) FILTER (l_tax < 0) AS n_tax_neg,
+       count(*) FILTER (l_extendedprice <= 0) AS n_price_nonpos
+FROM lineitem
+"""
+
+
+def q_cross_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONS_005 cross-column predicate (rule_validator.py:231-250)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.when(F.col("l_discount") > F.col("l_tax"), 1)).alias("n_disc_gt_tax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_CROSS_COLUMN = """
+SELECT count(*) FILTER (l_discount > l_tax) AS n_disc_gt_tax,
+       count(*) AS n_rows
+FROM lineitem
+"""
+
+
+def q_custom_expr_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM_xxx expression rule — Spark SQL as the rule language
+    (rule_validator.py:409-436)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(~F.expr("value >= 0 OR event_type = 'refund'"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+
+
+SQL_CUSTOM_EXPR_RULE = """
+SELECT event_type, count(*) AS n_violations
+FROM events WHERE NOT (value >= 0 OR event_type = 'refund')
+GROUP BY event_type
+"""
+
+
+def q_null_rate_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch missingness (sample_metadata_validator.py:544-585)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_lang"),
+        F.round(F.count(F.when(F.col("lang").isNull(), 1)) / F.count(F.lit(1)), 6).alias(
+            "null_frac"
+        ),
+    )
+
+
+SQL_NULL_RATE_BY_GROUP = """
+SELECT source, count(*) AS n,
+       count(*) FILTER (lang IS NULL) AS null_lang,
+       round(count(*) FILTER (lang IS NULL) / CAST(count(*) AS DOUBLE), 6) AS null_frac
+FROM documents GROUP BY source
+"""
+
+
+def q_batch_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-imbalance ratio (sample_metadata_validator.py:444-484)."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"),
+        F.round(F.max("n") / F.min("n").cast("double"), 6).alias("imbalance_ratio"),
+    )
+
+
+SQL_BATCH_IMBALANCE = """
+SELECT max(n) AS max_n, min(n) AS min_n,
+       round(max(n) / CAST(min(n) AS DOUBLE), 6) AS imbalance_ratio
+FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+"""
+
+
+def q_duplicate_full_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUP_001 full-row duplicates (rule_validator.py:260-271)."""
+    d = _t(spark, sf_dir, "documents")
+    per_row = d.groupBy("doc_id", "text", "lang", "source", "n_chars").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_row.agg(
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).cast("long").alias("n_dup_rows")
+    )
+
+
+SQL_DUPLICATE_FULL_ROWS = """
+SELECT CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows
+FROM (SELECT doc_id, text, lang, source, n_chars, count(*) AS n
+      FROM documents GROUP BY ALL)
+"""
+
+
+def q_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column cardinality (the engine's HLL twin, exact here for
+    oracle parity; SURVEY §2.12)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct("doc_id").alias("distinct_doc_id"),
+        F.countDistinct("text").alias("distinct_text"),
+        F.countDistinct("lang").alias("distinct_lang"),
+        F.countDistinct("source").alias("distinct_source"),
+    )
+
+
+SQL_CARDINALITY_PROFILE = """
+SELECT count(DISTINCT doc_id) AS distinct_doc_id,
+       count(DISTINCT text) AS distinct_text,
+       count(DISTINCT lang) AS distinct_lang,
+       count(DISTINCT source) AS distinct_source
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 — matrix-statistics family (moments, outliers, negatives)
+# --------------------------------------------------------------------------
+
+def q_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIAS_003 skewness (rule_validator.py:391-405) — moment formula written
+    out explicitly on both sides (engines' built-in skewness definitions
+    differ, g1 vs G1)."""
+    e = _t(spark, sf_dir, "events")
+    mu = e.agg(F.avg("value").alias("mu"))
+    return (
+        e.crossJoin(F.broadcast(mu))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("mu"), 6).alias("mean_value"),
+            F.round(
+                (F.sum(F.pow(F.col("value") - F.col("mu"), 3)) / F.count(F.lit(1)))
+                / F.pow(
+                    F.sum(F.pow(F.col("value") - F.col("mu"), 2)) / F.count(F.lit(1)), 1.5
+                ),
+                6,
+            ).alias("skewness_g1"),
+        )
+    )
+
+
+SQL_SKEWNESS = """
+SELECT count(*) AS n,
+       round(any_value(mu), 6) AS mean_value,
+       round((sum(pow(value - mu, 3)) / count(*))
+             / pow(sum(pow(value - mu, 2)) / count(*), 1.5), 6) AS skewness_g1
+FROM events, (SELECT avg(value) AS mu FROM events) t
+"""
+
+
+def q_outliers_5sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global outlier count mean±5σ, two-phase (matrix_validator.py:537-563)."""
+    e = _t(spark, sf_dir, "events")
+    stats = e.agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    return (
+        e.crossJoin(F.broadcast(stats))
+        .agg(
+            F.count(F.when(F.abs(F.col("value") - F.col("mu")) > 5 * F.col("sigma"), 1)).alias(
+                "n_outliers"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_OUTLIERS_5SIGMA = """
+SELECT count(*) FILTER (abs(value - mu) > 5 * sigma) AS n_outliers,
+       count(*) AS n_rows
+FROM events, (SELECT avg(value) AS mu, stddev_pop(value) AS sigma FROM events) t
+"""
+
+
+def q_negative_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative/NaN value counts (matrix_validator.py:373-408)."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.count(F.when(F.isnan("value"), 1)).alias("n_nan"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
+    )
+
+
+SQL_NEGATIVE_VALUES = """
+SELECT count(*) FILTER (value < 0) AS n_negative,
+       count(*) FILTER (isnan(value)) AS n_nan,
+       count(*) FILTER (value IS NULL) AS n_null
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.12 — drift checks (chi-square, binned KS) per group vs global
+# --------------------------------------------------------------------------
+
+def q_chi_square_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift statistic of each source's lang histogram vs the
+    global distribution (DRIFT_LANG twin over driver tables)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    obs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("s_n"))
+    glob = d.groupBy("lang").agg(F.count(F.lit(1)).alias("g_n"))
+    total = d.count()
+    grid = src.crossJoin(glob)
+    return (
+        grid.join(obs, ["source", "lang"], "left")
+        .withColumn("o", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn("e", F.col("s_n") * F.col("g_n") / F.lit(float(total)))
+        .groupBy("source")
+        .agg(F.round(F.sum(F.pow(F.col("o") - F.col("e"), 2) / F.col("e")), 6).alias("chi2"))
+    )
+
+
+SQL_CHI_SQUARE_LANG_BY_SOURCE = """
+WITH d AS (SELECT source, lang FROM documents WHERE lang IS NOT NULL),
+     obs AS (SELECT source, lang, count(*) AS n FROM d GROUP BY 1, 2),
+     src AS (SELECT source, count(*) AS s_n FROM d GROUP BY 1),
+     gl AS (SELECT lang, count(*) AS g_n FROM d GROUP BY 1),
+     tot AS (SELECT count(*) AS t FROM d)
+SELECT src.source,
+       round(sum(pow(coalesce(obs.n, 0) - (src.s_n * gl.g_n / CAST(tot.t AS DOUBLE)), 2)
+                 / (src.s_n * gl.g_n / CAST(tot.t AS DOUBLE))), 6) AS chi2
+FROM src CROSS JOIN gl CROSS JOIN tot
+LEFT JOIN obs ON obs.source = src.source AND obs.lang = gl.lang
+GROUP BY src.source
+"""
+
+
+def q_ks_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS of each source's length distribution vs global
+    (DRIFT_LEN twin; integer-exact digit buckets)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.length(F.col("n_chars").cast("string")).cast("int").alias("bucket")
+    )
+    obs = d.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("o_n"))
+    glob = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("g_n"))
+    g_total = d.count()
+    sources = d.select("source").distinct()
+    grid = sources.crossJoin(glob)
+    j = (
+        grid.join(obs, ["source", "bucket"], "left")
+        .withColumn("o_n", F.coalesce(F.col("o_n"), F.lit(0)))
+    )
+    s_tot = j.groupBy("source").agg(F.sum("o_n").alias("s_total"))
+    w = Window.partitionBy("source").orderBy("bucket")
+    return (
+        j.join(s_tot, "source")
+        .withColumn("ocdf", F.sum("o_n").over(w) / F.col("s_total").cast("double"))
+        .withColumn("gcdf", F.sum("g_n").over(w) / F.lit(float(g_total)))
+        .groupBy("source")
+        .agg(F.round(F.max(F.abs(F.col("ocdf") - F.col("gcdf"))), 6).alias("ks"))
+    )
+
+
+SQL_KS_LENGTH_BY_SOURCE = """
+WITH b AS (SELECT source, CAST(length(CAST(n_chars AS VARCHAR)) AS INTEGER) AS bucket
+           FROM documents),
+     obs AS (SELECT source, bucket, count(*) AS o_n FROM b GROUP BY 1, 2),
+     gl AS (SELECT bucket, count(*) AS g_n FROM b GROUP BY 1),
+     gt AS (SELECT count(*) AS g_total FROM b),
+     grid AS (SELECT s.source, g.bucket, g.g_n
+              FROM (SELECT DISTINCT source FROM b) s CROSS JOIN gl g),
+     j AS (SELECT grid.source, grid.bucket, coalesce(obs.o_n, 0) AS o_n, grid.g_n
+           FROM grid LEFT JOIN obs ON obs.source = grid.source AND obs.bucket = grid.bucket),
+     st AS (SELECT source, sum(o_n) AS s_total FROM j GROUP BY source),
+     c AS (SELECT j.source,
+                  sum(j.o_n) OVER (PARTITION BY j.source ORDER BY j.bucket)
+                      / CAST(st.s_total AS DOUBLE) AS ocdf,
+                  sum(j.g_n) OVER (PARTITION BY j.source ORDER BY j.bucket)
+                      / CAST((SELECT g_total FROM gt) AS DOUBLE) AS gcdf
+           FROM j JOIN st ON st.source = j.source)
+SELECT source, round(max(abs(ocdf - gcdf)), 6) AS ks FROM c GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (training-pipeline extras over documents)
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    nt = T.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nt).cast("long").alias("sum_tokens"),
+        F.round(F.avg(nt), 6).alias("avg_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+WITH t AS (SELECT lang,
+                  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+           FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       round(avg(nt), 6) AS avg_tokens
+FROM t GROUP BY lang
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    score = T.quality_score(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(score), 6).alias("avg_quality"),
+    )
+
+
+SQL_QUALITY_SCORES = r"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) END AS p,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) END AS dg
+  FROM documents),
+ s AS (SELECT lang,
+              greatest(0.0, least(1.0, least(1.0, nt / 20.0) - 0.5 * p - 0.5 * dg)) AS q
+       FROM t)
+SELECT lang, count(*) AS n_docs, round(avg(q), 6) AS avg_quality FROM s GROUP BY lang
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.lang_id_en(F.col("text"))).cast("long").alias("n_pred_en"),
+    )
+
+
+SQL_LANG_ID = r"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+FROM documents GROUP BY lang
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = T.fingerprint(F.col("text"))
+    per_fp = d.filter(F.col("text").isNotNull()).groupBy(fp.alias("fp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_fp.agg(
+        F.count(F.lit(1)).alias("distinct_fp"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).cast("long").alias("dup_rows"),
+    )
+
+
+SQL_FINGERPRINTS = r"""
+WITH f AS (SELECT substr(sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 12) AS fp
+           FROM documents WHERE text IS NOT NULL),
+     g AS (SELECT fp, count(*) AS n FROM f GROUP BY fp)
+SELECT count(*) AS distinct_fp,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_rows
+FROM g
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (postings self-join)."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+              FROM documents WHERE text IS NOT NULL),
+     toks2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+     sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks2 GROUP BY doc_id),
+     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+               FROM toks2 a JOIN toks2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(i / CAST(sa.n_tok + sb.n_tok - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / CAST(sa.n_tok + sb.n_tok - i AS DOUBLE) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def q_cosine_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine similarity vs the vec_id=0 query vector; threshold
+    set (not top-k) so float noise can't change the result membership."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+SQL_COSINE_SIMS = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 4) AS cos
+FROM embeddings, q
+WHERE round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 4) >= 0.3
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(l2_norm(F.col("embedding"))), 6).alias("avg_norm"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# Windowed aggregation over the event stream (batch twin of streaming)
+# --------------------------------------------------------------------------
+
+def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_TUMBLING_EVENTS = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# General analytics (TPC-H-style) — capability proof for grouped aggregation,
+# broadcast join, selective filter pushdown
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+def q_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+SQL_ACCTBAL_BY_NATION = """
+SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Spark-only operators (no SQL-expressible oracle → rows-only driver check)
+# --------------------------------------------------------------------------
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "text", "doc_id", num_hashes=32, bands=8)
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return lsh_topk(e, list(qvec), k=10, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "null_rate_profile": q_null_rate_profile,
+    "column_stats": q_column_stats,
+    "length_histogram": q_length_histogram,
+    "uniqueness": q_uniqueness,
+    "duplicate_texts": q_duplicate_texts,
+    "referential_orders": q_referential_orders,
+    "lang_histogram": q_lang_histogram,
+    "class_imbalance": q_class_imbalance,
+    "range_violations": q_range_violations,
+    "cross_column": q_cross_column,
+    "custom_expr_rule": q_custom_expr_rule,
+    "null_rate_by_group": q_null_rate_by_group,
+    "batch_imbalance": q_batch_imbalance,
+    "duplicate_full_rows": q_duplicate_full_rows,
+    "cardinality_profile": q_cardinality_profile,
+    "skewness": q_skewness,
+    "outliers_5sigma": q_outliers_5sigma,
+    "negative_values": q_negative_values,
+    "chi_square_lang_by_source": q_chi_square_lang_by_source,
+    "ks_length_by_source": q_ks_length_by_source,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_sims": q_cosine_sims,
+    "embedding_norms": q_embedding_norms,
+    "tumbling_events": q_tumbling_events,
+    "pricing_summary": q_pricing_summary,
+    "order_priority": q_order_priority,
+    "acctbal_by_nation": q_acctbal_by_nation,
+    # Spark-only (rows-only correctness check):
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "simhash_signatures": q_simhash_signatures,
+    "lsh_topk": q_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "null_rate_profile": SQL_NULL_RATE_PROFILE,
+    "column_stats": SQL_COLUMN_STATS,
+    "length_histogram": SQL_LENGTH_HISTOGRAM,
+    "uniqueness": SQL_UNIQUENESS,
+    "duplicate_texts": SQL_DUPLICATE_TEXTS,
+    "referential_orders": SQL_REFERENTIAL_ORDERS,
+    "lang_histogram": SQL_LANG_HISTOGRAM,
+    "class_imbalance": SQL_CLASS_IMBALANCE,
+    "range_violations": SQL_RANGE_VIOLATIONS,
+    "cross_column": SQL_CROSS_COLUMN,
+    "custom_expr_rule": SQL_CUSTOM_EXPR_RULE,
+    "null_rate_by_group": SQL_NULL_RATE_BY_GROUP,
+    "batch_imbalance": SQL_BATCH_IMBALANCE,
+    "duplicate_full_rows": SQL_DUPLICATE_FULL_ROWS,
+    "cardinality_profile": SQL_CARDINALITY_PROFILE,
+    "skewness": SQL_SKEWNESS,
+    "outliers_5sigma": SQL_OUTLIERS_5SIGMA,
+    "negative_values": SQL_NEGATIVE_VALUES,
+    "chi_square_lang_by_source": SQL_CHI_SQUARE_LANG_BY_SOURCE,
+    "ks_length_by_source": SQL_KS_LENGTH_BY_SOURCE,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id": SQL_LANG_ID,
+    "fingerprints": SQL_FINGERPRINTS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "cosine_sims": SQL_COSINE_SIMS,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+    "tumbling_events": SQL_TUMBLING_EVENTS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "order_priority": SQL_ORDER_PRIORITY,
+    "acctbal_by_nation": SQL_ACCTBAL_BY_NATION,
+}

@@ -1,0 +1,10 @@
+"""Column-level function library: text analysis, dedup, similarity search.
+
+Everything here is built from `pyspark.sql.functions` (JVM-side, codegen'd)
+unless the semantics genuinely require an Arrow-batched pandas UDF. These are
+the training-data-pipeline operators that complement the validation engine
+(dedup, quality scoring, language id, ANN search) — first-class components
+at 100 TB scale.
+"""
+
+from . import dedup, similarity, text  # noqa: F401

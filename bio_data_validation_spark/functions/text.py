@@ -1,0 +1,83 @@
+"""Text-analysis column functions: token counting, quality scoring,
+language-ID heuristics, fingerprinting.
+
+All pure Column expressions (whole-stage codegen; no Python in the hot path).
+Reference precedent for the *shape* of these scalar checks: the reference's
+vectorized string rules (bio_rules.py:118-262) — e.g. its GC-content check is
+re-expressed here as the same length-of-regexp-replace trick it lacked
+(bio_rules.py:216-227 used a row-wise .apply)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny stopword set shared with the oracle SQL (keep in sync).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/null-trimmed text."""
+    trimmed = F.trim(text)
+    return F.when(
+        text.isNull() | (F.length(trimmed) == 0), F.lit(0).cast("long")
+    ).otherwise(F.size(F.split(trimmed, r"\s+")).cast("long"))
+
+
+def char_class_ratio(text: Column, pattern: str) -> Column:
+    """Fraction of characters matching a regex char class — computed as
+    (len - len(regexp_replace(text, pattern, ''))) / len, the codegen-friendly
+    idiom (cf. reference GC-content, bio_rules.py:312-319)."""
+    n = F.length(text)
+    removed = F.length(F.regexp_replace(text, pattern, ""))
+    return F.when(text.isNull() | (n == 0), F.lit(None).cast("double")).otherwise(
+        (n - removed).cast("double") / n.cast("double")
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    return char_class_ratio(text, r"[.,!?;:]")
+
+
+def digit_ratio(text: Column) -> Column:
+    return char_class_ratio(text, r"[0-9]")
+
+
+def stopword_count(text: Column) -> Column:
+    """Occurrences of the shared stopword set as whole words (lowercased)."""
+    pattern = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    lowered = F.lower(text)
+    # count = (len - len(text with stopwords removed)) impossible for words;
+    # use regexp_count (Spark 3.5+), exact and codegen'd.
+    return F.when(text.isNull(), F.lit(None).cast("long")).otherwise(
+        F.regexp_count(lowered, F.lit(pattern)).cast("long")
+    )
+
+
+def quality_score(text: Column, n_tokens: Column | None = None) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards moderate length,
+    penalizes punctuation/digit density. Weights are fixed so the DuckDB
+    oracle can reproduce bit-identical logic."""
+    nt = n_tokens if n_tokens is not None else token_count(text)
+    len_score = F.least(F.lit(1.0), nt.cast("double") / F.lit(20.0))
+    p = F.coalesce(punct_ratio(text), F.lit(0.0))
+    d = F.coalesce(digit_ratio(text), F.lit(0.0))
+    raw = len_score - F.lit(0.5) * p - F.lit(0.5) * d
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
+
+
+def lang_id_en(text: Column) -> Column:
+    """N-gram language-ID heuristic: flags English when common English
+    function words appear as whole words. Deterministic + SQL-portable."""
+    pattern = r"\b(the|and|of|to|is)\b"
+    return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
+        (F.regexp_count(F.lower(text), F.lit(pattern)) > 0).cast("int")
+    )
+
+
+def fingerprint(text: Column, prefix_len: int = 12) -> Column:
+    """Document fingerprint: sha256 prefix of the whitespace-normalized,
+    lowercased text — a deterministic rolling-hash stand-in that is
+    bit-identical across engines."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.substring(F.sha2(normalized, 256), 1, prefix_len)

@@ -1,0 +1,100 @@
+"""Differential checker: run every contract query on Spark AND its oracle SQL
+on DuckDB, compare row count + column names + order-insensitive values.
+
+Usage: python scripts/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from bio_data_validation_spark.contract import ORACLES, QUERIES
+from bio_data_validation_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(f"columns: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}")
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"rows: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
+                exact = (av.astype(float).values == bv.astype(float).values) | (
+                    av.isna().values & bv.isna().values
+                )
+                if not exact.all():
+                    bad = (~exact).sum()
+                    problems.append(f"col {c}: {bad} value mismatches (float, exact compare)")
+            else:
+                eq = (av.values == bv.values) | (av.isna().values & bv.isna().values)
+                if not eq.all():
+                    problems.append(f"col {c}: {(~eq).sum()} value mismatches")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("local[8]", shuffle_partitions=8, app_name="check_contract")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        sql = ORACLES.get(name)
+        if sql is None:
+            print(f"ok   {name}: rows={len(spark_pdf)} (spark-only, rows-only check)")
+            continue
+        try:
+            oracle_pdf = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle raised {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, oracle_pdf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"ok   {name}: rows={len(spark_pdf)} match")
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
