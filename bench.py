@@ -35,11 +35,10 @@ SKIP_AT_BENCH = {"ngram_jaccard", "minhash_lsh_candidates"}  # O(n^2) pair ops
 
 
 def _sf_from_dir(sf_dir: str) -> float:
-    name = Path(sf_dir).name
-    try:
-        return float(name.replace("sf", ""))
-    except ValueError:
-        return 0.1
+    import re
+
+    m = re.search(r"sf([0-9.]+)$", Path(sf_dir).name)
+    return float(m.group(1)) if m else 0.1
 
 
 def _ensure_snapshot(sf: float) -> dict[str, str]:

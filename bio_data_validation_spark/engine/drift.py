@@ -56,6 +56,31 @@ def build_profile(
     )
 
 
+def build_profile_pdf(
+    lang_hist: pd.DataFrame, len_hist: pd.DataFrame, registry: Registry,
+    out_dir: str | Path, snapshot_id: str = "",
+) -> None:
+    """Same as :func:`build_profile` but from already-collected pandas
+    histograms (the runner's driver-side rollups)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    lang_pdf = lang_hist.groupby("lang", dropna=False)["rows"].sum().reset_index()
+    lang_pdf = lang_pdf[lang_pdf["lang"].notna()]
+    len_pdf = len_hist.groupby("len_bucket")["rows"].sum().reset_index()
+    lang_pdf.to_parquet(out / "lang_hist.parquet", index=False)
+    len_pdf.to_parquet(out / "len_hist.parquet", index=False)
+    (out / "profile.json").write_text(
+        json.dumps(
+            {
+                "snapshot_id": snapshot_id,
+                "ruleset_hash": registry.ruleset_hash,
+                "rule_version": registry.version,
+                "length_hist_bins": registry.length_hist_bins,
+            }
+        )
+    )
+
+
 def load_profile(profile_dir: str | Path) -> dict:
     out = Path(profile_dir)
     return {
@@ -144,6 +169,53 @@ def evaluate_len_drift(len_hist: DataFrame, baseline_len: pd.DataFrame) -> pd.Da
     )
 
 
+# ----------------------------------------------- combined single-job drift
+def evaluate_drift_combined(
+    lang_hist: DataFrame, len_hist: DataFrame, profile: dict
+) -> pd.DataFrame:
+    """Both drift statistics in ONE grouped applyInPandas job: the two
+    histograms are unioned with a ``kind`` tag, so each pid's chi-square and
+    binned-KS are computed from a single small pandas frame (halves the
+    Python-worker job count vs separate passes)."""
+    from pyspark.sql import functions as F
+
+    base_lang = {str(r.lang): int(r.rows) for r in profile["lang"].itertuples()}
+    base_len = {int(r.len_bucket): int(r.rows) for r in profile["len"].itertuples()}
+
+    u = lang_hist.select(
+        "pid", F.lit("lang").alias("kind"), F.col("lang").cast("string").alias("key"), "rows"
+    ).unionByName(
+        len_hist.select(
+            "pid", F.lit("len").alias("kind"), F.col("len_bucket").cast("string").alias("key"),
+            "rows",
+        )
+    )
+
+    def per_pid(pdf: pd.DataFrame) -> pd.DataFrame:
+        lang_pdf = pdf[(pdf["kind"] == "lang") & pdf["key"].notna()]
+        observed_lang = dict(zip(lang_pdf["key"].astype(str), lang_pdf["rows"].astype(int)))
+        stat, dof = chi_square_stat(observed_lang, base_lang)
+        len_pdf = pdf[pdf["kind"] == "len"]
+        observed_len = dict(zip(len_pdf["key"].astype(int), len_pdf["rows"].astype(int)))
+        return pd.DataFrame(
+            {
+                "pid": [int(pdf["pid"].iloc[0])],
+                "statistic": [stat],
+                "dof": [dof],
+                "p_value": [chi2_sf(stat, dof)],
+                "d_stat": [ks_binned_stat(observed_len, base_len)],
+            }
+        )
+
+    return (
+        u.groupBy("pid")
+        .applyInPandas(
+            per_pid, schema="pid int, statistic double, dof int, p_value double, d_stat double"
+        )
+        .toPandas()
+    )
+
+
 # ------------------------------------------------------------ rule results
 def drift_rule_results(
     lang_hist: DataFrame,
@@ -153,39 +225,38 @@ def drift_rule_results(
 ) -> pd.DataFrame:
     """Evaluate configured drift rules → rows
     (pid, rule_id, severity, statistic, threshold, passed)."""
+    if not registry.drift_rules:
+        return pd.DataFrame(
+            columns=["pid", "rule_id", "severity", "statistic", "threshold", "passed"]
+        )
+    combined = evaluate_drift_combined(lang_hist, len_hist, profile)
     frames: list[pd.DataFrame] = []
     for rule in registry.drift_rules:
         if rule["kind"] == "chi_square":
-            res = evaluate_lang_drift(lang_hist, profile["lang"])
             thr = float(rule["p_value_threshold"])
             out = pd.DataFrame(
                 {
-                    "pid": res["pid"],
+                    "pid": combined["pid"],
                     "rule_id": rule["id"],
                     "severity": rule["severity"],
-                    "statistic": res["p_value"],
+                    "statistic": combined["p_value"],
                     "threshold": thr,
-                    "passed": res["p_value"] >= thr,
+                    "passed": combined["p_value"] >= thr,
                 }
             )
         elif rule["kind"] == "ks_binned":
-            res = evaluate_len_drift(len_hist, profile["len"])
             thr = float(rule["d_threshold"])
             out = pd.DataFrame(
                 {
-                    "pid": res["pid"],
+                    "pid": combined["pid"],
                     "rule_id": rule["id"],
                     "severity": rule["severity"],
-                    "statistic": res["d_stat"],
+                    "statistic": combined["d_stat"],
                     "threshold": thr,
-                    "passed": res["d_stat"] <= thr,
+                    "passed": combined["d_stat"] <= thr,
                 }
             )
         else:
             raise ValueError(f"unknown drift kind {rule['kind']!r}")
         frames.append(out)
-    if not frames:
-        return pd.DataFrame(
-            columns=["pid", "rule_id", "severity", "statistic", "threshold", "passed"]
-        )
     return pd.concat(frames, ignore_index=True)

@@ -54,7 +54,12 @@ def fine_grained_agg(df: DataFrame, registry: Registry) -> DataFrame:
     source again.
     """
     bins = registry.length_hist_bins
-    clen = F.length(F.col("content"))
+    # Accept either the raw source (compute length) or the row-profile table
+    # from PASS A (content_len precomputed — the content column is never
+    # touched again after the profile scan).
+    clen = (
+        F.col("content_len") if "content_len" in df.columns else F.length(F.col("content"))
+    )
     prepared = df.select(
         "pid",
         "lang",
@@ -72,7 +77,20 @@ def fine_grained_agg(df: DataFrame, registry: Registry) -> DataFrame:
         F.min("content_len").alias("min_len"),
         F.max("content_len").alias("max_len"),
         F.sum("content_len").alias("sum_len"),
-        F.hll_sketch_agg(F.col("commit")).alias("commit_hll"),
+    )
+
+
+def cardinality_by_pid(df: DataFrame) -> DataFrame:
+    """Per-pid commit cardinality as ONE HLL sketch per pid.
+
+    Kept out of the fine-grained agg: allocating a sketch per
+    (pid, lang, bucket) group costs far more than a second cheap agg over
+    the profile, and per-pid sketches merge exactly across salted partials
+    (``hll_union_agg``) when a registry needs finer slicing."""
+    return df.groupBy("pid").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("commit"))).alias(
+            "approx_distinct_commit"
+        )
     )
 
 
@@ -92,9 +110,6 @@ def rollup_pid_stats(fine: DataFrame) -> DataFrame:
             F.min("min_len").alias("min_len"),
             F.max("max_len").alias("max_len"),
             F.sum("sum_len").alias("sum_len"),
-            F.hll_sketch_estimate(F.hll_union_agg(F.col("commit_hll"))).alias(
-                "approx_distinct_commit"
-            ),
         )
         .withColumn(
             "mean_len",
@@ -104,6 +119,46 @@ def rollup_pid_stats(fine: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def rollups_from_fine_pdf(fine_pdf):
+    """Driver-side rollups from the collected fine table (≤ P×|langs|×bins
+    rows regardless of data scale): per-pid stats, lang histogram, length
+    histogram — one Spark action instead of three."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    g = fine_pdf.groupby("pid")
+    stats = g.agg(
+        rows=("rows", "sum"),
+        null_repo=("null_repo", "sum"),
+        null_path=("null_path", "sum"),
+        null_commit=("null_commit", "sum"),
+        min_len=("min_len", "min"),
+        max_len=("max_len", "max"),
+        sum_len=("sum_len", "sum"),
+    ).reset_index()
+    null_lang = (
+        fine_pdf[fine_pdf["lang"].isna()].groupby("pid")["rows"].sum()
+    )
+    null_content = (
+        fine_pdf[fine_pdf["len_bucket"] == -1].groupby("pid")["rows"].sum()
+    )
+    stats["null_lang"] = stats["pid"].map(null_lang).fillna(0).astype("int64")
+    stats["null_content"] = stats["pid"].map(null_content).fillna(0).astype("int64")
+    denom = stats["rows"] - stats["null_content"]
+    stats["mean_len"] = np.where(denom > 0, stats["sum_len"] / denom, np.nan)
+
+    lang_hist = (
+        fine_pdf.groupby(["pid", "lang"], dropna=False)["rows"].sum().reset_index()
+    )
+    len_hist = (
+        fine_pdf[fine_pdf["len_bucket"] >= 0]
+        .groupby(["pid", "len_bucket"])["rows"]
+        .sum()
+        .reset_index()
+    )
+    return stats, lang_hist, len_hist
 
 
 def rollup_lang_hist(fine: DataFrame) -> DataFrame:

@@ -1,0 +1,76 @@
+"""PASS A — the single content scan: build the compact row-profile table.
+
+At 100 TB the ``content`` column is ~95% of the bytes. This pass reads it
+EXACTLY ONCE per run, projecting each row to a compact profile:
+
+    (pid, repo, path, commit, lang, content_len, content_sha256,
+     __v_<rule_id> boolean per row rule)
+
+Every content-dependent computation happens here, in one whole-stage-codegen
+projection: length, sha256 (the per-row fidelity invariant), and every
+row-rule predicate (stored as boolean flags). All downstream passes — fused
+stats, uniqueness, duplicate-content, referential integrity, violation-row
+emission — operate on the profile table (~1-2%% of source bytes), written
+partitioned by pid so resume pruning and per-partition processing stay exact.
+
+This is the engine's answer to the reference's single-pass vectorized design
+(rule_validator.py:30-34) at distributed scale: one expensive scan, then
+cheap rule algebra on a materialized fingerprint relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..rules import Registry
+
+FLAG_PREFIX = "__v_"
+
+PROFILE_BASE_COLUMNS = [
+    "pid",
+    "repo",
+    "path",
+    "commit",
+    "lang",
+    "content_len",
+    "content_sha256",
+]
+
+
+def build_row_profile(df: DataFrame, registry: Registry) -> DataFrame:
+    """One projection over the source: keys + derived stats + rule flags.
+
+    A flag is TRUE iff the rule fires for the row; NULL predicate results
+    coalesce to FALSE (same semantics as ``F.when(cond, ...)``)."""
+    cols = [
+        F.col("pid"),
+        F.col("repo"),
+        F.col("path"),
+        F.col("commit"),
+        F.col("lang"),
+        F.length(F.col("content")).alias("content_len"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    ]
+    for r in registry.row_rules:
+        cols.append(
+            F.coalesce(F.expr(r.violation_when), F.lit(False)).alias(FLAG_PREFIX + r.rule_id)
+        )
+    return df.select(*cols)
+
+
+def write_profile(profile: DataFrame, out_dir: str) -> None:
+    """Persist the profile partitioned by pid (dynamic overwrite: a resumed
+    run refreshes only the partitions it processed)."""
+    spark = profile.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        profile.repartition("pid")
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .parquet(out_dir)
+    )
+
+
+def read_profile(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)

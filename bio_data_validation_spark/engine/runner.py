@@ -1,17 +1,22 @@
-"""End-to-end validation run: the Spark lifecycle of SURVEY §3.4.
+"""End-to-end validation run: the Spark lifecycle of SURVEY §3.4, built
+around a single-content-scan profile architecture.
 
     registry load+hash → plan-time structural checks (CRITICAL short-circuit)
     → ledger resume filter (partition-pruned scan)
-    → PASS 1: one fused fine-grained aggregation (+ rollups, all tiny)
-    → drift vs baseline profile (grouped Arrow UDF)
-    → PASS 2: one fused violation pass (predicates ∪ uniqueness window ∪
-      sha-dup window ∪ broadcast RI join), written partition-overwrite by pid
+    → PASS A: ONE scan of the source (the only time `content` is read):
+      project keys + content_len + sha256 + per-rule violation flags →
+      compact row-profile table, written partitioned by pid
+    → PASS 1: one fused fine-grained aggregation over the profile
+      (+ rollups from the tiny fine table)
+    → drift vs baseline profile (grouped Arrow UDF over histograms)
+    → PASS 2: violation rows from profile flags ∪ uniqueness window ∪
+      dup-sha join (over the FULL profile — resume-safe) ∪ broadcast RI join
     → verdicts + decisions → ledger append → report.json, exit code.
 
-Exactly two scans of the source per run; every post-aggregation table is
-O(P × rules) and handled driver-side. Short-circuit semantics mirror the
-reference orchestrator (orchestrator.py:363-381); exit-code semantics mirror
-check_status.py:39-45.
+The content column (≈95% of bytes at scale) is scanned exactly once per run;
+every later pass touches only the ~1-2% profile relation. Short-circuit
+semantics mirror the reference orchestrator (orchestrator.py:363-381);
+exit-code semantics mirror check_status.py:39-45.
 """
 
 from __future__ import annotations
@@ -28,11 +33,39 @@ from ..checkpoint import Ledger
 from ..rules import Registry, load_registry
 from ..sources import read_manifest, read_source, with_pid
 from . import drift as drift_mod
-from .fused import fine_grained_agg, rollup_lang_hist, rollup_len_hist, rollup_pid_stats
+from .fused import (
+    cardinality_by_pid,
+    fine_grained_agg,
+    rollup_lang_hist,
+    rollup_len_hist,
+    rollups_from_fine_pdf,
+)
+from .profilepass import build_row_profile, read_profile, write_profile
 from .verdicts import build_verdicts, global_decision, partition_decisions
-from .violations import violation_counts, violation_pass
+from .violations import profile_violations, violation_counts
 
 _SPARK_TYPE_NAMES = {"string": "string", "int": "integer", "long": "bigint", "double": "double"}
+
+
+def _write_verdicts_pandas(verdicts: pd.DataFrame, out_dir: Path) -> None:
+    """Write the (driver-sized) verdict table partitioned by pid via pyarrow;
+    delete_matching keeps resume semantics (only processed pids replaced)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_to_dataset(
+        pa.Table.from_pandas(verdicts, preserve_index=False),
+        root_path=str(out_dir),
+        partition_cols=["pid"],
+        basename_template="part-{i}.parquet",
+        existing_data_behavior="delete_matching",
+    )
+
+
+def _read_verdicts_pandas(out_dir: Path) -> pd.DataFrame:
+    import pyarrow.dataset as ds
+
+    return ds.dataset(str(out_dir), partitioning="hive").to_table().to_pandas()
 
 
 def structural_check(df: DataFrame, registry: Registry) -> list[dict]:
@@ -73,6 +106,11 @@ def run_validation(
     """Run the full validation pipeline; returns the report dict
     (also written to ``{out_dir}/report.json``)."""
     t0 = time.time()
+    phases: dict[str, float] = {}
+
+    def _mark(name: str, t_start: float) -> None:
+        phases[name] = round(time.time() - t_start, 3)
+
     registry = load_registry(registry_path) if registry_path else load_registry()
     snapshot_id = snapshot_id or source_path
     out = Path(out_dir)
@@ -106,7 +144,6 @@ def run_validation(
         return report
 
     # ---- resume: drop completed partitions (prunes at scan via pid dirs)
-    full_df = df
     ledger = Ledger(out / "ledger")
     skipped: set[int] = set()
     if resume:
@@ -115,9 +152,26 @@ def run_validation(
             df = df.filter(~F.col("pid").isin(sorted(skipped)))
     report["resumed_skipped_pids"] = sorted(skipped)
 
-    # ---- PASS 1: fused stats (one shuffle), rollups from the tiny fine table
-    fine = fine_grained_agg(df, registry).cache()
-    stats = rollup_pid_stats(fine).toPandas()
+    # ---- PASS A: the single content scan → row-profile table
+    t = time.time()
+    row_profile_path = str(out / "row_profile")
+    write_profile(build_row_profile(df, registry), row_profile_path)
+    profile_all = read_profile(spark, row_profile_path)
+    profile_cur = (
+        profile_all.filter(~F.col("pid").isin(sorted(skipped))) if skipped else profile_all
+    )
+    _mark("pass_a_profile_scan", t)
+
+    # ---- PASS 1: fused stats over the profile (one shuffle); all rollups
+    # happen driver-side from the collected fine table (≤ P×|langs|×bins
+    # rows regardless of data scale), so PASS 1 is ONE action + one small
+    # HLL-cardinality agg.
+    t = time.time()
+    fine = fine_grained_agg(profile_cur, registry).cache()
+    fine_pdf = fine.toPandas()
+    stats, lang_hist, len_hist = (
+        rollups_from_fine_pdf(fine_pdf) if len(fine_pdf) else (fine_pdf, fine_pdf, fine_pdf)
+    )
     if stats.empty:
         # Nothing left to process — the decision must still reflect the FULL
         # on-disk verdict table, or a no-op resume would mask a rejection
@@ -125,7 +179,7 @@ def run_validation(
         report.update({"note": "no partitions to process", "elapsed_sec": time.time() - t0})
         verdicts_path = out / "verdicts"
         if verdicts_path.exists():
-            all_verdicts = spark.read.parquet(str(verdicts_path)).toPandas()
+            all_verdicts = _read_verdicts_pandas(verdicts_path)
             g = global_decision(all_verdicts, registry)
             decisions = partition_decisions(all_verdicts, registry)
             any_rej = bool((decisions["decision"] == "rejected").any())
@@ -141,25 +195,33 @@ def run_validation(
             report.update({"final_decision": "accepted", "exit_code": 0})
         (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
         return report
-    lang_hist_df = rollup_lang_hist(fine)
-    len_hist_df = rollup_len_hist(fine)
-    lang_hist = lang_hist_df.toPandas()
+    card = cardinality_by_pid(profile_cur).toPandas()
+    stats = stats.merge(card, on="pid", how="left")
+    _mark("pass_1_fused_stats", t)
 
-    # ---- baseline profile (FIXTURES F3)
+    # ---- baseline profile (FIXTURES F3) + drift (one grouped-Arrow job,
+    # fed lazily from the cached fine table)
+    t = time.time()
     drift_results = pd.DataFrame()
     if build_baseline:
-        drift_mod.build_profile(
-            lang_hist_df, len_hist_df, registry,
+        drift_mod.build_profile_pdf(
+            lang_hist, len_hist, registry,
             profile_dir or out / "profile", snapshot_id=snapshot_id,
         )
     elif profile_dir and Path(profile_dir, "profile.json").exists():
-        profile = drift_mod.load_profile(profile_dir)
-        drift_results = drift_mod.drift_rule_results(lang_hist_df, len_hist_df, profile, registry)
+        baseline = drift_mod.load_profile(profile_dir)
+        drift_results = drift_mod.drift_rule_results(
+            rollup_lang_hist(fine), rollup_len_hist(fine), baseline, registry
+        )
     fine.unpersist()
+    _mark("drift", t)
 
-    # ---- PASS 2: fused violation rows, deterministic order, pid-overwrite
+    # ---- PASS 2: violation rows from the profile, deterministic order
+    t = time.time()
     manifest = read_manifest(spark, manifest_path) if manifest_path else None
-    violations = violation_pass(df, registry, manifest, full_df=full_df).persist()
+    violations = profile_violations(
+        profile_cur, registry, manifest, full_profile=profile_all
+    ).persist()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         violations.repartition("pid")
@@ -170,24 +232,21 @@ def run_validation(
     )
     viol_counts = violation_counts(violations).toPandas()
     violations.unpersist()
+    _mark("pass_2_violations", t)
 
-    # ---- verdicts + decisions
+    # ---- verdicts + decisions (all driver-sized pandas: the verdict table
+    # is O(P × rules) regardless of data scale — no Spark jobs needed)
+    t = time.time()
     verdicts = build_verdicts(stats, lang_hist, viol_counts, drift_results, registry)
-    verdicts_sdf = spark.createDataFrame(verdicts)
-    (
-        verdicts_sdf.repartition("pid")
-        .sortWithinPartitions("pid", "rule_id")
-        .write.mode("overwrite")
-        .partitionBy("pid")
-        .parquet(str(out / "verdicts"))
-    )
+    _write_verdicts_pandas(verdicts, out / "verdicts")
 
     # Read back the FULL verdict table (this run + prior resumed runs) so the
     # dataset decision covers every partition.
-    all_verdicts = spark.read.parquet(str(out / "verdicts")).toPandas()
+    all_verdicts = _read_verdicts_pandas(out / "verdicts")
     decisions = partition_decisions(all_verdicts, registry)
     decisions.to_parquet(out / "decisions.parquet", index=False)
     g = global_decision(all_verdicts, registry)
+    _mark("verdicts_decisions", t)
 
     # ---- ledger append (one completion row per processed pid)
     per_pid_viol = verdicts.groupby("pid")["violation_count"].sum()
@@ -222,6 +281,7 @@ def run_validation(
             "records_processed": total_rows,
             "rows_per_sec": total_rows / elapsed if elapsed > 0 else None,
             "elapsed_sec": elapsed,
+            "phase_times": phases,
             "exit_code": 1 if (g["decision"] == "rejected" or any_pid_rejected) else 0,
         }
     )

@@ -1,32 +1,31 @@
-"""PASS 2 — the fused violation-row pass.
+"""PASS 2 — violation-row emission, driven entirely by the row-profile table.
 
-One scan of the source evaluates EVERY row-level rule, the composite-key
-uniqueness rule, the duplicate-content rule, and the referential-integrity
-rule, emitting one violation row per (row, failed rule) tagged with
-(rule_id, rule_version, ruleset_hash) audit lineage.
+The content column was consumed once in PASS A (profilepass.py); this pass
+reads only the compact profile: row-rule flags are precomputed booleans, the
+composite-key uniqueness rule is a window count, duplicate content is a join
+against the duplicated-sha set (computed over the FULL profile so resumed
+runs see cross-partition groups), and referential integrity is a broadcast
+left join against the repo_manifest dimension.
 
-Physical shape (what .explain shows):
-  - all ``violation_when`` predicates → one codegen'd ``array(when(...))``
-    + ``filter`` + ``explode`` projection (no Python, no extra scan);
-  - uniqueness on (repo,path,commit) → ``count(*) over (partition by keys)``
-    (one hash shuffle; keys are near-unique so no single hot partition);
-  - duplicate content → same window over ``sha2(content,256)``;
-  - referential integrity → ``broadcast`` left join against repo_manifest
-    (no shuffle), orphan = no manifest match.
+Physical shape per run (what .explain shows):
+  - one hash-partition window over (repo,path,commit) — keys near-unique, no
+    hot reducer;
+  - one aggregation + join for dup shas (AQE broadcasts the small dup set);
+  - one broadcast join for RI (zero shuffle);
+  - one codegen'd array(when(...))/filter/explode projection for emission.
 
-Reference twins: per-record Pydantic constraints → column predicates
-(schema_validator.py:335-394), DUP_002 (rule_validator.py:273-286),
-DUP_003 duplicate content (rule_validator.py:292-305), LOOKUP_001 anti-join
-membership (bio_lookups.py:745-764). The sha256 column doubles as the
-per-row fidelity invariant mandated by BASELINE.json.
+Reference twins: per-record constraint checks (schema_validator.py:335-394),
+DUP_002 (rule_validator.py:273-286), DUP_003 (rule_validator.py:292-305),
+LOOKUP_001 (bio_lookups.py:745-764).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..rules import Registry
+from .profilepass import FLAG_PREFIX, build_row_profile
 
 VIOLATION_COLUMNS = [
     "pid",
@@ -54,59 +53,70 @@ def _check_struct(rule_id: str, severity: str, column: str, message: str, cond: 
     )
 
 
-def violation_pass(
-    df: DataFrame,
+def profile_violations(
+    profile: DataFrame,
     registry: Registry,
     manifest: DataFrame | None = None,
-    full_df: DataFrame | None = None,
+    full_profile: DataFrame | None = None,
 ) -> DataFrame:
-    """Emit the violations DataFrame for every row-level rule family.
+    """Violations from the row-profile table.
 
-    ``full_df`` is the UNFILTERED source: duplicate-content groups span
-    partitions, so the duplicated-sha set must be computed over all data even
-    when a resumed run processes only the remaining partitions (``df``).
-    All other rule families are partition-local and run on ``df`` only.
+    ``full_profile``: duplicate-content groups span partitions, so the
+    duplicated-sha set is computed over the full profile even when a resumed
+    run emits violations only for the remaining partitions (``profile``).
     """
     checks: list[Column] = [
-        _check_struct(r.rule_id, r.severity, r.column, r.message, F.expr(r.violation_when))
+        _check_struct(r.rule_id, r.severity, r.column, r.message, F.col(FLAG_PREFIX + r.rule_id))
         for r in registry.row_rules
     ]
 
-    work = df
+    work = profile
 
     uniq = registry.uniqueness
     if uniq:
-        w = Window.partitionBy(*[F.col(k) for k in uniq["keys"]])
-        work = work.withColumn("__dup_n", F.count(F.lit(1)).over(w))
+        # Duplicated-key set via hash agg (map-side combine) + join-back,
+        # instead of a window: avoids the window's sort, and AQE turns the
+        # join into a broadcast when the dup set is small (the common case).
+        keys = list(uniq["keys"])
+        keys_non_null = F.lit(True)
+        for k in keys:
+            keys_non_null = keys_non_null & F.col(k).isNotNull()
+        # Uniqueness is defined over rows with fully non-null keys (null keys
+        # are KEY_NULL_001's finding, and SQL null-equality would be ambiguous).
+        dup_keys = (
+            profile.filter(keys_non_null)
+            .groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .select(*keys, F.lit(1).alias("__key_dup"))
+        )
+        # Broadcast: the duplicated-key set is a tiny fraction of rows by
+        # construction (it's a *violation* set). A dataset where it doesn't
+        # fit in the driver would be failing uniqueness wholesale — the
+        # decision gate, not this join, is the binding constraint there.
+        work = work.join(F.broadcast(dup_keys), keys, "left")
         checks.append(
             _check_struct(
-                uniq["id"], uniq["severity"], ",".join(uniq["keys"]), uniq["message"],
-                F.col("__dup_n") > 1,
+                uniq["id"], uniq["severity"], ",".join(keys), uniq["message"],
+                F.col("__key_dup").isNotNull(),
             )
         )
 
     cdup = registry.content_duplicates
     if cdup:
-        # Duplicated-sha set from the FULL source (content column only —
-        # Catalyst prunes the scan to one column; map-side combine keeps the
-        # shuffle at ~one sha per distinct content). AQE converts the join to
-        # broadcast when the dup set is small.
-        src = full_df if full_df is not None else df
+        src = full_profile if full_profile is not None else profile
         dup_shas = (
-            src.filter(F.col("content").isNotNull())
-            .select(F.sha2(F.col("content"), 256).alias("content_sha256"))
+            src.filter(F.col("content_sha256").isNotNull())
             .groupBy("content_sha256")
             .count()
             .filter(F.col("count") > 1)
             .select("content_sha256", F.lit(1).alias("__sha_dup"))
         )
-        work = work.withColumn("content_sha256", F.sha2(F.col("content"), 256)).join(
-            dup_shas, "content_sha256", "left"
-        )
+        work = work.join(F.broadcast(dup_shas), "content_sha256", "left")
         checks.append(
             _check_struct(
                 cdup["id"], cdup["severity"], "content", cdup["message"],
-                F.col("content").isNotNull() & F.col("__sha_dup").isNotNull(),
+                F.col("content_sha256").isNotNull() & F.col("__sha_dup").isNotNull(),
             )
         )
 
@@ -128,9 +138,7 @@ def violation_pass(
     arr = F.array(*checks)
     fired = F.filter(arr, lambda x: x.isNotNull())
     return (
-        work.select(
-            "pid", "repo", "path", "commit", F.explode(fired).alias("v")
-        )
+        work.select("pid", "repo", "path", "commit", F.explode(fired).alias("v"))
         .select(
             "pid",
             F.col("v.rule_id").alias("rule_id"),
@@ -144,6 +152,20 @@ def violation_pass(
             F.col("v.message").alias("message"),
         )
     )
+
+
+def violation_pass(
+    df: DataFrame,
+    registry: Registry,
+    manifest: DataFrame | None = None,
+    full_df: DataFrame | None = None,
+) -> DataFrame:
+    """Violations straight from a raw source DataFrame (builds the profile
+    inline — used by tests and ad-hoc runs; the runner materializes the
+    profile once and calls :func:`profile_violations` directly)."""
+    profile = build_row_profile(df, registry)
+    full_profile = build_row_profile(full_df, registry) if full_df is not None else None
+    return profile_violations(profile, registry, manifest, full_profile)
 
 
 def violation_counts(violations: DataFrame) -> DataFrame:

@@ -1,0 +1,85 @@
+"""Structured Streaming validation.
+
+The reference has no true streaming (its only async surface is batched API
+calls, bio_lookups.py:678-737); this module is the engine's forward-looking
+path: the SAME compiled row rules run over a stream (stateless predicates →
+violations stream), and per-window aggregate stats (null rates, counts) run
+with event-time watermarks so late data is bounded.
+
+Usage:
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    viol = stream_violations(src, registry)
+    q = viol.writeStream.format("parquet").option("path", out).start()
+
+Everything is built from the streaming-compatible subset of the DataFrame
+API: stateless projections/filters and windowed aggregations. Rules that need
+global state (uniqueness, content-dup, RI vs a slowly-changing dim) run in
+the batch engine; the stream gives early per-record signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..rules import Registry
+
+
+def _rule_struct(rule_id: str, severity: str, column: str, message: str, cond: Column) -> Column:
+    return F.when(
+        cond,
+        F.struct(
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(severity).alias("severity"),
+            F.lit(column).alias("column"),
+            F.lit(message).alias("message"),
+        ),
+    )
+
+
+def stream_violations(stream_df: DataFrame, registry: Registry) -> DataFrame:
+    """Stateless row-rule violations over a stream — identical rule semantics
+    and lineage tagging as the batch PASS 2 (violations.py), restricted to
+    the per-record rule families."""
+    checks = [
+        _rule_struct(r.rule_id, r.severity, r.column, r.message, F.expr(r.violation_when))
+        for r in registry.row_rules
+    ]
+    arr = F.array(*checks)
+    fired = F.filter(arr, lambda x: x.isNotNull())
+    key_cols = [c for c in ("repo", "path", "commit") if c in stream_df.columns]
+    return (
+        stream_df.select(*key_cols, F.explode(fired).alias("v"))
+        .select(
+            *key_cols,
+            F.col("v.rule_id").alias("rule_id"),
+            F.lit(registry.version).alias("rule_version"),
+            F.lit(registry.ruleset_hash).alias("ruleset_hash"),
+            F.col("v.severity").alias("severity"),
+            F.col("v.column").alias("column"),
+            F.col("v.message").alias("message"),
+        )
+    )
+
+
+def stream_windowed_stats(
+    stream_df: DataFrame,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    null_check_cols: tuple[str, ...] = ("lang", "content"),
+) -> DataFrame:
+    """Per-event-time-window aggregate stats with a watermark (late data
+    bounded; state store GC'd). The streaming twin of PASS-1 null-rate and
+    count stats."""
+    cols = [c for c in null_check_cols if c in stream_df.columns]
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "*")
+        .drop("w")
+    )

@@ -1,0 +1,31 @@
+"""Build the spark-submit --py-files archive.
+
+Usage: python scripts/make_pyfiles_zip.py [out.zip]
+Then:  spark-submit --py-files bio_data_validation_spark.zip \
+           your_driver.py ...
+or:    spark-submit --py-files bio_data_validation_spark.zip \
+           $(python -c 'import bio_data_validation_spark.cli as c; print(c.__file__)') validate ...
+"""
+
+from __future__ import annotations
+
+import sys
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+
+
+def main() -> int:
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "bio_data_validation_spark.zip"
+    pkg = REPO / "bio_data_validation_spark"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for f in sorted(pkg.rglob("*")):
+            if f.suffix in (".py", ".yml") and "__pycache__" not in f.parts:
+                z.write(f, f.relative_to(REPO))
+    print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,9 +40,11 @@ def row_rule_masks(df: pd.DataFrame, manifest: pd.DataFrame) -> dict[str, pd.Ser
     masks["CUSTOM_EXT_LANG_001"] = (
         (df["lang"] == "python") & df["path"].notna() & ~df["path"].str.endswith(".py")
     )
-    # DUP_002 uniqueness on (repo,path,commit), keep=False semantics
-    trip_count = df.groupby(["repo", "path", "commit"], dropna=False)["repo"].transform("size")
-    masks["DUP_002"] = df["repo"].notna() & (trip_count > 1)
+    # DUP_002 uniqueness on (repo,path,commit), keep=False semantics, defined
+    # over rows whose keys are all non-null (null keys are KEY_NULL_001)
+    keys_ok = df["repo"].notna() & df["path"].notna() & df["commit"].notna()
+    trip_count = df.groupby(["repo", "path", "commit"])["repo"].transform("size")
+    masks["DUP_002"] = keys_ok & (trip_count > 1)
     # DUP_003 duplicate content sha256
     sha = sha256_series(content)
     sha_count = sha.groupby(sha).transform("size")

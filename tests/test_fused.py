@@ -4,9 +4,11 @@ import pandas as pd
 import pytest
 
 from bio_data_validation_spark.engine.fused import (
+    cardinality_by_pid,
     fine_grained_agg,
     rollup_lang_hist,
     rollup_pid_stats,
+    rollups_from_fine_pdf,
 )
 from bio_data_validation_spark.rules import load_registry
 from bio_data_validation_spark.sources import read_source, with_pid
@@ -21,12 +23,14 @@ def rollups(spark, snapshot):
     fine = fine_grained_agg(df, registry).cache()
     stats = rollup_pid_stats(fine).toPandas().sort_values("pid").reset_index(drop=True)
     lang = rollup_lang_hist(fine).toPandas()
+    card = cardinality_by_pid(df).toPandas()
+    fine_pdf = fine.toPandas()
     fine.unpersist()
-    return stats, lang
+    return stats, lang, card, fine_pdf
 
 
 def test_pid_stats_exact(rollups, dirty_pdf):
-    stats, _ = rollups
+    stats, _, _, _ = rollups
     expected = pid_stats(dirty_pdf).sort_values("pid").reset_index(drop=True)
     assert stats["pid"].tolist() == expected["pid"].tolist()
     for col in ("rows", "null_lang", "null_content", "min_len", "max_len", "sum_len"):
@@ -36,18 +40,38 @@ def test_pid_stats_exact(rollups, dirty_pdf):
     )
 
 
+def test_driver_side_rollups_match_spark_rollups(rollups):
+    """rollups_from_fine_pdf (driver pandas) must equal the Spark rollups."""
+    stats_spark, lang_spark, _, fine_pdf = rollups
+    stats_pd, lang_pd, _ = rollups_from_fine_pdf(fine_pdf)
+    stats_pd = stats_pd.sort_values("pid").reset_index(drop=True)
+    cols = ["pid", "rows", "null_lang", "null_content", "null_repo", "null_path",
+            "null_commit", "min_len", "max_len", "sum_len"]
+    for c in cols:
+        assert stats_pd[c].astype("int64").tolist() == stats_spark[c].astype("int64").tolist(), c
+    a = {
+        (int(r.pid), r.lang if isinstance(r.lang, str) else None): int(r.rows)
+        for r in lang_pd.itertuples()
+    }
+    b = {
+        (int(r.pid), r.lang if isinstance(r.lang, str) else None): int(r.rows)
+        for r in lang_spark.itertuples()
+    }
+    assert a == b
+
+
 def test_hll_cardinality_within_tolerance(rollups, dirty_pdf):
     """HLL estimate is approximate; verdicts use thresholds, so assert the
     estimate tracks exact nunique within a conservative 15% (SURVEY §7.4)."""
-    stats, _ = rollups
+    _, _, card, _ = rollups
     expected = pid_stats(dirty_pdf).set_index("pid")["distinct_commit"]
-    for rec in stats.itertuples():
+    for rec in card.itertuples():
         exact = int(expected[rec.pid])
         assert abs(rec.approx_distinct_commit - exact) <= max(3, 0.15 * exact)
 
 
 def test_lang_hist_exact(rollups, dirty_pdf):
-    _, lang = rollups
+    _, lang, _, _ = rollups
     got = {
         (int(r.pid), r.lang if isinstance(r.lang, str) else None): int(r.rows)
         for r in lang.itertuples()

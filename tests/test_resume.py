@@ -35,7 +35,9 @@ def test_resume_skips_completed_and_outputs_match(spark, snapshot, tmp_path):
     ledger.append(
         full_ledger[full_ledger["pid"].isin(done_pids)].to_dict("records")
     )
-    for sub in ("violations", "verdicts"):
+    # row_profile is written in PASS A, before any pid reaches the ledger —
+    # a completed pid always has its profile on disk in a real killed run.
+    for sub in ("violations", "verdicts", "row_profile"):
         for pid in done_pids:
             src = full_out / sub / f"pid={pid}"
             if src.exists():

@@ -1,0 +1,80 @@
+"""Structured Streaming validation: file-source stream with availableNow
+trigger; violations and windowed stats must match the batch semantics."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bio_data_validation_spark.rules import load_registry
+from bio_data_validation_spark.streaming import stream_violations, stream_windowed_stats
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    rows = [
+        ("r1", "src/a.py", "a" * 40, "python", "print(1)", "2024-01-01 00:00:10"),
+        ("r1", "src/b.py", "bad", "python", "", "2024-01-01 00:00:20"),  # bad commit + empty
+        ("r2", "x.md", "c" * 40, "klingon", "# hi", "2024-01-01 00:01:10"),  # bad lang enum
+        ("r2", "y.md", "d" * 40, None, "text", "2024-01-01 00:01:30"),  # null lang
+    ]
+    pdf = spark.createDataFrame(
+        [
+            (r, p, c, lg, ct, datetime.fromisoformat(ts))
+            for r, p, c, lg, ct, ts in rows
+        ],
+        SCHEMA,
+    )
+    pdf.write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def test_stream_violations(spark, stream_input, tmp_path):
+    registry = load_registry()
+    src = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    assert src.isStreaming
+    out = stream_violations(src, registry)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("viol_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from viol_sink").toPandas()
+    fired = set(got["rule_id"])
+    assert fired == {"FMT_COMMIT_001", "LEN_001A", "LANG_ENUM_001"}
+    assert (got["rule_version"] == registry.version).all()
+
+
+def test_stream_windowed_stats(spark, stream_input):
+    src = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    out = stream_windowed_stats(src, "ts", window="1 minute", watermark="2 minutes")
+    # complete mode: append would emit only watermark-finalized windows, and
+    # this bounded fixture never advances the watermark past its own windows
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stats_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from stats_sink").toPandas().sort_values("window_start")
+    )
+    assert got["rows"].tolist() == [2, 2]
+    assert got["null_lang"].tolist() == [0, 1]
