@@ -1,0 +1,121 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+The Spark-side plumbing is real and tested — schemas, partition-friendly
+layout, Arrow-batched ``mapInPandas`` signatures, deterministic fake
+feature extractors — while the actual codec work is stubbed behind
+``NotImplementedError`` (no image/audio libraries in this container).
+Swap ``_decode_image_stub``/``_decode_audio_stub`` for PIL/soundfile calls
+in production; nothing else changes.
+
+Scale notes: media blobs ride as parquet binary columns; decode/resize/
+frame-sample run inside ``mapInPandas`` so each Arrow batch is processed
+vectorized in one Python call, and the output schema is declared up front
+(Catalyst prunes untouched columns around the UDF).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, payload_sha256 string, n_bytes long, feature array<float>"
+FEATURE_DIM = 16
+
+
+def _decode_image_stub(payload: bytes, meta) -> np.ndarray:
+    """REAL decoders live here in production (PIL.Image.open etc.).
+
+    STUB: deterministic pseudo-pixels derived from the payload hash — keeps
+    the downstream feature pipeline exercisable and reproducible."""
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder would handle streaming fetch")
+    digest = hashlib.sha256(payload).digest()
+    return np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8).astype(np.float32)
+
+
+def _decode_audio_stub(payload: bytes, meta) -> np.ndarray:
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder would handle streaming fetch")
+    digest = hashlib.sha256(b"audio:" + payload).digest()
+    return np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8).astype(np.float32)
+
+
+_DECODERS = {"image": _decode_image_stub, "audio": _decode_audio_stub}
+
+
+def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over media rows via ``mapInPandas``.
+
+    Each iterator element is one Arrow batch as a pandas frame; the decode +
+    featurize step is vectorized per batch (one Python call per batch, never
+    per row). Unknown kinds raise — video frame-sampling is a declared
+    production extension point."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            features = []
+            shas = []
+            nbytes = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                decoder = _DECODERS.get(kind)
+                if decoder is None:
+                    raise NotImplementedError(
+                        f"decoder for kind={kind!r} not available in this image "
+                        "(video frame-sampling requires a codec library)"
+                    )
+                arr = decoder(payload, None)
+                norm = float(np.linalg.norm(arr)) or 1.0
+                features.append((arr / norm).tolist())
+                shas.append(hashlib.sha256(payload).hexdigest() if payload is not None else None)
+                nbytes.append(len(payload) if payload is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_sha256": shas,
+                    "n_bytes": nbytes,
+                    "feature": features,
+                }
+            )
+
+    return df.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA (for tests)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        kind = "image" if i % 2 == 0 else "audio"
+        payload = bytes(rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8))
+        meta = (
+            (64, 48, None, None, "fakepng") if kind == "image" else (None, None, 16000, 1200, "fakewav")
+        )
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

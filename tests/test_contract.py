@@ -1,0 +1,49 @@
+"""Contract parity inside pytest: every oracle-paired query must match DuckDB
+exactly at sf0.001 (the full sweep also runs via scripts/check_contract.py)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from bio_data_validation_spark.contract import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    oracle_pdf = con.execute(ORACLES[name]).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns)
+    assert len(spark_pdf) == len(oracle_pdf)
+    a = spark_pdf[sorted(spark_pdf.columns)].sort_values(list(sorted(spark_pdf.columns)))
+    b = oracle_pdf[sorted(oracle_pdf.columns)].sort_values(list(sorted(oracle_pdf.columns)))
+    for c in a.columns:
+        av, bv = a[c].reset_index(drop=True), b[c].reset_index(drop=True)
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = (av.astype(float).values == bv.astype(float).values) | (
+                av.isna().values & bv.isna().values
+            )
+            assert ok.all(), f"{name}.{c}: float mismatch"
+        else:
+            eq = (av.values == bv.values) | (av.isna().values & bv.isna().values)
+            assert np.asarray(eq).all(), f"{name}.{c}: mismatch"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_spark_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,114 @@
+"""Dedup / similarity / text operator correctness on controlled fixtures."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_duplicates,
+)
+from bio_data_validation_spark.functions.similarity import brute_force_topk, cosine, lsh_topk
+from bio_data_validation_spark.functions.text import fingerprint, quality_score, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup (1 token)
+        (3, "completely different content about spark engines"),
+        (4, "spark engines process distributed data quickly"),
+        (5, ""),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["group_size"] == 2
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # 0 vs 2: tokens differ by jumps/leaps -> |inter|=7, |union|=9
+    assert math.isclose(pairs[(0, 2)], 7 / 9, rel_tol=1e-6)
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cand = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (0, 1) in cand  # identical docs always share every band
+    assert (0, 2) in cand  # high-jaccard pair should collide in >=1 band
+
+
+def test_simhash_identical_and_deterministic(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[0] == sigs[1]
+    dups = {r["doc_id"] for r in simhash_duplicates(docs).collect()}
+    assert {0, 1} <= dups
+    sigs2 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs == sigs2
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [4.0, 3.0, 2.0, 1.0]
+    got = (
+        spark.createDataFrame([(a, b)], "x array<double>, y array<double>")
+        .select(cosine(F.col("x"), F.col("y")).alias("c"))
+        .collect()[0]["c"]
+    )
+    exp = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert math.isclose(got, exp, rel_tol=1e-12)
+
+
+def test_brute_force_topk_ordering(spark):
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    vecs.append((9, [1.0, 0.1, 0.0, 0.0]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    top = brute_force_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos"] == 1.0
+    assert top[1]["vec_id"] == 9
+
+
+def test_lsh_topk_contains_query_bucket_best(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.normal(size=8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = vecs[5][1]
+    got = lsh_topk(df, q, k=5, n_planes=4).collect()
+    # the query vector itself shares its own bucket and has cosine 1.0
+    assert got[0]["vec_id"] == 5 and got[0]["cos"] == 1.0
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("hello world, how is it?",), ("",), (None,), ("  a  b  ",)], "text string"
+    )
+    rows = df.select(
+        token_count(F.col("text")).alias("nt"),
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert [r["nt"] for r in rows] == [5, 0, 0, 2]
+    assert all(r["q"] is not None and 0.0 <= r["q"] <= 1.0 for r in rows[:2])
+    assert rows[0]["fp"] is not None and len(rows[0]["fp"]) == 12
+    # fingerprint normalizes whitespace + case
+    df2 = spark.createDataFrame([("A  b",), ("a b",)], "text string")
+    fps = [r["fp"] for r in df2.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]

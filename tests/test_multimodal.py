@@ -1,0 +1,46 @@
+"""Multimodal plumbing: schema, Arrow-batched mapInPandas, deterministic
+stub decoders, sha fidelity, unknown-kind failure path."""
+
+import hashlib
+
+import pytest
+
+from bio_data_validation_spark.functions.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthesize_media(spark, n=32).cache()
+
+
+def test_feature_extraction_shape(spark, media):
+    out = extract_features(media).toPandas().sort_values("media_id")
+    assert len(out) == 32
+    assert set(out["kind"]) == {"image", "audio"}
+    assert all(len(f) == FEATURE_DIM for f in out["feature"])
+    norms = [sum(x * x for x in f) ** 0.5 for f in out["feature"]]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+
+
+def test_payload_sha_fidelity(spark, media):
+    src = media.toPandas().set_index("media_id")["payload"]
+    out = extract_features(media).toPandas().set_index("media_id")
+    for mid, payload in src.items():
+        assert out.loc[mid, "payload_sha256"] == hashlib.sha256(bytes(payload)).hexdigest()
+        assert out.loc[mid, "n_bytes"] == len(payload)
+
+
+def test_deterministic_features(spark, media):
+    a = [tuple(f) for f in extract_features(media).toPandas().sort_values("media_id")["feature"]]
+    b = [tuple(f) for f in extract_features(media).toPandas().sort_values("media_id")["feature"]]
+    assert a == b
+
+
+def test_unknown_kind_raises(spark):
+    bad = synthesize_media(spark, n=2).withColumn("kind", __import__("pyspark").sql.functions.lit("video"))
+    with pytest.raises(Exception, match="decoder for kind='video'"):
+        extract_features(bad).collect()

@@ -1,0 +1,47 @@
+"""Rule-version lineage: violations and verdicts carry the registry version
+and content hash; switching registries changes the lineage but old outputs
+stay reproducible (reference scripts/test_rule_versioning.py:27-176)."""
+
+from pathlib import Path
+
+from bio_data_validation_spark.engine import run_validation
+from bio_data_validation_spark.rules import load_registry
+
+RULES_DIR = Path(__file__).parent.parent / "bio_data_validation_spark" / "rules"
+
+
+def test_two_registry_versions_differ():
+    r10 = load_registry(RULES_DIR / "rules_v1.0.0.yml")
+    r11 = load_registry(RULES_DIR / "rules_v1.1.0.yml")
+    assert r10.version == "1.0.0" and r11.version == "1.1.0"
+    assert r10.ruleset_hash != r11.ruleset_hash
+    ids11 = {r.rule_id for r in r11.row_rules}
+    assert "CUSTOM_MEGA_CONTENT_001" in ids11
+
+
+def test_lineage_switch(spark, snapshot, tmp_path):
+    import pandas as pd
+
+    rep10 = run_validation(
+        spark, snapshot["dirty"], str(tmp_path / "v10"),
+        manifest_path=snapshot["manifest"],
+        registry_path=str(RULES_DIR / "rules_v1.0.0.yml"), snapshot_id="d",
+    )
+    rep11 = run_validation(
+        spark, snapshot["dirty"], str(tmp_path / "v11"),
+        manifest_path=snapshot["manifest"],
+        registry_path=str(RULES_DIR / "rules_v1.1.0.yml"), snapshot_id="d",
+    )
+    v10 = pd.read_parquet(tmp_path / "v10" / "verdicts")
+    v11 = pd.read_parquet(tmp_path / "v11" / "verdicts")
+    assert set(v10["rule_version"]) == {"1.0.0"}
+    assert set(v11["rule_version"]) == {"1.1.0"}
+    assert v10["ruleset_hash"].iloc[0] != v11["ruleset_hash"].iloc[0]
+    assert rep10["ruleset_metadata"]["ruleset_hash"] != rep11["ruleset_metadata"]["ruleset_hash"]
+    # v1.1.0 includes the new custom rule in its verdict matrix
+    assert "CUSTOM_MEGA_CONTENT_001" in set(v11["rule_id"])
+    assert "CUSTOM_MEGA_CONTENT_001" not in set(v10["rule_id"])
+
+    # same snapshot + same ruleset -> identical ledger keying means a rerun
+    # with the OTHER version still processes everything (lineage isolation)
+    assert rep11["resumed_skipped_pids"] == []
