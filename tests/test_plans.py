@@ -1,0 +1,68 @@
+"""Physical-plan audits: the optimizations we claim must be visible in
+.explain() output — column pruning at the scan, broadcast joins for the
+dimension/dup-set sides, partition pruning under the resume filter."""
+
+import pytest
+
+from bio_data_validation_spark.engine.fused import fine_grained_agg
+from bio_data_validation_spark.engine.profilepass import build_row_profile
+from bio_data_validation_spark.engine.violations import profile_violations
+from bio_data_validation_spark.rules import load_registry
+from bio_data_validation_spark.sources import read_manifest, read_source, with_pid
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_registry()
+
+
+def test_fused_agg_reads_only_needed_profile_columns(spark, snapshot, registry, tmp_path):
+    """Once the profile is materialized (as the runner does), PASS 1 must
+    never touch raw content again, and its profile scan must prune to the
+    columns the fused agg needs (no sha, no rule flags)."""
+    from bio_data_validation_spark.engine.profilepass import read_profile, write_profile
+
+    src = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
+    write_profile(build_row_profile(src, registry), str(tmp_path / "profile"))
+    profile = read_profile(spark, str(tmp_path / "profile"))
+    plan = _plan(fine_grained_agg(profile, registry))
+    masked = plan.replace("content_len", "LEN").replace("content_sha256", "SHA")
+    assert "content#" not in masked  # raw content column is gone entirely
+    read_schema = plan[plan.index("ReadSchema"):].split("\n")[0]
+    assert "content_sha256" not in read_schema  # column pruning at the scan
+    assert "__v_" not in read_schema
+
+
+def test_violations_uses_broadcast_joins(spark, snapshot, registry):
+    df = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
+    manifest = read_manifest(spark, snapshot["manifest"])
+    plan = _plan(profile_violations(build_row_profile(df, registry), registry, manifest))
+    # dup-key set, dup-sha set, and the RI dimension all build broadcast sides
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_resume_filter_prunes_partitions(spark, snapshot, registry):
+    """Filtering on the pid partition column must turn into PartitionFilters
+    at the scan (whole completed partitions never read)."""
+    from pyspark.sql import functions as F
+
+    df = read_source(spark, snapshot["dirty"]).filter(~F.col("pid").isin([0, 1, 2]))
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    # the pid predicate must appear among partition filters, not data filters
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "pid" in seg[: seg.index("]")]
+
+
+def test_selective_filter_pushdown(spark, snapshot):
+    """A selective predicate on a data column reaches the parquet scan."""
+    from pyspark.sql import functions as F
+
+    df = read_source(spark, snapshot["dirty"]).filter(F.col("lang") == "python").select("repo")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,python)]" in plan

@@ -1,0 +1,44 @@
+"""Salted two-phase aggregation: exact re-merge vs a direct groupBy, and the
+skew report detects the Zipf mega-repo."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.engine.skew import salted_repo_stats, skew_report
+from bio_data_validation_spark.rules import load_registry
+from bio_data_validation_spark.sources import read_source, with_pid
+
+
+@pytest.fixture(scope="module")
+def source(spark, snapshot):
+    registry = load_registry()
+    return with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions).cache()
+
+
+def test_salted_agg_exact_vs_direct(spark, source):
+    salted = {
+        r["repo"]: (r["rows"], r["sum_len"])
+        for r in salted_repo_stats(source, salt_buckets=8).collect()
+    }
+    direct = {
+        r["repo"]: (r["rows"], r["sum_len"])
+        for r in source.groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("rows"), F.sum(F.length("content")).alias("sum_len"))
+        .collect()
+    }
+    assert salted == direct  # decomposable aggs re-merge exactly under salting
+
+
+def test_salted_hll_tracks_exact(spark, source, dirty_pdf):
+    exact = dirty_pdf.groupby("repo")["commit"].nunique()
+    got = {r["repo"]: r["distinct_commits"] for r in salted_repo_stats(source).collect()}
+    for repo, est in got.items():
+        e = int(exact[repo])
+        assert abs(est - e) <= max(3, 0.15 * e)
+
+
+def test_skew_report_finds_mega_repo(spark, source):
+    rep = skew_report(salted_repo_stats(source))
+    assert rep["top_repo_share"] > 0.10  # Zipf head holds ~19% of rows
+    assert rep["imbalance_ratio"] > 5
+    assert rep["top_repos"][0]["repo"] == "org0/repo0"
