@@ -43,6 +43,9 @@ def _build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("datagen", help="generate the synthetic snapshot")
     g.add_argument("--sf", type=float, required=True)
     g.add_argument("--out", required=True)
+
+    m = sub.add_parser("metrics", help="aggregate quality metrics from a run dir")
+    m.add_argument("--out", required=True, help="validation output directory")
     return p
 
 
@@ -53,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
 
         paths = generate_snapshot(args.sf, args.out)
         print(json.dumps(paths))
+        return 0
+
+    if args.cmd == "metrics":
+        from .policy.metrics import quality_metrics
+
+        print(json.dumps(quality_metrics(args.out), indent=2, default=str))
         return 0
 
     spark = get_spark(master=args.master, app_name="bio_data_validation_spark.validate")

@@ -1,0 +1,61 @@
+"""Quality-metrics aggregation over validation outputs.
+
+Mirrors the reference's scripts/metrics/calculate_quality_metrics.py:12-84
+(decision counts, per-stage pass rates, issue counts, execution stats) over
+the engine's verdict/ledger tables — all driver-sized."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pyarrow.dataset as ds
+
+
+def quality_metrics(out_dir: str | Path) -> dict:
+    out = Path(out_dir)
+    metrics: dict = {}
+
+    verdicts_path = out / "verdicts"
+    if verdicts_path.exists():
+        v = ds.dataset(str(verdicts_path), partitioning="hive").to_table().to_pandas()
+        by_rule = (
+            v.groupby("rule_id")
+            .agg(
+                partitions=("pid", "nunique"),
+                failed_partitions=("passed", lambda s: int((~s).sum())),
+                violation_rows=("violation_count", "sum"),
+            )
+            .reset_index()
+        )
+        metrics["rules"] = by_rule.to_dict("records")
+        metrics["rule_pass_rate"] = float(v["passed"].mean())
+        metrics["total_violation_rows"] = int(v["violation_count"].sum())
+
+    decisions_path = out / "decisions.parquet"
+    if decisions_path.exists():
+        d = pd.read_parquet(decisions_path)
+        metrics["partition_decisions"] = d["decision"].value_counts().to_dict()
+        metrics["partitions_requiring_review"] = int(d["requires_review"].sum())
+
+    ledger_path = out / "ledger"
+    if ledger_path.exists():
+        from ..checkpoint import Ledger
+
+        led = Ledger(ledger_path).metrics()
+        if len(led):
+            metrics["ledger"] = {
+                "partitions_completed": int(led["pid"].nunique()),
+                "rows_processed": int(led["rows"].sum()),
+                "violation_rows": int(led["violation_rows"].sum()),
+                "runs": int(led["run_id"].nunique()),
+            }
+
+    report_path = out / "report.json"
+    if report_path.exists():
+        rep = json.loads(report_path.read_text())
+        metrics["final_decision"] = rep.get("final_decision")
+        metrics["rows_per_sec"] = rep.get("rows_per_sec")
+        metrics["ruleset"] = rep.get("ruleset_metadata")
+    return metrics

@@ -57,3 +57,19 @@ def test_registry_hash_and_version(registry, tmp_path):
     assert lr(p).ruleset_hash == registry.ruleset_hash  # same content, same hash
     p.write_bytes(src + b"\n# tweak\n")
     assert lr(p).ruleset_hash != registry.ruleset_hash
+
+
+def test_quality_metrics(spark, snapshot, tmp_path):
+    from bio_data_validation_spark.engine import run_validation
+    from bio_data_validation_spark.policy.metrics import quality_metrics
+
+    run_validation(
+        spark, snapshot["dirty"], str(tmp_path / "run"),
+        manifest_path=snapshot["manifest"], snapshot_id="d",
+    )
+    m = quality_metrics(tmp_path / "run")
+    assert m["final_decision"] == "rejected"
+    assert m["ledger"]["rows_processed"] > 0
+    by_rule = {r["rule_id"]: r for r in m["rules"]}
+    assert by_rule["DUP_002"]["violation_rows"] > 0
+    assert 0 < m["rule_pass_rate"] < 1
