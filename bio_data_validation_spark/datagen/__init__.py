@@ -169,19 +169,23 @@ def inject_violations(clean: pd.DataFrame) -> pd.DataFrame:
     sel = idx[rng.random(len(idx)) < 0.6]
     dirty.loc[sel, "lang"] = "rust"
 
-    # INJ-DRIFT-LEN: content length x8 (capped) within 2 other pids
-    mask = dirty["pid"].isin(drift_len_pids) & dirty["content"].notna()
-    idx = dirty.index[mask]
-    dirty.loc[idx, "content"] = [
-        (c * 8)[:200_000] for c in dirty.loc[idx, "content"]
-    ]
+    # INJ-DRIFT-LEN: content length x8 (capped) within 2 other pids.
+    # Positional numpy assignment: pandas .loc[idx, col] = list is O(minutes)
+    # on multi-million-row object columns.
+    mask = (dirty["pid"].isin(drift_len_pids) & dirty["content"].notna()).to_numpy()
+    content_arr = dirty["content"].to_numpy(copy=True)
+    pos = np.flatnonzero(mask)
+    content_arr[pos] = [(content_arr[p] * 8)[:200_000] for p in pos]
+    dirty["content"] = content_arr
 
     # INJ-CARD: collapse commit cardinality to 3 within 1 pid (leave rows
     # already hit by INJ-TYPE untouched so per-rule counts stay exact)
-    mask = (dirty["pid"] == card_pid) & (dirty["commit"] != "not-a-sha")
-    idx = dirty.index[mask]
+    mask = ((dirty["pid"] == card_pid) & (dirty["commit"] != "not-a-sha")).to_numpy()
+    commit_arr = dirty["commit"].to_numpy(copy=True)
+    pos = np.flatnonzero(mask)
     three = ["a" * 40, "b" * 40, "c" * 40]
-    dirty.loc[idx, "commit"] = [three[i % 3] for i in range(len(idx))]
+    commit_arr[pos] = [three[i % 3] for i in range(len(pos))]
+    dirty["commit"] = commit_arr
 
     # INJ-DUP: re-emit 0.8% of rows (exact duplicate (repo,path,commit) triples)
     dup_rows = dirty.loc[take(int(n * 0.008))]
