@@ -744,8 +744,333 @@ GROUP BY n_name
 
 
 # --------------------------------------------------------------------------
+# §2.3 CONS_002 / §2.7 — type & format conformance, enum membership, prefixes
+# --------------------------------------------------------------------------
+
+def q_type_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONS_002 value-level type conformance via try_cast null-delta
+    (rule_validator.py:189-200, _is_compatible_type :438-450): parse failures
+    count as violations instead of raising, fused into one agg."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).try_cast("int")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_k_parsed"),
+        F.count(F.when(k.isNull() & F.col("props").isNotNull(), 1)).alias("n_k_fail"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(F.when(F.col("event_type").try_cast("int").isNotNull(), 1)).alias(
+            "n_type_numeric"
+        ),
+    )
+
+
+SQL_TYPE_CONFORMANCE = r"""
+SELECT count(*) AS n_rows,
+       count(*) FILTER (TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) IS NOT NULL)
+           AS n_k_parsed,
+       count(*) FILTER (TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) IS NULL
+                        AND props IS NOT NULL) AS n_k_fail,
+       CAST(sum(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+       count(*) FILTER (TRY_CAST(event_type AS INTEGER) IS NOT NULL) AS n_type_numeric
+FROM events
+"""
+
+
+def q_format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 regex/charset family (BIO_006/007/005 twins, bio_rules.py:124-260):
+    empty strings, pattern runs, charset checks — all rlike counts in ONE agg."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.agg(
+        F.count(F.when(F.length(t) == 0, 1)).alias("n_empty"),
+        F.count(F.when(t.rlike("[0-9]{4,}"), 1)).alias("n_digit_run"),
+        F.count(F.when(t.rlike(r"\s{3,}"), 1)).alias("n_ws_run"),
+        F.count(F.when(t.rlike("[A-Z]{4,}"), 1)).alias("n_upper_run"),
+        F.count(F.when(t.rlike("^[a-z]"), 1)).alias("n_lower_start"),
+    )
+
+
+SQL_FORMAT_CONFORMANCE = r"""
+SELECT count(*) FILTER (length(text) = 0) AS n_empty,
+       count(*) FILTER (regexp_matches(text, '[0-9]{4,}')) AS n_digit_run,
+       count(*) FILTER (regexp_matches(text, '\s{3,}')) AS n_ws_run,
+       count(*) FILTER (regexp_matches(text, '[A-Z]{4,}')) AS n_upper_run,
+       count(*) FILTER (regexp_matches(text, '^[a-z]')) AS n_lower_start
+FROM documents
+"""
+
+
+def q_enum_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 enum-membership check (variant_validator.py:329-358): values
+    outside the allowed set become violation rows, grouped for counts."""
+    e = _t(spark, sf_dir, "events")
+    allowed = ["click", "view", "purchase", "signup"]
+    return (
+        e.filter(~F.col("event_type").isin(allowed))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_invalid"))
+    )
+
+
+SQL_ENUM_MEMBERSHIP = """
+SELECT event_type, count(*) AS n_invalid
+FROM events
+WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
+GROUP BY event_type
+"""
+
+
+def q_prefix_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 mixed-prefix consistency (variant_validator.py:122-166): the
+    prefixed count must be 0 or n_rows, else the naming is mixed."""
+    d = _t(spark, sf_dir, "documents")
+    n_pref = F.count(F.when(F.col("source").startswith("src"), 1))
+    n_rows = F.count(F.lit(1))
+    return d.agg(
+        n_rows.alias("n_rows"),
+        n_pref.alias("n_prefixed"),
+        F.when((n_pref == 0) | (n_pref == n_rows), 0).otherwise(1).alias("mixed_prefix"),
+    )
+
+
+SQL_PREFIX_CONSISTENCY = """
+SELECT count(*) AS n_rows,
+       count(*) FILTER (source LIKE 'src%') AS n_prefixed,
+       CASE WHEN count(*) FILTER (source LIKE 'src%') IN (0, count(*))
+            THEN 0 ELSE 1 END AS mixed_prefix
+FROM documents
+"""
+
+
+def q_batch_confounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 batch-confounding (sample_metadata_validator.py:486-504): a batch
+    whose condition has a single distinct value is confounded."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.when(F.countDistinct("lang") == 1, 1).otherwise(0).alias("confounded"),
+    )
+
+
+SQL_BATCH_CONFOUNDING = """
+SELECT source, count(DISTINCT lang) AS n_langs,
+       CASE WHEN count(DISTINCT lang) = 1 THEN 1 ELSE 0 END AS confounded
+FROM documents GROUP BY source
+"""
+
+
+def q_missingness_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 per-batch missingness drift (sample_metadata_validator.py:544-585):
+    stddev of per-group null rates flags group-correlated missingness."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        (F.count(F.when(F.col("lang").isNull(), 1)) / F.count(F.lit(1))).alias("null_frac")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.round(F.stddev_samp("null_frac"), 6).alias("null_frac_std"),
+        F.round(F.max("null_frac") - F.min("null_frac"), 6).alias("null_frac_spread"),
+    )
+
+
+SQL_MISSINGNESS_DRIFT = """
+WITH per AS (
+  SELECT source,
+         count(*) FILTER (lang IS NULL) / CAST(count(*) AS DOUBLE) AS null_frac
+  FROM documents GROUP BY source)
+SELECT count(*) AS n_groups,
+       round(stddev_samp(null_frac), 6) AS null_frac_std,
+       round(max(null_frac) - min(null_frac), 6) AS null_frac_spread
+FROM per
+"""
+
+
+def q_quartile_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIAS_001B continuous-distribution imbalance via quartile binning
+    (rule_validator.py:355-371): exact interpolated quartiles, then bin counts."""
+    d = _t(spark, sf_dir, "documents")
+    qs = d.agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("q1"),
+        F.percentile("n_chars", F.lit(0.5)).alias("q2"),
+        F.percentile("n_chars", F.lit(0.75)).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("n_chars") <= F.col("q1"), 1)
+        .when(F.col("n_chars") <= F.col("q2"), 2)
+        .when(F.col("n_chars") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        d.crossJoin(F.broadcast(qs))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_QUARTILE_IMBALANCE = """
+WITH q AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+                  quantile_cont(n_chars, 0.5) AS q2,
+                  quantile_cont(n_chars, 0.75) AS q3
+           FROM documents)
+SELECT CASE WHEN n_chars <= q1 THEN 1
+            WHEN n_chars <= q2 THEN 2
+            WHEN n_chars <= q3 THEN 3
+            ELSE 4 END AS bucket,
+       count(*) AS n
+FROM documents, q
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Window / ordering operators (sessionization, top-k, set ops) — capability
+# extensions beyond the reference (SURVEY §2.11 gap analysis)
+# --------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (30-min inactivity boundary) via
+    window lag — timezone-independent interval math (ts is TIMESTAMP_NTZ) so
+    engines agree exactly at microsecond precision."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        e.select("user_id", is_new.alias("is_new"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_new").cast("long").alias("n_sessions"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH y AS (SELECT user_id,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events)
+SELECT user_id, count(*) AS n_events, CAST(sum(is_new) AS BIGINT) AS n_sessions
+FROM y GROUP BY user_id
+"""
+
+
+def q_top_k_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by length with deterministic tiebreak (TakeOrdered — partial
+    per-partition top-k, no full sort at scale)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.orderBy(F.desc("n_chars"), F.col("doc_id"))
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
+
+
+SQL_TOP_K_LONGEST = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 100
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: langs seen in src0 EXCEPT/INTERSECT langs in src1."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("source") == "src0").select("lang").distinct()
+    b = d.filter(F.col("source") == "src1").select("lang").distinct()
+    return a.subtract(b).withColumn("op", F.lit("except")).unionByName(
+        a.intersect(b).withColumn("op", F.lit("intersect"))
+    )
+
+
+SQL_SET_OPS = """
+SELECT lang, 'except' AS op FROM
+  (SELECT DISTINCT lang FROM documents WHERE source = 'src0'
+   EXCEPT
+   SELECT DISTINCT lang FROM documents WHERE source = 'src1')
+UNION ALL
+SELECT lang, 'intersect' AS op FROM
+  (SELECT DISTINCT lang FROM documents WHERE source = 'src0'
+   INTERSECT
+   SELECT DISTINCT lang FROM documents WHERE source = 'src1')
+"""
+
+
+def q_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing twin with an exact oracle: byte-level (octet)
+    stats per source — the same shape as binary-payload size profiling."""
+    d = _t(spark, sf_dir, "documents")
+    ob = F.octet_length(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ob).cast("long").alias("sum_bytes"),
+        F.max(ob).alias("max_bytes"),
+    )
+
+
+SQL_BYTE_STATS = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+       CAST(max(strlen(text)) AS INTEGER) AS max_bytes
+FROM documents GROUP BY source
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, label-blocked self-join (the
+    block key bounds the quadratic term; at scale the block is an LSH bucket)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = e.select(
+        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
 # Spark-only operators (no SQL-expressible oracle → rows-only driver check)
 # --------------------------------------------------------------------------
+
+def q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode→featurize over binary payloads (Arrow-batched
+    mapInPandas, deterministic stub decoders) — rows-only check since the
+    media table is synthesized, not part of the sf_dir snapshot."""
+    from .functions.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=64, seed=42)
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").cast("long").alias("sum_bytes"),
+        F.countDistinct("payload_sha256").alias("distinct_payloads"),
+    )
+
+
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import minhash_lsh_candidates
@@ -805,10 +1130,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "order_priority": q_order_priority,
     "acctbal_by_nation": q_acctbal_by_nation,
+    "type_conformance": q_type_conformance,
+    "format_conformance": q_format_conformance,
+    "enum_membership": q_enum_membership,
+    "prefix_consistency": q_prefix_consistency,
+    "batch_confounding": q_batch_confounding,
+    "missingness_drift": q_missingness_drift,
+    "quartile_imbalance": q_quartile_imbalance,
+    "sessionize": q_sessionize,
+    "top_k_longest": q_top_k_longest,
+    "set_ops": q_set_ops,
+    "byte_stats": q_byte_stats,
+    "embedding_near_dup": q_embedding_near_dup,
     # Spark-only (rows-only correctness check):
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "simhash_signatures": q_simhash_signatures,
     "lsh_topk": q_lsh_topk,
+    "media_feature_stats": q_media_feature_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -843,4 +1181,16 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "order_priority": SQL_ORDER_PRIORITY,
     "acctbal_by_nation": SQL_ACCTBAL_BY_NATION,
+    "type_conformance": SQL_TYPE_CONFORMANCE,
+    "format_conformance": SQL_FORMAT_CONFORMANCE,
+    "enum_membership": SQL_ENUM_MEMBERSHIP,
+    "prefix_consistency": SQL_PREFIX_CONSISTENCY,
+    "batch_confounding": SQL_BATCH_CONFOUNDING,
+    "missingness_drift": SQL_MISSINGNESS_DRIFT,
+    "quartile_imbalance": SQL_QUARTILE_IMBALANCE,
+    "sessionize": SQL_SESSIONIZE,
+    "top_k_longest": SQL_TOP_K_LONGEST,
+    "set_ops": SQL_SET_OPS,
+    "byte_stats": SQL_BYTE_STATS,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
 }
