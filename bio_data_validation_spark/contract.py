@@ -922,6 +922,136 @@ GROUP BY 1
 """
 
 
+def q_low_variance_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 constant/low-variance rows (matrix_validator.py:426-440, :567-584):
+    per-group variance with constant/low flags, one grouped agg."""
+    e = _t(spark, sf_dir, "events")
+    v = F.var_pop("value")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(v, 6).alias("var_value"),
+        F.when(v == 0, 1).otherwise(0).alias("is_constant"),
+        F.when(v < 0.01, 1).otherwise(0).alias("is_low_variance"),
+    )
+
+
+SQL_LOW_VARIANCE_GROUPS = """
+SELECT user_id, count(*) AS n,
+       round(var_pop(value), 6) AS var_value,
+       CASE WHEN var_pop(value) = 0 THEN 1 ELSE 0 END AS is_constant,
+       CASE WHEN var_pop(value) < 0.01 THEN 1 ELSE 0 END AS is_low_variance
+FROM events GROUP BY user_id
+"""
+
+
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 pairwise column correlation r (matrix_validator.py:588-610) —
+    explicit moment formula so both engines compute identical arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("l_quantity")
+    sy = F.sum("l_extendedprice")
+    sxy = F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
+    sxx = F.sum(F.col("l_quantity") * F.col("l_quantity"))
+    syy = F.sum(F.col("l_extendedprice") * F.col("l_extendedprice"))
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.round(r, 6).alias("r_qty_price")
+    )
+
+
+SQL_CORRELATION = """
+SELECT count(*) AS n_rows,
+       round((count(*) * sum(l_quantity * l_extendedprice)
+              - sum(l_quantity) * sum(l_extendedprice))
+             / sqrt((count(*) * sum(l_quantity * l_quantity)
+                     - sum(l_quantity) * sum(l_quantity))
+                    * (count(*) * sum(l_extendedprice * l_extendedprice)
+                       - sum(l_extendedprice) * sum(l_extendedprice))), 6)
+           AS r_qty_price
+FROM lineitem
+"""
+
+
+def q_group_mean_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 sample-mean outliers 3σ (matrix_validator.py:633-659): per-group
+    means z-scored against the distribution of group means."""
+    e = _t(spark, sf_dir, "events")
+    means = e.groupBy("user_id").agg(F.avg("value").alias("m"))
+    stats = means.agg(
+        F.avg("m").alias("mm"), F.stddev_pop("m").alias("ms")
+    )
+    return (
+        means.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            F.round("m", 6).alias("group_mean"),
+            F.when(F.abs(F.col("m") - F.col("mm")) > 3 * F.col("ms"), 1)
+            .otherwise(0)
+            .alias("is_outlier"),
+        )
+    )
+
+
+SQL_GROUP_MEAN_OUTLIERS = """
+WITH means AS (SELECT user_id, avg(value) AS m FROM events GROUP BY user_id),
+     s AS (SELECT avg(m) AS mm, stddev_pop(m) AS ms FROM means)
+SELECT user_id, round(m, 6) AS group_mean,
+       CASE WHEN abs(m - mm) > 3 * ms THEN 1 ELSE 0 END AS is_outlier
+FROM means, s
+"""
+
+
+def q_conditional_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 per-category pattern rules (BIO_002 PAM twin, bio_rules.py:198-213):
+    each category gets its own regex, applied under a category mask."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    patterns = {"en": "[aeiou]", "de": "[a-z]{3,}", "fr": "e", "es": "o", "zh": "."}
+    checks = [
+        F.count(
+            F.when((F.col("lang") == k) & ~t.rlike(p), 1)
+        ).alias(f"n_bad_{k}")
+        for k, p in sorted(patterns.items())
+    ]
+    return d.agg(*checks)
+
+
+SQL_CONDITIONAL_REGEX = """
+SELECT count(*) FILTER (lang = 'de' AND NOT regexp_matches(text, '[a-z]{3,}')) AS n_bad_de,
+       count(*) FILTER (lang = 'en' AND NOT regexp_matches(text, '[aeiou]')) AS n_bad_en,
+       count(*) FILTER (lang = 'es' AND NOT regexp_matches(text, 'o')) AS n_bad_es,
+       count(*) FILTER (lang = 'fr' AND NOT regexp_matches(text, 'e')) AS n_bad_fr,
+       count(*) FILTER (lang = 'zh' AND NOT regexp_matches(text, '.')) AS n_bad_zh
+FROM documents
+"""
+
+
+def q_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 explode(split(...)) shape (variant_validator.py:329-358) as a
+    token-frequency top-k: split → explode → groupBy → ordered limit."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select(tok)
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("tok"))
+        .limit(20)
+    )
+
+
+SQL_WORD_FREQ_TOPK = r"""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL)
+WHERE length(tok) > 0
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Window / ordering operators (sessionization, top-k, set ops) — capability
 # extensions beyond the reference (SURVEY §2.11 gap analysis)
@@ -1137,6 +1267,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "batch_confounding": q_batch_confounding,
     "missingness_drift": q_missingness_drift,
     "quartile_imbalance": q_quartile_imbalance,
+    "low_variance_groups": q_low_variance_groups,
+    "correlation": q_correlation,
+    "group_mean_outliers": q_group_mean_outliers,
+    "conditional_regex": q_conditional_regex,
+    "word_freq_topk": q_word_freq_topk,
     "sessionize": q_sessionize,
     "top_k_longest": q_top_k_longest,
     "set_ops": q_set_ops,
@@ -1188,6 +1323,11 @@ ORACLES: dict[str, str] = {
     "batch_confounding": SQL_BATCH_CONFOUNDING,
     "missingness_drift": SQL_MISSINGNESS_DRIFT,
     "quartile_imbalance": SQL_QUARTILE_IMBALANCE,
+    "low_variance_groups": SQL_LOW_VARIANCE_GROUPS,
+    "correlation": SQL_CORRELATION,
+    "group_mean_outliers": SQL_GROUP_MEAN_OUTLIERS,
+    "conditional_regex": SQL_CONDITIONAL_REGEX,
+    "word_freq_topk": SQL_WORD_FREQ_TOPK,
     "sessionize": SQL_SESSIONIZE,
     "top_k_longest": SQL_TOP_K_LONGEST,
     "set_ops": SQL_SET_OPS,
