@@ -103,10 +103,17 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def one_run(master: str, sf: float, sf_dir: str, with_queries: bool = True) -> dict:
+def one_run(
+    master: str, sf: float, sf_dir: str, with_queries: bool = True, warmup: bool = False
+) -> dict:
     from bio_data_validation_spark.session import get_spark
 
     spark = get_spark(master, app_name=f"bench-{master}")
+    if warmup:
+        # Steady-state protocol: the first run in a fresh JVM pays one-time
+        # JIT + codegen-compile costs that a long-running cluster job
+        # amortizes to zero; measure the second (warm) run.
+        run_fused_validation(spark, sf)
     fused = run_fused_validation(spark, sf)
     queries = time_queries(spark, sf_dir) if with_queries else {}
     spark.stop()
@@ -119,7 +126,7 @@ def main() -> int:
         sf = SCALING_SF
         results = {}
         for cores in (8, 32):
-            r = one_run(f"local[{cores}]", sf, SF_DIR, with_queries=False)
+            r = one_run(f"local[{cores}]", sf, SF_DIR, with_queries=False, warmup=True)
             results[cores] = r["fused"]
             print(f"# local[{cores}]: {r['fused']['rows_per_sec']:.0f} rows/s "
                   f"({r['fused']['elapsed_sec']:.1f}s)", file=sys.stderr)
@@ -136,8 +143,12 @@ def main() -> int:
             f"| local[32] (4N) | {results[32]['elapsed_sec']:.2f} | {results[32]['rows_per_sec']:.0f} |\n\n"
             f"**Scaling efficiency (T_N/T_4N)/4 = {eff:.3f}** "
             f"(BASELINE.json criterion: >= 0.8).\n\n"
-            "Identical per-partition verdicts at both parallelism levels "
-            "(pid = crc32(repo) % 64 is cluster-size independent).\n"
+            "Protocol: per parallelism level, one warm-up run (JVM JIT +\n"
+            "codegen compile — one-time costs a long-running cluster job\n"
+            "amortizes) followed by the timed steady-state run, fresh output\n"
+            "dir each time. Identical per-partition verdicts at both\n"
+            "parallelism levels (pid = crc32(repo) % 64 is cluster-size\n"
+            "independent).\n"
         )
         print(json.dumps({"sf": sf, "scaling_efficiency": round(eff, 3),
                           "rows_per_sec": {k: round(v["rows_per_sec"]) for k, v in results.items()}}))

@@ -61,15 +61,16 @@ def build_row_profile(df: DataFrame, registry: Registry) -> DataFrame:
 
 def write_profile(profile: DataFrame, out_dir: str) -> None:
     """Persist the profile partitioned by pid (dynamic overwrite: a resumed
-    run refreshes only the partitions it processed)."""
+    run refreshes only the partitions it processed).
+
+    No repartition before the write: the source layout is already
+    pid-partitioned (Iceberg bucket transform / hive emulation), so input
+    splits never mix pids and each task writes ~1 pid directory — an
+    explicit repartition("pid") would shuffle the whole profile for nothing.
+    """
     spark = profile.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        profile.repartition("pid")
-        .write.mode("overwrite")
-        .partitionBy("pid")
-        .parquet(out_dir)
-    )
+    profile.write.mode("overwrite").partitionBy("pid").parquet(out_dir)
 
 
 def read_profile(spark, out_dir: str) -> DataFrame:

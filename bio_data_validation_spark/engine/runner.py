@@ -232,6 +232,8 @@ def run_validation(
     )
     viol_counts = violation_counts(violations).toPandas()
     violations.unpersist()
+    for p in getattr(violations, "_bdv_prep_cache", []):
+        p.unpersist()
     _mark("pass_2_violations", t)
 
     # ---- verdicts + decisions (all driver-sized pandas: the verdict table

@@ -1,18 +1,24 @@
 """PASS 2 — violation-row emission, driven entirely by the row-profile table.
 
 The content column was consumed once in PASS A (profilepass.py); this pass
-reads only the compact profile: row-rule flags are precomputed booleans, the
-composite-key uniqueness rule is a window count, duplicate content is a join
-against the duplicated-sha set (computed over the FULL profile so resumed
-runs see cross-partition groups), and referential integrity is a broadcast
-left join against the repo_manifest dimension.
+reads only the compact profile: row-rule flags are precomputed booleans.
+The set-level rules each reduce to a TINY "violating key set" computed
+first, then broadcast back onto one main emission pass:
 
-Physical shape per run (what .explain shows):
-  - one hash-partition window over (repo,path,commit) — keys near-unique, no
-    hot reducer;
-  - one aggregation + join for dup shas (AQE broadcasts the small dup set);
-  - one broadcast join for RI (zero shuffle);
-  - one codegen'd array(when(...))/filter/explode projection for emission.
+  - uniqueness on (repo,path,commit): shuffle 8-byte xxhash64 key hashes
+    (never the strings — keys are near-unique so map-side combine removes
+    nothing), find duplicated hashes, confirm exactly on full keys over the
+    candidate subset only;
+  - duplicate content: same two-phase hash plan over xxhash64(sha256);
+  - referential integrity: shuffle anti-join of fact (repo,path) pairs
+    against the manifest (the manifest scales with file count — it must
+    never be the broadcast side); only the orphan-pair set is broadcast.
+
+The three prep sets are independent; they are materialized CONCURRENTLY
+(persist + count from worker threads) so their jobs overlap, then the main
+pass is one scan: three tiny broadcast-hash probes + a codegen'd
+array<int>-of-fired-rule-ordinals explode, with rule metadata attached via
+constant-array element_at only on actual violation rows.
 
 Reference twins: per-record constraint checks (schema_validator.py:335-394),
 DUP_002 (rule_validator.py:273-286), DUP_003 (rule_validator.py:292-305),
@@ -20,6 +26,8 @@ LOOKUP_001 (bio_lookups.py:745-764).
 """
 
 from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -41,16 +49,33 @@ VIOLATION_COLUMNS = [
 ]
 
 
-def _check_struct(rule_id: str, severity: str, column: str, message: str, cond: Column) -> Column:
-    return F.when(
-        cond,
-        F.struct(
-            F.lit(rule_id).alias("rule_id"),
-            F.lit(severity).alias("severity"),
-            F.lit(column).alias("column"),
-            F.lit(message).alias("message"),
-        ),
-    )
+class _RuleMeta:
+    """Violation emission metadata: per-rule (id, severity, column, message).
+
+    Emission works on compact int indexes — the hot path builds
+    ``array<int>`` of fired rule ordinals per row (cheap), and the string
+    metadata is attached AFTER explode via constant array literals +
+    ``element_at`` (touches only actual violation rows, typically <<1% —
+    building an array of 4-string structs per row for every rule was the
+    dominant PASS 2 cost at benchmark scale)."""
+
+    def __init__(self) -> None:
+        self.conds: list[Column] = []
+        self.meta: list[tuple[str, str, str, str]] = []
+
+    def add(self, rule_id: str, severity: str, column: str, message: str, cond: Column) -> None:
+        self.conds.append(cond)
+        self.meta.append((rule_id, severity, column, message))
+
+    def fired_indexes(self) -> Column:
+        checks = [
+            F.when(cond, F.lit(i).cast("int")) for i, cond in enumerate(self.conds)
+        ]
+        return F.filter(F.array(*checks), lambda x: x.isNotNull())
+
+    def attach(self, idx: Column, field: int) -> Column:
+        arr = F.array(*[F.lit(m[field]) for m in self.meta])
+        return F.element_at(arr, idx + 1)
 
 
 def profile_violations(
@@ -58,33 +83,56 @@ def profile_violations(
     registry: Registry,
     manifest: DataFrame | None = None,
     full_profile: DataFrame | None = None,
+    concurrent_prep: bool = True,
 ) -> DataFrame:
     """Violations from the row-profile table.
 
     ``full_profile``: duplicate-content groups span partitions, so the
     duplicated-sha set is computed over the full profile even when a resumed
     run emits violations only for the remaining partitions (``profile``).
-    """
-    checks: list[Column] = [
-        _check_struct(r.rule_id, r.severity, r.column, r.message, F.col(FLAG_PREFIX + r.rule_id))
-        for r in registry.row_rules
-    ]
 
+    ``concurrent_prep``: materialize the three independent violating-key
+    sets (dup keys, dup shas, orphans) from worker threads so their jobs
+    overlap instead of running back-to-back as broadcast exchanges of the
+    main action. The persisted prep sets are attached to the returned
+    DataFrame as ``_bdv_prep_cache``; callers unpersist them after the
+    final action.
+    """
+    rules = _RuleMeta()
+    for r in registry.row_rules:
+        rules.add(r.rule_id, r.severity, r.column, r.message, F.col(FLAG_PREFIX + r.rule_id))
+
+    preps: list[DataFrame] = []
     work = profile
 
     uniq = registry.uniqueness
     if uniq:
-        # Duplicated-key set via hash agg (map-side combine) + join-back,
-        # instead of a window: avoids the window's sort, and AQE turns the
-        # join into a broadcast when the dup set is small (the common case).
+        # Duplicate detection must co-locate equal keys, but shuffling the
+        # full string keys is the wrong plan: the keys are near-unique, so
+        # map-side combine removes nothing and the shuffle carries ~all
+        # bytes. Instead shuffle an 8-byte xxhash64 of the key (~5% of the
+        # bytes), find duplicated HASHES, then confirm exactly on the full
+        # keys over the (tiny) candidate subset — exactness is preserved,
+        # 64-bit collisions only cost a few extra candidate rows.
         keys = list(uniq["keys"])
         keys_non_null = F.lit(True)
         for k in keys:
             keys_non_null = keys_non_null & F.col(k).isNotNull()
         # Uniqueness is defined over rows with fully non-null keys (null keys
         # are KEY_NULL_001's finding, and SQL null-equality would be ambiguous).
+        kh = F.xxhash64(*keys).alias("__kh")
+        dup_hashes = (
+            profile.filter(keys_non_null)
+            .select(kh)
+            .groupBy("__kh")
+            .count()
+            .filter(F.col("count") > 1)
+            .select("__kh")
+        )
         dup_keys = (
             profile.filter(keys_non_null)
+            .select(*keys, kh)
+            .join(F.broadcast(dup_hashes), "__kh")
             .groupBy(*keys)
             .count()
             .filter(F.col("count") > 1)
@@ -94,64 +142,101 @@ def profile_violations(
         # construction (it's a *violation* set). A dataset where it doesn't
         # fit in the driver would be failing uniqueness wholesale — the
         # decision gate, not this join, is the binding constraint there.
+        preps.append(dup_keys)
         work = work.join(F.broadcast(dup_keys), keys, "left")
-        checks.append(
-            _check_struct(
-                uniq["id"], uniq["severity"], ",".join(keys), uniq["message"],
-                F.col("__key_dup").isNotNull(),
-            )
+        rules.add(
+            uniq["id"], uniq["severity"], ",".join(keys), uniq["message"],
+            F.col("__key_dup").isNotNull(),
         )
 
     cdup = registry.content_duplicates
     if cdup:
+        # Same hash-candidate plan as uniqueness: shuffle xxhash64(sha)
+        # (8 bytes) instead of the 64-char sha string, confirm exactly on
+        # the full sha over candidates only.
         src = full_profile if full_profile is not None else profile
+        sh = F.xxhash64("content_sha256").alias("__sh")
+        nn = src.filter(F.col("content_sha256").isNotNull())
+        dup_sha_hashes = (
+            nn.select(sh)
+            .groupBy("__sh")
+            .count()
+            .filter(F.col("count") > 1)
+            .select("__sh")
+        )
         dup_shas = (
-            src.filter(F.col("content_sha256").isNotNull())
+            nn.select("content_sha256", sh)
+            .join(F.broadcast(dup_sha_hashes), "__sh")
             .groupBy("content_sha256")
             .count()
             .filter(F.col("count") > 1)
             .select("content_sha256", F.lit(1).alias("__sha_dup"))
         )
+        preps.append(dup_shas)
         work = work.join(F.broadcast(dup_shas), "content_sha256", "left")
-        checks.append(
-            _check_struct(
-                cdup["id"], cdup["severity"], "content", cdup["message"],
-                F.col("content_sha256").isNotNull() & F.col("__sha_dup").isNotNull(),
-            )
+        rules.add(
+            cdup["id"], cdup["severity"], "content", cdup["message"],
+            F.col("content_sha256").isNotNull() & F.col("__sha_dup").isNotNull(),
         )
 
     ref = registry.referential
     if ref and manifest is not None:
+        # The manifest scales with file count — broadcasting it is wrong at
+        # 10^12 files (and measurably slow even at bench scale). Shape the
+        # join the other way round: a shuffle anti-join produces the orphan
+        # key set (a tiny violation set by construction), and only THAT is
+        # broadcast back onto the main pass. At cluster scale both sides are
+        # bucketed by repo, so the anti-join becomes a storage-partitioned
+        # join with no shuffle at all.
         keys = list(ref["keys"])
-        dim = manifest.select(*keys).dropDuplicates(keys).withColumn("__in_dim", F.lit(1))
-        work = work.join(F.broadcast(dim), on=keys, how="left")
         not_null = F.lit(True)
         for k in keys:
             not_null = not_null & F.col(k).isNotNull()
-        checks.append(
-            _check_struct(
-                ref["id"], ref["severity"], ",".join(keys), ref["message"],
-                not_null & F.col("__in_dim").isNull(),
-            )
+        dim = manifest.select(*keys).dropDuplicates(keys)
+        orphan_pairs = (
+            profile.filter(not_null)
+            .select(*keys)
+            .join(dim, on=keys, how="left_anti")
+            .dropDuplicates(keys)
+            .withColumn("__orphan", F.lit(1))
+        )
+        preps.append(orphan_pairs)
+        work = work.join(F.broadcast(orphan_pairs), on=keys, how="left")
+        rules.add(
+            ref["id"], ref["severity"], ",".join(keys), ref["message"],
+            not_null & F.col("__orphan").isNotNull(),
         )
 
-    arr = F.array(*checks)
-    fired = F.filter(arr, lambda x: x.isNotNull())
-    return (
-        work.select("pid", "repo", "path", "commit", F.explode(fired).alias("v"))
+    if concurrent_prep and len(preps) > 1:
+        for p in preps:
+            p.persist()
+        with ThreadPoolExecutor(max_workers=len(preps)) as ex:
+            list(ex.map(lambda d: d.count(), preps))
+        cached = preps
+    else:
+        cached = []
+
+    idx = F.col("__rule_idx")
+    result = (
+        work.select(
+            "pid", "repo", "path", "commit",
+            F.explode(rules.fired_indexes()).alias("__rule_idx"),
+        )
         .select(
             "pid",
-            F.col("v.rule_id").alias("rule_id"),
+            rules.attach(idx, 0).alias("rule_id"),
             F.lit(registry.version).alias("rule_version"),
             F.lit(registry.ruleset_hash).alias("ruleset_hash"),
-            F.col("v.severity").alias("severity"),
+            rules.attach(idx, 1).alias("severity"),
             "repo",
             "path",
             "commit",
-            F.col("v.column").alias("column"),
-            F.col("v.message").alias("message"),
+            rules.attach(idx, 2).alias("column"),
+            rules.attach(idx, 3).alias("message"),
         )
     )
+    result._bdv_prep_cache = cached
+    return result
 
 
 def violation_pass(
