@@ -9,8 +9,9 @@ around a single-content-scan profile architecture.
     → PASS 1: one fused fine-grained aggregation over the profile
       (+ rollups from the tiny fine table)
     → drift vs baseline profile (grouped Arrow UDF over histograms)
-    → PASS 2: violation rows from profile flags ∪ uniqueness window ∪
-      dup-sha join (over the FULL profile — resume-safe) ∪ broadcast RI join
+    → PASS 2: violation rows from profile flags ∪ uniqueness (two-phase
+      hash-candidate) ∪ dup-sha (same, over the FULL profile — resume-safe)
+      ∪ RI (shuffle anti-join → tiny orphan set broadcast back)
     → verdicts + decisions → ledger append → report.json, exit code.
 
 The content column (≈95% of bytes at scale) is scanned exactly once per run;
@@ -23,6 +24,7 @@ from __future__ import annotations
 
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import pandas as pd
@@ -168,7 +170,15 @@ def run_validation(
     # HLL-cardinality agg.
     t = time.time()
     fine = fine_grained_agg(profile_cur, registry).cache()
-    fine_pdf = fine.toPandas()
+    # The fused fine agg and the per-pid HLL cardinality agg are independent
+    # scans of the profile — overlap their jobs instead of running them
+    # back-to-back (both are needed below; a wasted tiny card job on the
+    # resume no-op path is harmless).
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_fine = ex.submit(fine.toPandas)
+        f_card = ex.submit(cardinality_by_pid(profile_cur).toPandas)
+        fine_pdf = f_fine.result()
+        card = f_card.result()
     stats, lang_hist, len_hist = (
         rollups_from_fine_pdf(fine_pdf) if len(fine_pdf) else (fine_pdf, fine_pdf, fine_pdf)
     )
@@ -195,7 +205,6 @@ def run_validation(
             report.update({"final_decision": "accepted", "exit_code": 0})
         (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
         return report
-    card = cardinality_by_pid(profile_cur).toPandas()
     stats = stats.merge(card, on="pid", how="left")
     _mark("pass_1_fused_stats", t)
 
