@@ -1152,12 +1152,20 @@ FROM documents GROUP BY source
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, label-blocked self-join (the
     block key bounds the quadratic term; at scale the block is an LSH bucket)."""
+    from .functions.similarity import dot, l2_norm
+
     e = _t(spark, sf_dir, "embeddings")
+    # Norms are computed ONCE per vector before the pairwise join (identical
+    # arithmetic to cosine() — sqrt of sum of squares per side — so the
+    # rounded values match the oracle exactly; the join then pays one dot
+    # product per pair instead of one dot and two norms).
     a = e.select(
-        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        l2_norm(F.col("embedding")).alias("norm_a"),
     )
     b = e.select(
-        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        l2_norm(F.col("embedding")).alias("norm_b"),
     )
     return (
         a.join(b, "label")
@@ -1166,7 +1174,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos"),
+            F.round(
+                dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 4
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.35)
     )
