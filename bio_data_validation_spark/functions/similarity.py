@@ -2,9 +2,9 @@
 
 Brute-force cosine top-k is the exact baseline: the dot product is pure
 column math (``F.zip_with`` + ``F.aggregate``), fully JVM-side — no UDF.
-The scale path is LSH bucketing (random signed projections via deterministic
-per-dimension hash weights) so candidate generation is linear, then exact
-re-scoring within buckets only.
+The scale path is LSH bucketing (random signed projections against
+deterministic literal weight arrays) so candidate generation is linear, then
+exact re-scoring within buckets only.
 """
 
 from __future__ import annotations
@@ -55,28 +55,37 @@ def brute_force_topk(
     )
 
 
+def _lsh_planes(dims: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic hyperplane weights in [-1, 1], generated driver-side and
+    shipped as array LITERALS — the executor never derives weights, so the
+    plane expression is a plain zip_with dot product (no per-element hashing)
+    and the query's bucket can be computed in pure Python with bit-identical
+    float math (same sequential fold order as F.aggregate)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(-1.0, 1.0, size=(n_planes, dims))).tolist()
+
+
 def sign_lsh_buckets(
     df: DataFrame,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
-    """Sign-random-projection LSH bucket per vector, deterministic: plane p's
-    weight for dimension i is a hash-derived value in [-1, 1]
-    (xxhash64(i, p) scaled). Pure column math; returns (id, bucket)."""
-    dims = F.size(F.col(vec_col))
-    # weight(i, p) = (xxhash64(i*1000003 + p) % 2001 - 1000) / 1000
+    """Sign-random-projection LSH bucket per vector; returns (id, bucket).
+
+    Pure column math against literal weight arrays; ``dims`` is inferred
+    with one tiny job when not provided."""
+    if dims is None:
+        dims = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    planes = _lsh_planes(dims, n_planes)
+
     def plane_dot(p: int) -> Column:
+        w = F.array(*[F.lit(v) for v in planes[p]])
         return F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), dims - 1),
-                lambda x, i: x.cast("double")
-                * (
-                    (F.pmod(F.xxhash64(i * F.lit(1000003) + F.lit(p)), F.lit(2001)) - 1000)
-                    / F.lit(1000.0)
-                ),
-            ),
+            F.zip_with(F.col(vec_col), w, lambda x, wv: x.cast("double") * wv),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -85,6 +94,18 @@ def sign_lsh_buckets(
     for p in range(n_planes):
         bucket = bucket * 2 + F.when(plane_dot(p) > 0, 1).otherwise(0)
     return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def _python_bucket(vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side twin of the executor bucket expression: identical
+    sequential fold order → identical IEEE-754 result."""
+    bucket = 0
+    for w in planes:
+        acc = 0.0
+        for x, wv in zip(vec, w):
+            acc = acc + float(x) * wv
+        bucket = bucket * 2 + (1 if acc > 0 else 0)
+    return bucket
 
 
 def lsh_topk(
@@ -98,12 +119,9 @@ def lsh_topk(
     """ANN top-k: restrict exact scoring to the query's LSH bucket, falling
     back to brute force when the bucket is smaller than k (quality guard is
     the caller's concern; this is the scale path)."""
-    buckets = sign_lsh_buckets(df, n_planes, id_col, vec_col)
-    # Evaluate the query's bucket through Spark itself (one tiny job) so the
-    # hash weights match the executor-side expression exactly.
-    spark = df.sparkSession
-    qdf = spark.createDataFrame([(0, [float(v) for v in query_vec])], f"{id_col} long, {vec_col} array<double>")
-    qbucket = sign_lsh_buckets(qdf, n_planes, id_col, vec_col).collect()[0]["bucket"]
+    dims = len(query_vec)
+    buckets = sign_lsh_buckets(df, n_planes, id_col, vec_col, dims=dims)
+    qbucket = _python_bucket([float(v) for v in query_vec], _lsh_planes(dims, n_planes))
     cand = df.join(buckets.filter(F.col("bucket") == qbucket).select(id_col), id_col)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (

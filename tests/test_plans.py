@@ -46,6 +46,23 @@ def test_violations_uses_broadcast_joins(spark, snapshot, registry):
     assert "SortMergeJoin" not in plan
 
 
+def test_dup_shuffles_carry_hashes_not_strings(spark, snapshot, registry):
+    """The dup-key and dup-sha exchanges must partition on 8-byte xxhash64
+    values, never on the near-unique string keys (map-side combine removes
+    nothing there, so shuffle bytes are everything). Inline the prep plans
+    (concurrent_prep=False) so the exchanges are visible in one plan."""
+    df = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
+    manifest = read_manifest(spark, snapshot["manifest"])
+    plan = _plan(
+        profile_violations(
+            build_row_profile(df, registry), registry, manifest, concurrent_prep=False
+        )
+    )
+    assert "xxhash64" in plan
+    # hashpartitioning on the hash aliases, not on the raw composite keys
+    assert "hashpartitioning(__kh" in plan or "hashpartitioning(__sh" in plan
+
+
 def test_resume_filter_prunes_partitions(spark, snapshot, registry):
     """Filtering on the pid partition column must turn into PartitionFilters
     at the scan (whole completed partitions never read)."""
