@@ -32,8 +32,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # --scaling uses a larger input so per-core work dominates fixed overhead
 # (measuring cluster-scaling behavior on a 20-second job would mostly
-# measure Spark job-submission constants, not the engine).
-SCALING_SF = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.4"))
+# measure Spark job-submission constants, not the engine). sf=2.4 is 14.5M
+# rows / ~12 GB — the snapshot is generated once and cached on disk.
+SCALING_SF = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "2.4"))
 
 SKIP_AT_BENCH = {"ngram_jaccard", "minhash_lsh_candidates"}  # O(n^2) pair ops
 

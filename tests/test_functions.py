@@ -96,6 +96,30 @@ def test_lsh_topk_contains_query_bucket_best(spark):
     assert got[0]["vec_id"] == 5 and got[0]["cos"] == 1.0
 
 
+def test_python_bucket_matches_spark_bucket(spark):
+    """The driver-side bucket twin must be bit-identical to the executor
+    expression (same literal weights, same sequential fold order) — this is
+    what lets lsh_topk skip a Spark job for the query's bucket."""
+    import numpy as np
+
+    from bio_data_validation_spark.functions.similarity import (
+        _lsh_planes,
+        _python_bucket,
+        sign_lsh_buckets,
+    )
+
+    rng = np.random.default_rng(21)
+    vecs = [(i, rng.normal(size=16).astype(np.float32).tolist()) for i in range(300)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    spark_buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in sign_lsh_buckets(df, n_planes=6, dims=16).collect()
+    }
+    planes = _lsh_planes(16, 6)
+    for vid, vec in vecs:
+        assert _python_bucket([float(v) for v in vec], planes) == spark_buckets[vid]
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [("hello world, how is it?",), ("",), (None,), ("  a  b  ",)], "text string"
