@@ -62,6 +62,37 @@ def stream_violations(stream_df: DataFrame, registry: Registry) -> DataFrame:
     )
 
 
+def stream_running_totals(
+    violations_stream: DataFrame, key_col: str = "repo"
+) -> DataFrame:
+    """Custom stateful operator: cumulative violation totals per key across
+    micro-batches via ``applyInPandasWithState`` (Arrow-batched; one pandas
+    frame per key per batch — never per-row Python).
+
+    State is (total, batches); each micro-batch emits the updated running
+    row for keys that received data. This is the pattern for any
+    accumulate-across-batches check (running null-rates, per-repo violation
+    budgets) that windowed aggregation can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, total_violations long, batches int"
+    state_schema = "total long, batches int"
+
+    def update(key, pdfs, state: GroupState):
+        n = sum(len(pdf) for pdf in pdfs)
+        total, batches = state.get if state.exists else (0, 0)
+        total, batches = total + n, batches + 1
+        state.update((total, batches))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "total_violations": [total], "batches": [batches]}
+        )
+
+    return violations_stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_windowed_stats(
     stream_df: DataFrame,
     ts_col: str,

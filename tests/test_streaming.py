@@ -60,6 +60,41 @@ def test_stream_violations(spark, stream_input, tmp_path):
     assert (got["rule_version"] == registry.version).all()
 
 
+def test_stream_running_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches:
+    maxFilesPerTrigger=1 makes each parquet file its own batch, so a repo
+    violating in both files must show batches=2 and the summed total."""
+    from datetime import datetime
+
+    from bio_data_validation_spark.streaming import stream_running_totals, stream_violations
+
+    registry = load_registry()
+    d = tmp_path / "in"
+    batch1 = [("r1", "a.py", "bad", "python", "", datetime(2024, 1, 1))]  # 2 violations
+    batch2 = [
+        ("r1", "b.py", "bad", "python", "x", datetime(2024, 1, 1)),  # 1 violation
+        ("r9", "c.py", "e" * 40, "klingon", "y", datetime(2024, 1, 1)),  # 1 violation
+    ]
+    spark.createDataFrame(batch1, SCHEMA).write.mode("append").parquet(str(d))
+    spark.createDataFrame(batch2, SCHEMA).write.mode("append").parquet(str(d))
+
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(str(d))
+    out = stream_running_totals(stream_violations(src, registry))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from totals_sink").toPandas()
+    final = got.sort_values("batches").groupby("repo").last()
+    assert int(final.loc["r1", "total_violations"]) == 3
+    assert int(final.loc["r1", "batches"]) == 2
+    assert int(final.loc["r9", "total_violations"]) == 1
+
+
 def test_stream_windowed_stats(spark, stream_input):
     src = spark.readStream.schema(SCHEMA).parquet(stream_input)
     out = stream_windowed_stats(src, "ts", window="1 minute", watermark="2 minutes")
