@@ -1234,6 +1234,15 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, list(qvec), k=10, n_planes=6)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer, probe nearest cells, exact rescore."""
+    from .functions.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_topk(e, list(qvec), k=10, n_cells=8, n_probe=2)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1291,6 +1300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "simhash_signatures": q_simhash_signatures,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "media_feature_stats": q_media_feature_stats,
 }
 

@@ -1,0 +1,60 @@
+"""Binned-KS approximation quality (SURVEY §7.4): the log-spaced-bucket KS
+statistic must agree with the exact two-sample KS within tolerance on small
+data, and the drift/no-drift DECISION at the registry threshold must match
+exactly on clearly-drifted and clearly-identical fixtures."""
+
+import math
+
+import numpy as np
+
+from bio_data_validation_spark.engine.drift import ks_binned_stat
+from bio_data_validation_spark.engine.fused import LENGTH_CAP
+
+
+def exact_ks(a: np.ndarray, b: np.ndarray) -> float:
+    """Textbook exact two-sample KS: sup |ECDF_a - ECDF_b|."""
+    all_v = np.sort(np.concatenate([a, b]))
+    cdf_a = np.searchsorted(np.sort(a), all_v, side="right") / len(a)
+    cdf_b = np.searchsorted(np.sort(b), all_v, side="right") / len(b)
+    return float(np.max(np.abs(cdf_a - cdf_b)))
+
+
+def to_buckets(x: np.ndarray, bins: int = 256) -> dict[int, int]:
+    """The engine's log-spaced length bucket (engine/fused.length_bucket)."""
+    scaled = np.floor(np.log1p(x) / math.log1p(LENGTH_CAP) * bins).astype(int)
+    b = np.minimum(bins - 1, scaled)
+    vals, counts = np.unique(b, return_counts=True)
+    return dict(zip(vals.tolist(), counts.tolist()))
+
+
+def test_binned_ks_close_to_exact_on_shifted_lognormals():
+    rng = np.random.default_rng(42)
+    a = np.clip(rng.lognormal(6.2, 1.1, 4000), 1, LENGTH_CAP)
+    b = np.clip(rng.lognormal(6.9, 1.1, 4000), 1, LENGTH_CAP)  # shifted → drift
+    d_exact = exact_ks(a, b)
+    d_binned = ks_binned_stat(to_buckets(a), to_buckets(b))
+    assert abs(d_binned - d_exact) <= 0.02
+    assert d_exact > 0.2  # sanity: this fixture really is drifted
+
+
+def test_binned_ks_decision_matches_threshold():
+    """Decision parity at the registry threshold (0.15 in rules v1.x):
+    drifted pair fails, identical-distribution pair passes, same as exact."""
+    rng = np.random.default_rng(7)
+    base = np.clip(rng.lognormal(6.2, 1.1, 5000), 1, LENGTH_CAP)
+    same = np.clip(rng.lognormal(6.2, 1.1, 5000), 1, LENGTH_CAP)
+    drifted = np.clip(rng.lognormal(6.2, 1.1, 5000) * 8, 1, LENGTH_CAP)
+    thr = 0.15
+    for sample, expect_drift in [(same, False), (drifted, True)]:
+        d_b = ks_binned_stat(to_buckets(sample), to_buckets(base))
+        d_e = exact_ks(sample, base)
+        assert (d_b > thr) == expect_drift
+        assert (d_e > thr) == expect_drift
+        assert (d_b > thr) == (d_e > thr)
+
+
+def test_binned_ks_zero_for_identical_histograms():
+    rng = np.random.default_rng(3)
+    a = np.clip(rng.lognormal(6.2, 1.1, 1000), 1, LENGTH_CAP)
+    h = to_buckets(a)
+    assert ks_binned_stat(h, h) == 0.0
