@@ -39,6 +39,10 @@ def _build_parser() -> argparse.ArgumentParser:
     v.add_argument("--snapshot-id", default=None)
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--master", default=None, help="spark master override (e.g. local[8])")
+    v.add_argument(
+        "--skew-report", action="store_true",
+        help="also compute the per-repo skew profile (salted two-phase agg)",
+    )
 
     g = sub.add_parser("datagen", help="generate the synthetic snapshot")
     g.add_argument("--sf", type=float, required=True)
@@ -76,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         snapshot_id=args.snapshot_id,
         resume=not args.no_resume,
         source_format=args.source_format,
+        with_skew_report=args.skew_report,
     )
     print(
         json.dumps(

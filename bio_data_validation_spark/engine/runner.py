@@ -104,6 +104,7 @@ def run_validation(
     snapshot_id: str | None = None,
     resume: bool = True,
     source_format: str = "parquet",
+    with_skew_report: bool = False,
 ) -> dict:
     """Run the full validation pipeline; returns the report dict
     (also written to ``{out_dir}/report.json``)."""
@@ -224,6 +225,17 @@ def run_validation(
         )
     fine.unpersist()
     _mark("drift", t)
+
+    # ---- optional: per-repo skew profile (salted two-phase agg — the
+    # mega-repo key is spread across salt buckets, re-merged exactly)
+    if with_skew_report:
+        t = time.time()
+        from .skew import salted_repo_stats, skew_report
+
+        repo_stats = salted_repo_stats(profile_cur)
+        repo_stats.write.mode("overwrite").parquet(str(out / "repo_stats"))
+        report["skew"] = skew_report(spark.read.parquet(str(out / "repo_stats")))
+        _mark("skew_report", t)
 
     # ---- PASS 2: violation rows from the profile, deterministic order
     t = time.time()

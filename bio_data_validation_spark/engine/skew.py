@@ -27,14 +27,18 @@ from pyspark.sql import functions as F
 def salted_repo_stats(df: DataFrame, salt_buckets: int = 8) -> DataFrame:
     """Exact per-repo (rows, distinct commits, total content bytes) via a
     salted two-phase aggregation. Returns (repo, rows, distinct_commits,
-    sum_len)."""
+    sum_len). Accepts the raw source or the PASS-A row profile (content_len
+    precomputed — content itself is never re-read)."""
+    clen = (
+        F.col("content_len") if "content_len" in df.columns else F.length(F.col("content"))
+    )
     salt = F.pmod(F.xxhash64(F.col("path"), F.col("commit")), F.lit(salt_buckets))
     partial = (
         df.groupBy(F.col("repo"), salt.alias("__salt"))
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.hll_sketch_agg(F.col("commit")).alias("commit_hll"),
-            F.sum(F.length("content")).alias("sum_len"),
+            F.sum(clen).alias("sum_len"),
         )
     )
     return partial.groupBy("repo").agg(

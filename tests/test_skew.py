@@ -42,3 +42,20 @@ def test_skew_report_finds_mega_repo(spark, source):
     assert rep["top_repo_share"] > 0.10  # Zipf head holds ~19% of rows
     assert rep["imbalance_ratio"] > 5
     assert rep["top_repos"][0]["repo"] == "org0/repo0"
+
+
+def test_runner_skew_report_wired(spark, snapshot, tmp_path):
+    """with_skew_report=True runs the salted agg inside the pipeline: the
+    report carries the skew block and the repo_stats table is persisted."""
+    from bio_data_validation_spark.engine import run_validation
+
+    r = run_validation(
+        spark, snapshot["dirty"], str(tmp_path / "out"),
+        manifest_path=snapshot["manifest"], snapshot_id="skewtest",
+        resume=False, with_skew_report=True,
+    )
+    assert "skew" in r and r["skew"]["imbalance_ratio"] > 5
+    assert 0.1 < r["skew"]["top_repo_share"] < 0.5  # the Zipf mega-repo
+    stats = spark.read.parquet(str(tmp_path / "out" / "repo_stats"))
+    assert stats.count() > 0
+    assert "skew_report" in r["phase_times"]
