@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .functions.dedup import exact_duplicates, ngram_jaccard_pairs
+from .functions.dedup import exact_duplicates, near_dup_pairs, ngram_jaccard_pairs
 from .functions.similarity import cosine
 
 
@@ -381,11 +381,14 @@ FROM events, (SELECT avg(value) AS mu, stddev_pop(value) AS sigma FROM events) t
 
 
 def q_negative_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Negative/NaN value counts (matrix_validator.py:373-408)."""
+    """Negative/NaN/±Infinity value counts (matrix_validator.py:373-408 —
+    the reference counts np.isinf separately from NaN as an ERROR check)."""
     e = _t(spark, sf_dir, "events")
+    inf = F.lit(float("inf"))
     return e.agg(
         F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
         F.count(F.when(F.isnan("value"), 1)).alias("n_nan"),
+        F.count(F.when((F.col("value") == inf) | (F.col("value") == -inf), 1)).alias("n_inf"),
         F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
     )
 
@@ -393,8 +396,42 @@ def q_negative_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NEGATIVE_VALUES = """
 SELECT count(*) FILTER (value < 0) AS n_negative,
        count(*) FILTER (isnan(value)) AS n_nan,
+       count(*) FILTER (value = 'infinity'::DOUBLE OR value = '-infinity'::DOUBLE) AS n_inf,
        count(*) FILTER (value IS NULL) AS n_null
 FROM events
+"""
+
+
+def q_zero_value_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-zero "rows": users whose every event value is exactly zero, plus
+    the >5%%-of-rows warning flag (matrix_validator.py:410-424 — zero genes).
+    Two aggregations, both map-side combinable; no shuffle beyond user_id."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("value") != 0, 1)).alias("nonzero"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("nonzero") == 0, 1)).alias("n_zero_users"),
+        F.count(F.lit(1)).alias("n_users"),
+        (
+            F.count(F.when(F.col("nonzero") == 0, 1)) * F.lit(100.0) / F.count(F.lit(1))
+            > 5.0
+        ).alias("flagged"),
+    )
+
+
+SQL_ZERO_VALUE_USERS = """
+WITH per_user AS (
+  SELECT user_id,
+         count(*) FILTER (value <> 0) AS nonzero,
+         count(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT count(*) FILTER (nonzero = 0) AS n_zero_users,
+       count(*) AS n_users,
+       (count(*) FILTER (nonzero = 0) * 100.0 / count(*)) > 5.0 AS flagged
+FROM per_user
 """
 
 
@@ -574,16 +611,30 @@ FROM g
 """
 
 
+# Hot-token guard: tokens in more than this many docs are dropped before the
+# postings self-join (the standard prefix-filter trick — a token in N docs
+# alone generates N² pair rows). 10k keeps small-SF results exact while
+# bounding any single token's blowup at scale; the truly scale-safe path is
+# q_near_dup_pairs (LSH candidates + rescore), which never goes all-pairs.
+NGRAM_MAX_TOKEN_DF = 10_000
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs (postings self-join)."""
+    """Exact token-set Jaccard near-dup pairs (postings self-join) with the
+    hot-token df cap engaged by default."""
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.8, max_token_df=NGRAM_MAX_TOKEN_DF
+    )
 
 
-SQL_NGRAM_JACCARD = r"""
+SQL_NGRAM_JACCARD = rf"""
 WITH toks AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
               FROM documents WHERE text IS NOT NULL),
-     toks2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+     toks1 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+     toks2 AS (SELECT doc_id, tok FROM toks1
+               WHERE tok IN (SELECT tok FROM toks1 GROUP BY tok
+                             HAVING count(*) <= {NGRAM_MAX_TOKEN_DF})),
      sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks2 GROUP BY doc_id),
      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                FROM toks2 a JOIN toks2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -1149,29 +1200,71 @@ FROM documents GROUP BY source
 """
 
 
+# ---- float-literal / LSH-plane SQL plumbing -------------------------------
+# DuckDB 1.0's fast shortest-repr float parser is off by one ulp on some
+# values; %.20e round-trips exactly, so every float literal shared between
+# the Spark plan and the oracle SQL goes through _flit.
+EMBED_DIMS = 64  # the testdata embeddings table is fixed 64-dim
+
+
+def _flit(v: float) -> str:
+    return "%.20e" % v
+
+
+def _sql_plane_dot(planes_row: list[float], vec_expr: str) -> str:
+    """Sequential left-assoc sum of CAST(vec[i] AS DOUBLE) * w_i — the exact
+    fold order of F.aggregate(zip_with(...)), so signs (and therefore LSH
+    buckets) agree bit-for-bit with the Spark plan."""
+    return " + ".join(
+        f"(CAST({vec_expr}[{i + 1}] AS DOUBLE) * {_flit(w)})"
+        for i, w in enumerate(planes_row)
+    )
+
+
+def _sql_lsh_bucket(planes: list[list[float]], vec_expr: str) -> str:
+    """bucket = Σ bit_p · 2^(P-1-p), matching sign_lsh_buckets' fold."""
+    n = len(planes)
+    terms = [
+        f"(CASE WHEN ({_sql_plane_dot(planes[p], vec_expr)}) > 0 "
+        f"THEN {2 ** (n - 1 - p)} ELSE 0 END)"
+        for p in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _near_dup_planes() -> list[list[float]]:
+    from .functions.similarity import _lsh_planes
+
+    return _lsh_planes(EMBED_DIMS, 4)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, label-blocked self-join (the
-    block key bounds the quadratic term; at scale the block is an LSH bucket)."""
-    from .functions.similarity import dot, l2_norm
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-blocked self-join —
+    the block key bounds the quadratic term to rows that share a
+    sign-projection bucket (16 buckets at 4 planes), never the full corpus.
+    This is the blocked-join shape that survives a 100× scale-up; add planes
+    to shrink blocks as density grows."""
+    from .functions.similarity import dot, l2_norm, sign_lsh_buckets
 
     e = _t(spark, sf_dir, "embeddings")
+    buckets = sign_lsh_buckets(e, n_planes=4, vec_col="embedding", dims=EMBED_DIMS)
+    eb = e.join(buckets, "vec_id")
     # Norms are computed ONCE per vector before the pairwise join (identical
     # arithmetic to cosine() — sqrt of sum of squares per side — so the
     # rounded values match the oracle exactly; the join then pays one dot
     # product per pair instead of one dot and two norms).
-    a = e.select(
-        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+    a = eb.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
         l2_norm(F.col("embedding")).alias("norm_a"),
     )
-    b = e.select(
-        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+    b = eb.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
         l2_norm(F.col("embedding")).alias("norm_b"),
     )
     return (
-        a.join(b, "label")
+        a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "label",
             "vec_a",
             "vec_b",
             F.round(
@@ -1182,27 +1275,256 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_NEAR_DUP = """
-SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+def _sql_embedding_near_dup() -> str:
+    bucket = _sql_lsh_bucket(_near_dup_planes(), "embedding")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
-FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+                                    CAST(bb.embedding AS DOUBLE[])), 4) AS cos
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+                                   CAST(bb.embedding AS DOUBLE[])), 4) >= 0.35
 """
 
 
 # --------------------------------------------------------------------------
-# Spark-only operators (no SQL-expressible oracle → rows-only driver check)
+# Hash-sketch + ANN operators, oracle-paired via the portable md5_60 hash
+# (dedup.token_hash) and %.20e float literals — every query below has an
+# exact DuckDB twin even though the operators are "Spark-native".
 # --------------------------------------------------------------------------
+
+MINHASH_NUM_HASHES = 32
+MINHASH_BANDS = 8
+NEAR_DUP_THRESHOLD = 0.8
+
+# SQL twin of dedup.token_hash(col, seed, "md5_60"): first 15 hex chars of
+# md5("<seed>:<tok>") parsed base-16 — a positive 60-bit BIGINT, identical
+# in Spark (conv+cast) and DuckDB (hex-literal cast).
+def _sql_md5h(seed: int, expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}:', {expr})), 1, 15)) AS BIGINT)"
+    )
+
+
+# Shared tokenizer CTEs — the SQL twin of dedup._tokens (distinct lowercase
+# whitespace tokens per doc).
+_SQL_TOKS = r"""
+raw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+toks AS (SELECT DISTINCT doc_id, tok FROM raw WHERE length(tok) > 0)
+"""
+
+
+def _sql_minhash_banded() -> str:
+    """CTE chain: toks → 32-column minhash sig → (doc_id, band, bucket)."""
+    mins = ",\n       ".join(
+        f"min({_sql_md5h(s, 'tok')}) AS h{s}" for s in range(MINHASH_NUM_HASHES)
+    )
+    rpb = MINHASH_NUM_HASHES // MINHASH_BANDS
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws(',', {', '.join(f'h{b * rpb + i}' for i in range(rpb))})) AS bucket "
+        f"FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+{_SQL_TOKS},
+sig AS (SELECT doc_id, {mins}
+        FROM toks GROUP BY doc_id),
+banded AS (
+{band_selects}
+)"""
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding candidates (portable md5_60 hash so the pair set
+    is reproducible by the SQL oracle; the xxhash64 default is the faster
+    production path with identical structure)."""
+    from .functions.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, "text", "doc_id",
+        num_hashes=MINHASH_NUM_HASHES, bands=MINHASH_BANDS, hash_fn="md5_60",
+    )
+
+
+def _sql_minhash_lsh_candidates() -> str:
+    return f"""
+WITH {_sql_minhash_banded()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe near-dup operator: LSH candidates + exact Jaccard
+    rescore on candidates only (linear shuffle; the quadratic term is
+    confined to LSH buckets)."""
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_pairs(
+        d, "text", "doc_id",
+        threshold=NEAR_DUP_THRESHOLD,
+        num_hashes=MINHASH_NUM_HASHES, bands=MINHASH_BANDS, hash_fn="md5_60",
+    )
+
+
+def _sql_near_dup_pairs() -> str:
+    return f"""
+WITH {_sql_minhash_banded()},
+cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cands c
+          JOIN toks ta ON ta.doc_id = c.doc_a
+          JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(i / CAST(sa.n_tok + sb.n_tok - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / CAST(sa.n_tok + sb.n_tok - i AS DOUBLE) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+SIMHASH_BITS = 60  # md5_60 hash → 60-bit portable signature
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per doc via the portable md5_60 token hash (bit-votes
+    sign-aggregated; pure column math)."""
+    from .functions.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id", hash_fn="md5_60")
+
+
+def _sql_simhash_signatures() -> str:
+    h = _sql_md5h(0, "tok")
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (({h}) >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_SQL_TOKS},
+votes AS (SELECT doc_id, {votes}
+          FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+"""
+
+
+LSH_TOPK_PLANES = 6
+
+
+def _lsh_topk_planes() -> list[list[float]]:
+    from .functions.similarity import _lsh_planes
+
+    return _lsh_planes(EMBED_DIMS, LSH_TOPK_PLANES)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k within the query's sign-LSH bucket, exact cosine rescore."""
+    from .functions.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return lsh_topk(e, list(qvec), k=10, n_planes=LSH_TOPK_PLANES)
+
+
+def _sql_lsh_topk() -> str:
+    planes = _lsh_topk_planes()
+    vb = _sql_lsh_bucket(planes, "embedding")
+    qb = _sql_lsh_bucket(planes, "qvec")
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+b AS (SELECT vec_id, embedding, {vb} AS bucket FROM embeddings),
+qbucket AS (SELECT {qb} AS bucket FROM q),
+cand AS (SELECT b.vec_id, b.embedding FROM b, qbucket WHERE b.bucket = qbucket.bucket)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 4) AS cos
+FROM cand, q
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) DESC, vec_id
+LIMIT 10
+"""
+
+
+IVF_CELLS = 8
+IVF_PROBE = 2
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the DETERMINISTIC seeded quantizer (centroids = vectors
+    of the n_cells smallest ids, argmin assignment in pure column math):
+    probe the n_probe nearest cells, exact cosine rescore within them. The
+    KMeans-trained variant (similarity.ivf_topk) trades determinism for
+    recall; this one is parallelism-invariant and SQL-verifiable."""
+    from .functions.similarity import ivf_seeded_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_seeded_topk(e, list(qvec), k=10, n_cells=IVF_CELLS, n_probe=IVF_PROBE)
+
+
+def _sql_dist2(a_expr: str, b_expr: str, dims: int = EMBED_DIMS) -> str:
+    """Sequential left-assoc Σ (a_i - b_i)² — the fold order of
+    ivf_seeded_index's zip_with distance."""
+    return " + ".join(
+        f"((CAST({a_expr}[{i + 1}] AS DOUBLE) - CAST({b_expr}[{i + 1}] AS DOUBLE)) * "
+        f"(CAST({a_expr}[{i + 1}] AS DOUBLE) - CAST({b_expr}[{i + 1}] AS DOUBLE)))"
+        for i in range(dims)
+    )
+
+
+def _sql_ivf_topk() -> str:
+    d_assign = _sql_dist2("e.embedding", "c.cvec")
+    d_query = _sql_dist2("q.qvec", "c.cvec")
+    return f"""
+WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec
+               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS})),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY ({d_assign}), c.cell) AS rn
+             FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT cell FROM (
+            SELECT c.cell, row_number() OVER (ORDER BY ({d_query}), c.cell) AS rn
+            FROM cents c CROSS JOIN q) WHERE rn <= {IVF_PROBE}),
+cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         JOIN assign a ON a.vec_id = e.vec_id
+         WHERE a.cell IN (SELECT cell FROM probe))
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 4) AS cos
+FROM cand, q
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) DESC, vec_id
+LIMIT 10
+"""
+
 
 def q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode→featurize over binary payloads (Arrow-batched
-    mapInPandas, deterministic stub decoders) — rows-only check since the
-    media table is synthesized, not part of the sf_dir snapshot."""
-    from .functions.multimodal import extract_features, synthesize_media
+    mapInPandas, deterministic stub decoders). The media table derives from
+    the documents table (payload = utf-8 bytes of text, kind by id parity)
+    so it scales with sf_dir AND the byte/payload stats have an exact SQL
+    twin; the featurize step itself (sha256 + pseudo-decode) runs for real
+    inside mapInPandas."""
+    from .functions.multimodal import extract_features
 
-    media = synthesize_media(spark, n=64, seed=42)
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
     feats = extract_features(media)
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1211,36 +1533,14 @@ def q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
-def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.dedup import minhash_lsh_candidates
-
-    d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, "text", "doc_id", num_hashes=32, bands=8)
-
-
-def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.dedup import simhash
-
-    d = _t(spark, sf_dir, "documents")
-    return simhash(d, "text", "doc_id")
-
-
-def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.similarity import lsh_topk
-
-    e = _t(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return lsh_topk(e, list(qvec), k=10, n_planes=6)
-
-
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans coarse quantizer, probe nearest cells, exact rescore."""
-    from .functions.similarity import ivf_topk
-
-    e = _t(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return ivf_topk(e, list(qvec), k=10, n_cells=8, n_probe=2)
+SQL_MEDIA_FEATURE_STATS = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       count(*) AS n,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+       count(DISTINCT encode(text)) AS distinct_payloads
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1296,12 +1596,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "byte_stats": q_byte_stats,
     "embedding_near_dup": q_embedding_near_dup,
-    # Spark-only (rows-only correctness check):
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "near_dup_pairs": q_near_dup_pairs,
     "simhash_signatures": q_simhash_signatures,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "media_feature_stats": q_media_feature_stats,
+    "zero_value_users": q_zero_value_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -1352,5 +1653,12 @@ ORACLES: dict[str, str] = {
     "top_k_longest": SQL_TOP_K_LONGEST,
     "set_ops": SQL_SET_OPS,
     "byte_stats": SQL_BYTE_STATS,
-    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_near_dup": _sql_embedding_near_dup(),
+    "minhash_lsh_candidates": _sql_minhash_lsh_candidates(),
+    "near_dup_pairs": _sql_near_dup_pairs(),
+    "simhash_signatures": _sql_simhash_signatures(),
+    "lsh_topk": _sql_lsh_topk(),
+    "ivf_topk": _sql_ivf_topk(),
+    "media_feature_stats": SQL_MEDIA_FEATURE_STATS,
+    "zero_value_users": SQL_ZERO_VALUE_USERS,
 }

@@ -59,17 +59,26 @@ def build_row_profile(df: DataFrame, registry: Registry) -> DataFrame:
     return df.select(*cols)
 
 
-def write_profile(profile: DataFrame, out_dir: str) -> None:
+def write_profile(profile: DataFrame, out_dir: str, source_pid_partitioned: bool = True) -> None:
     """Persist the profile partitioned by pid (dynamic overwrite: a resumed
     run refreshes only the partitions it processed).
 
-    No repartition before the write: the source layout is already
-    pid-partitioned (Iceberg bucket transform / hive emulation), so input
-    splits never mix pids and each task writes ~1 pid directory — an
-    explicit repartition("pid") would shuffle the whole profile for nothing.
+    ``source_pid_partitioned=True`` (the Iceberg bucket transform / hive
+    pid=NN emulation): skip the repartition — input splits are *mostly*
+    single-pid, so each write task emits ~1-2 pid directories and a shuffle
+    of the whole profile would buy nothing. (Spark's file source can pack
+    small files from adjacent pid dirs into one split; that costs a couple
+    of extra files per task, not correctness — dynamic overwrite keys on
+    the data.)
+
+    ``False`` (pid derived on the fly from an unpartitioned source): every
+    task would otherwise write up to n_partitions directories — a
+    small-files blowup at scale — so repartition by pid first.
     """
     spark = profile.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if not source_pid_partitioned:
+        profile = profile.repartition("pid")
     profile.write.mode("overwrite").partitionBy("pid").parquet(out_dir)
 
 

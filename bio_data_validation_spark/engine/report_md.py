@@ -1,0 +1,107 @@
+"""Markdown report sink — the human-readable twin of report.json.
+
+The reference ships a full HTML/Markdown report generator
+(report_generator.py:130-707); this is its driver-side Markdown core:
+decision + rationale + conditions, severity counts, the per-rule verdict
+rollup, and the worst partitions. Everything here is already driver-sized
+(the verdict table is O(P × rules) regardless of data scale), so the sink
+adds zero Spark jobs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def render_markdown(report: dict, verdicts: pd.DataFrame | None = None) -> str:
+    lines: list[str] = []
+    lines.append(f"# Validation report — `{report.get('snapshot_id', '?')}`")
+    lines.append("")
+    meta = report.get("ruleset_metadata", {})
+    lines.append(
+        f"Ruleset `{meta.get('rule_version', '?')}` "
+        f"(hash `{meta.get('ruleset_hash', '?')}`)"
+        + (f", preset **{report['preset']}**" if report.get("preset") else "")
+    )
+    lines.append("")
+    decision = str(report.get("final_decision", "unknown")).upper()
+    lines.append(f"## Decision: **{decision}**")
+    if report.get("rationale"):
+        lines.append("")
+        lines.append(report["rationale"])
+    if report.get("conditions"):
+        lines.append("")
+        lines.append("Conditions:")
+        for c in report["conditions"]:
+            lines.append(f"- {c}")
+    if report.get("requires_human_review"):
+        lines.append("")
+        lines.append("**Requires human review.**")
+    for w in report.get("warnings", []):
+        lines.append("")
+        lines.append(f"> ⚠ {w}")
+    lines.append("")
+
+    counts = report.get("severity_counts", {})
+    if counts:
+        lines.append("## Failed rules by severity")
+        lines.append("")
+        lines.append("| severity | failed rules |")
+        lines.append("|---|---|")
+        for sev in ("critical", "error", "warning", "info"):
+            lines.append(f"| {sev} | {counts.get(sev, 0)} |")
+        lines.append("")
+    if report.get("failed_rules"):
+        lines.append("Failed: " + ", ".join(f"`{r}`" for r in report["failed_rules"]))
+        lines.append("")
+
+    if verdicts is not None and len(verdicts):
+        lines.append("## Per-rule verdict rollup")
+        lines.append("")
+        lines.append("| rule | severity | failing partitions | violation rows |")
+        lines.append("|---|---|---|---|")
+        rollup = (
+            verdicts.groupby(["rule_id", "severity"])
+            .agg(
+                failing_pids=("passed", lambda s: int((~s).sum())),
+                violation_rows=("violation_count", "sum"),
+            )
+            .reset_index()
+            .sort_values(["violation_rows", "rule_id"], ascending=[False, True])
+        )
+        for r in rollup.itertuples():
+            lines.append(
+                f"| `{r.rule_id}` | {r.severity} | {r.failing_pids} | {int(r.violation_rows)} |"
+            )
+        lines.append("")
+
+    pds = report.get("partition_decisions") or []
+    rejected = [d for d in pds if d.get("decision") == "rejected"]
+    if pds:
+        lines.append("## Partitions")
+        lines.append("")
+        lines.append(
+            f"{len(pds)} processed, {len(rejected)} rejected, "
+            f"{sum(1 for d in pds if d.get('requires_review'))} flagged for review."
+        )
+        lines.append("")
+    if report.get("skew"):
+        s = report["skew"]
+        lines.append("## Skew profile")
+        lines.append("")
+        lines.append(
+            f"Max/median repo size ratio {s.get('imbalance_ratio', 0):.1f}; "
+            f"largest repo holds {100 * s.get('top_repo_share', 0):.1f}% of rows."
+        )
+        lines.append("")
+    lines.append(
+        f"_{report.get('records_processed', 0)} records in "
+        f"{report.get('elapsed_sec', 0):.1f}s"
+        + (
+            f" ({report['rows_per_sec']:.0f} rows/s)_"
+            if report.get("rows_per_sec")
+            else "_"
+        )
+    )
+    lines.append("")
+    return "\n".join(lines)

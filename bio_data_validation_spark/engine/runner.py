@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpoint import Ledger
+from ..policy import apply_preset, generate_conditions, generate_rationale
 from ..rules import Registry, load_registry
 from ..sources import read_manifest, read_source, with_pid
 from . import drift as drift_mod
@@ -43,6 +44,7 @@ from .fused import (
     rollups_from_fine_pdf,
 )
 from .profilepass import build_row_profile, read_profile, write_profile
+from .report_md import render_markdown
 from .verdicts import build_verdicts, global_decision, partition_decisions
 from .violations import profile_violations, violation_counts
 
@@ -105,9 +107,14 @@ def run_validation(
     resume: bool = True,
     source_format: str = "parquet",
     with_skew_report: bool = False,
+    preset: str | None = None,
 ) -> dict:
     """Run the full validation pipeline; returns the report dict
-    (also written to ``{out_dir}/report.json``)."""
+    (also written to ``{out_dir}/report.json`` + ``report.md``).
+
+    ``preset``: named threshold bundle (strict/lenient/production,
+    reference decision_tables.py:258-298) overriding the registry's
+    decision matrix."""
     t0 = time.time()
     phases: dict[str, float] = {}
 
@@ -115,6 +122,8 @@ def run_validation(
         phases[name] = round(time.time() - t_start, 3)
 
     registry = load_registry(registry_path) if registry_path else load_registry()
+    if preset:
+        registry = apply_preset(registry, preset)
     snapshot_id = snapshot_id or source_path
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -127,9 +136,30 @@ def run_validation(
             "registry_path": registry.path,
         },
         "short_circuited": False,
+        "warnings": [],
     }
+    if preset:
+        report["preset"] = preset
 
-    df = with_pid(read_source(spark, source_path, source_format), registry.n_partitions)
+    raw = read_source(spark, source_path, source_format)
+    # Iceberg-bucket-layout emulation stores pid in the layout; an
+    # unpartitioned source derives it on the fly, which changes the profile
+    # write strategy below (repartition first to avoid a small-files blowup).
+    source_pid_partitioned = "pid" in raw.columns
+    df = with_pid(raw, registry.n_partitions)
+
+    if registry.referential and manifest_path is None:
+        # Reference LOOKUP_004 semantics (bio_lookups.py:779-789): a missing
+        # reference dimension degrades LOUDLY, never silently.
+        msg = (
+            "referential rule "
+            f"{registry.referential.get('id', '?')} configured but no manifest "
+            "supplied — referential integrity NOT checked this run (degraded mode)"
+        )
+        report["warnings"].append(msg)
+        import warnings as _w
+
+        _w.warn(msg, stacklevel=2)
 
     # ---- stage: structural (blocking, reference orchestrator.py:363-371)
     structural = structural_check(df, registry)
@@ -141,9 +171,11 @@ def run_validation(
                 "structural_issues": structural,
                 "exit_code": 1,
                 "elapsed_sec": time.time() - t0,
+                "rationale": "REJECTED: structural (CRITICAL) schema issues — see structural_issues",
             }
         )
         (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
+        (out / "report.md").write_text(render_markdown(report))
         return report
 
     # ---- resume: drop completed partitions (prunes at scan via pid dirs)
@@ -158,12 +190,30 @@ def run_validation(
     # ---- PASS A: the single content scan → row-profile table
     t = time.time()
     row_profile_path = str(out / "row_profile")
-    write_profile(build_row_profile(df, registry), row_profile_path)
+    write_profile(
+        build_row_profile(df, registry), row_profile_path,
+        source_pid_partitioned=source_pid_partitioned,
+    )
     profile_all = read_profile(spark, row_profile_path)
     profile_cur = (
         profile_all.filter(~F.col("pid").isin(sorted(skipped))) if skipped else profile_all
     )
     _mark("pass_a_profile_scan", t)
+
+    # ---- optional: per-repo skew profile (salted two-phase agg — the
+    # mega-repo key is spread across salt buckets, re-merged exactly).
+    # Computed over the FULL on-disk profile, not just the unprocessed
+    # remainder: a resumed run's skew report must describe the whole
+    # snapshot (same resume-safe choice as the dup-sha set), and it must be
+    # emitted even when resume leaves nothing to process.
+    if with_skew_report:
+        t = time.time()
+        from .skew import salted_repo_stats, skew_report
+
+        repo_stats = salted_repo_stats(profile_all)
+        repo_stats.write.mode("overwrite").parquet(str(out / "repo_stats"))
+        report["skew"] = skew_report(spark.read.parquet(str(out / "repo_stats")))
+        _mark("skew_report", t)
 
     # ---- PASS 1: fused stats over the profile (one shuffle); all rollups
     # happen driver-side from the collected fine table (≤ P×|langs|×bins
@@ -189,6 +239,7 @@ def run_validation(
         # (check_status.py:39-45 semantics require the gate to stay red).
         report.update({"note": "no partitions to process", "elapsed_sec": time.time() - t0})
         verdicts_path = out / "verdicts"
+        all_verdicts = None
         if verdicts_path.exists():
             all_verdicts = _read_verdicts_pandas(verdicts_path)
             g = global_decision(all_verdicts, registry)
@@ -199,12 +250,20 @@ def run_validation(
                     "final_decision": g["decision"],
                     "severity_counts": g["severity_counts"],
                     "failed_rules": g["failed_rules"],
+                    "rationale": generate_rationale(
+                        g["decision"], g["severity_counts"], registry.decision_matrix
+                    ),
                     "exit_code": 1 if (g["decision"] == "rejected" or any_rej) else 0,
                 }
             )
+            if g["decision"] == "conditional_accept":
+                report["conditions"] = generate_conditions(
+                    g["severity_counts"], g["failed_rules"]
+                )
         else:
             report.update({"final_decision": "accepted", "exit_code": 0})
         (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
+        (out / "report.md").write_text(render_markdown(report, all_verdicts))
         return report
     stats = stats.merge(card, on="pid", how="left")
     _mark("pass_1_fused_stats", t)
@@ -226,35 +285,27 @@ def run_validation(
     fine.unpersist()
     _mark("drift", t)
 
-    # ---- optional: per-repo skew profile (salted two-phase agg — the
-    # mega-repo key is spread across salt buckets, re-merged exactly)
-    if with_skew_report:
-        t = time.time()
-        from .skew import salted_repo_stats, skew_report
-
-        repo_stats = salted_repo_stats(profile_cur)
-        repo_stats.write.mode("overwrite").parquet(str(out / "repo_stats"))
-        report["skew"] = skew_report(spark.read.parquet(str(out / "repo_stats")))
-        _mark("skew_report", t)
-
     # ---- PASS 2: violation rows from the profile, deterministic order
     t = time.time()
     manifest = read_manifest(spark, manifest_path) if manifest_path else None
-    violations = profile_violations(
+    violations, preps = profile_violations(
         profile_cur, registry, manifest, full_profile=profile_all
-    ).persist()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        violations.repartition("pid")
-        .sortWithinPartitions("pid", "rule_id", "repo", "path", "commit")
-        .write.mode("overwrite")
-        .partitionBy("pid")
-        .parquet(str(out / "violations"))
     )
-    viol_counts = violation_counts(violations).toPandas()
-    violations.unpersist()
-    for p in getattr(violations, "_bdv_prep_cache", []):
-        p.unpersist()
+    violations = violations.persist()
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            violations.repartition("pid")
+            .sortWithinPartitions("pid", "rule_id", "repo", "path", "commit")
+            .write.mode("overwrite")
+            .partitionBy("pid")
+            .parquet(str(out / "violations"))
+        )
+        viol_counts = violation_counts(violations).toPandas()
+    finally:
+        violations.unpersist()
+        for p in preps:
+            p.unpersist()
     _mark("pass_2_violations", t)
 
     # ---- verdicts + decisions (all driver-sized pandas: the verdict table
@@ -299,6 +350,9 @@ def run_validation(
             "requires_human_review": g["requires_review"],
             "severity_counts": g["severity_counts"],
             "failed_rules": g["failed_rules"],
+            "rationale": generate_rationale(
+                g["decision"], g["severity_counts"], registry.decision_matrix
+            ),
             "partitions_processed": sorted(stats["pid"].astype(int).tolist()),
             "partition_decisions": decisions.to_dict("records"),
             "records_processed": total_rows,
@@ -308,5 +362,8 @@ def run_validation(
             "exit_code": 1 if (g["decision"] == "rejected" or any_pid_rejected) else 0,
         }
     )
+    if g["decision"] == "conditional_accept":
+        report["conditions"] = generate_conditions(g["severity_counts"], g["failed_rules"])
     (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
+    (out / "report.md").write_text(render_markdown(report, all_verdicts))
     return report

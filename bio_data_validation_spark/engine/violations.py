@@ -2,8 +2,8 @@
 
 The content column was consumed once in PASS A (profilepass.py); this pass
 reads only the compact profile: row-rule flags are precomputed booleans.
-The set-level rules each reduce to a TINY "violating key set" computed
-first, then broadcast back onto one main emission pass:
+The set-level rules each reduce to a "violating key set" computed first,
+then joined back onto one main emission pass:
 
   - uniqueness on (repo,path,commit): shuffle 8-byte xxhash64 key hashes
     (never the strings — keys are near-unique so map-side combine removes
@@ -12,13 +12,16 @@ first, then broadcast back onto one main emission pass:
   - duplicate content: same two-phase hash plan over xxhash64(sha256);
   - referential integrity: shuffle anti-join of fact (repo,path) pairs
     against the manifest (the manifest scales with file count — it must
-    never be the broadcast side); only the orphan-pair set is broadcast.
+    never be the broadcast side); only the orphan-pair set is joined back.
 
-The three prep sets are independent; they are materialized CONCURRENTLY
-(persist + count from worker threads) so their jobs overlap, then the main
-pass is one scan: three tiny broadcast-hash probes + a codegen'd
-array<int>-of-fired-rule-ordinals explode, with rule metadata attached via
-constant-array element_at only on actual violation rows.
+The violating-key sets are tiny *by construction* on healthy data, but they
+are data-dependent and unbounded on pathological input (a bulk-duplicated
+corpus, a stale manifest). The production path therefore materializes each
+set (persist + count, concurrently so the jobs overlap) and only broadcasts
+it when its measured size is under ``broadcast_max_rows``; above that it
+falls back to a plain shuffle join (AQE handles the rest) and warns — the
+degraded plan is slower, never wrong, and the driver never OOMs on a
+surprise broadcast.
 
 Reference twins: per-record constraint checks (schema_validator.py:335-394),
 DUP_002 (rule_validator.py:273-286), DUP_003 (rule_validator.py:292-305),
@@ -27,7 +30,9 @@ LOOKUP_001 (bio_lookups.py:745-764).
 
 from __future__ import annotations
 
+import warnings
 from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -47,6 +52,11 @@ VIOLATION_COLUMNS = [
     "column",
     "message",
 ]
+
+# Above this many violating keys a broadcast join risks driver memory; fall
+# back to a shuffle join (correct, just slower — and a set this large means
+# the dataset is failing wholesale anyway).
+BROADCAST_MAX_ROWS = 5_000_000
 
 
 class _RuleMeta:
@@ -78,32 +88,58 @@ class _RuleMeta:
         return F.element_at(arr, idx + 1)
 
 
+@dataclass
+class _Prep:
+    """One violating-key set awaiting a join back onto the main pass."""
+
+    name: str
+    df: DataFrame
+    join_keys: list[str]
+    rows: int | None = None  # measured size (None = not materialized)
+
+
+def _join_prep(work: DataFrame, prep: _Prep) -> DataFrame:
+    """Join a violating-key set back; broadcast only when measured-small."""
+    if prep.rows is None or prep.rows <= BROADCAST_MAX_ROWS:
+        return work.join(F.broadcast(prep.df), prep.join_keys, "left")
+    warnings.warn(
+        f"violation set {prep.name!r} has {prep.rows} keys — too large to "
+        "broadcast; falling back to a shuffle join. For referential sets "
+        "this usually means a stale or mismatched manifest.",
+        stacklevel=3,
+    )
+    return work.join(prep.df, prep.join_keys, "left")
+
+
 def profile_violations(
     profile: DataFrame,
     registry: Registry,
     manifest: DataFrame | None = None,
     full_profile: DataFrame | None = None,
-    concurrent_prep: bool = True,
-) -> DataFrame:
+    materialize_prep: bool = True,
+) -> tuple[DataFrame, list[DataFrame]]:
     """Violations from the row-profile table.
+
+    Returns ``(violations, persisted_preps)``; the caller owns the persisted
+    prep DataFrames and must unpersist them after the final action on
+    ``violations`` (the runner does this in a try/finally).
 
     ``full_profile``: duplicate-content groups span partitions, so the
     duplicated-sha set is computed over the full profile even when a resumed
     run emits violations only for the remaining partitions (``profile``).
 
-    ``concurrent_prep``: materialize the three independent violating-key
-    sets (dup keys, dup shas, orphans) from worker threads so their jobs
-    overlap instead of running back-to-back as broadcast exchanges of the
-    main action. The persisted prep sets are attached to the returned
-    DataFrame as ``_bdv_prep_cache``; callers unpersist them after the
-    final action.
+    ``materialize_prep``: persist + count the independent violating-key sets
+    from worker threads so (a) their jobs overlap instead of running
+    back-to-back as exchanges of the main action, and (b) the measured
+    counts gate the broadcast-vs-shuffle choice. ``False`` skips persist and
+    counting entirely (tests / ad-hoc on small data) and broadcasts
+    unconditionally.
     """
     rules = _RuleMeta()
     for r in registry.row_rules:
         rules.add(r.rule_id, r.severity, r.column, r.message, F.col(FLAG_PREFIX + r.rule_id))
 
-    preps: list[DataFrame] = []
-    work = profile
+    preps: list[_Prep] = []
 
     uniq = registry.uniqueness
     if uniq:
@@ -138,12 +174,7 @@ def profile_violations(
             .filter(F.col("count") > 1)
             .select(*keys, F.lit(1).alias("__key_dup"))
         )
-        # Broadcast: the duplicated-key set is a tiny fraction of rows by
-        # construction (it's a *violation* set). A dataset where it doesn't
-        # fit in the driver would be failing uniqueness wholesale — the
-        # decision gate, not this join, is the binding constraint there.
-        preps.append(dup_keys)
-        work = work.join(F.broadcast(dup_keys), keys, "left")
+        preps.append(_Prep("duplicate_keys", dup_keys, keys))
         rules.add(
             uniq["id"], uniq["severity"], ",".join(keys), uniq["message"],
             F.col("__key_dup").isNotNull(),
@@ -172,8 +203,7 @@ def profile_violations(
             .filter(F.col("count") > 1)
             .select("content_sha256", F.lit(1).alias("__sha_dup"))
         )
-        preps.append(dup_shas)
-        work = work.join(F.broadcast(dup_shas), "content_sha256", "left")
+        preps.append(_Prep("duplicate_content", dup_shas, ["content_sha256"]))
         rules.add(
             cdup["id"], cdup["severity"], "content", cdup["message"],
             F.col("content_sha256").isNotNull() & F.col("__sha_dup").isNotNull(),
@@ -184,10 +214,10 @@ def profile_violations(
         # The manifest scales with file count — broadcasting it is wrong at
         # 10^12 files (and measurably slow even at bench scale). Shape the
         # join the other way round: a shuffle anti-join produces the orphan
-        # key set (a tiny violation set by construction), and only THAT is
-        # broadcast back onto the main pass. At cluster scale both sides are
-        # bucketed by repo, so the anti-join becomes a storage-partitioned
-        # join with no shuffle at all.
+        # key set (tiny on healthy data), and only THAT is joined back onto
+        # the main pass — broadcast iff its measured size allows. At cluster
+        # scale both sides are bucketed by repo, so the anti-join becomes a
+        # storage-partitioned join with no shuffle at all.
         keys = list(ref["keys"])
         not_null = F.lit(True)
         for k in keys:
@@ -200,21 +230,24 @@ def profile_violations(
             .dropDuplicates(keys)
             .withColumn("__orphan", F.lit(1))
         )
-        preps.append(orphan_pairs)
-        work = work.join(F.broadcast(orphan_pairs), on=keys, how="left")
+        preps.append(_Prep("referential_orphans", orphan_pairs, keys))
         rules.add(
             ref["id"], ref["severity"], ",".join(keys), ref["message"],
             not_null & F.col("__orphan").isNotNull(),
         )
 
-    if concurrent_prep and len(preps) > 1:
+    persisted: list[DataFrame] = []
+    if materialize_prep and preps:
         for p in preps:
-            p.persist()
+            p.df.persist()
+            persisted.append(p.df)
         with ThreadPoolExecutor(max_workers=len(preps)) as ex:
-            list(ex.map(lambda d: d.count(), preps))
-        cached = preps
-    else:
-        cached = []
+            for p, n in zip(preps, ex.map(lambda p: p.df.count(), preps)):
+                p.rows = int(n)
+
+    work = profile
+    for p in preps:
+        work = _join_prep(work, p)
 
     idx = F.col("__rule_idx")
     result = (
@@ -235,8 +268,7 @@ def profile_violations(
             rules.attach(idx, 3).alias("message"),
         )
     )
-    result._bdv_prep_cache = cached
-    return result
+    return result, persisted
 
 
 def violation_pass(
@@ -247,10 +279,14 @@ def violation_pass(
 ) -> DataFrame:
     """Violations straight from a raw source DataFrame (builds the profile
     inline — used by tests and ad-hoc runs; the runner materializes the
-    profile once and calls :func:`profile_violations` directly)."""
+    profile once and calls :func:`profile_violations` directly). No persist,
+    no prep materialization — nothing for the caller to clean up."""
     profile = build_row_profile(df, registry)
     full_profile = build_row_profile(full_df, registry) if full_df is not None else None
-    return profile_violations(profile, registry, manifest, full_profile)
+    result, _ = profile_violations(
+        profile, registry, manifest, full_profile, materialize_prep=False
+    )
+    return result
 
 
 def violation_counts(violations: DataFrame) -> DataFrame:

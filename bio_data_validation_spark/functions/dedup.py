@@ -11,14 +11,33 @@ Scale design notes (100 TB):
   - SimHash: 64-bit signature via per-token hash bit-votes; near-dups share
     signature (or low Hamming distance).
 
-Everything uses xxhash64 with fixed integer seeds — deterministic across
-runs and cluster sizes.
+Two token-hash families, both deterministic across runs and cluster sizes:
+  - ``xxhash64`` (default): fastest, JVM-intrinsic — the production path.
+  - ``md5_60``: the low 60 bits of md5, portable — bit-identical in any
+    engine with md5 + hex parsing (DuckDB, Trino, Python), which makes the
+    MinHash/SimHash outputs externally verifiable by a plain-SQL oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+HASH_FNS = ("xxhash64", "md5_60")
+
+
+def token_hash(col: Column, seed: int, hash_fn: str = "xxhash64") -> Column:
+    """Seeded 64-bit (xxhash64) or 60-bit (md5_60) token hash as a long."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if hash_fn == "md5_60":
+        # First 15 hex chars of md5("<seed>:<tok>") parsed base-16 → a
+        # positive long in [0, 2^60): reproducible verbatim in ANSI-ish SQL
+        # (substr(md5(...)) + hex cast), unlike xxhash64.
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; choose from {HASH_FNS}")
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -89,14 +108,18 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per doc: min over token xxhash64 per seed — pure
-    column math (no UDF). Returns (doc_id, sig: array<bigint>)."""
+    """MinHash signature per doc: min over seeded token hashes per seed —
+    pure column math (no UDF). Returns (doc_id, sig: array<bigint>)."""
     toks = _tokens(df, text_col, id_col)
     mins = toks.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("tok"), F.lit(seed))).alias(f"h{seed}")
+            F.min(token_hash(F.col("tok"), seed, hash_fn)).alias(f"h{seed}")
             for seed in range(num_hashes)
         ]
     )
@@ -105,12 +128,22 @@ def minhash_signatures(
     )
 
 
+def _band_bucket(cols: list[Column], hash_fn: str) -> Column:
+    """Bucket id for one band: hash of the band's signature slice."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(*cols)
+    # md5 of the comma-joined decimal longs — the longs are positive 60-bit
+    # values, so their decimal string forms are engine-independent.
+    return F.md5(F.concat_ws(",", *cols))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket are candidate near-dups.
 
@@ -118,7 +151,7 @@ def minhash_lsh_candidates(
     Returns distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, hash_fn)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -126,8 +159,9 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + i] for i in range(rows_per_band)]
+                        _band_bucket(
+                            [F.col("sig")[b * rows_per_band + i] for i in range(rows_per_band)],
+                            hash_fn,
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -149,30 +183,87 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64 bit-votes, sign-aggregated.
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The production near-dup operator: MinHash-LSH candidate generation
+    (linear shuffle) + exact token-set Jaccard RESCORE on candidates only.
+
+    This is the scale-safe replacement for the all-pairs postings join in
+    :func:`ngram_jaccard_pairs` — the quadratic term is confined to rows
+    sharing an LSH bucket, never the full corpus. Pairs whose true Jaccard
+    clears the threshold but that share no band bucket are missed with the
+    usual (1 - s^r)^b probability — the standard LSH recall trade.
+    Returns (doc_a, doc_b, jaccard)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, hash_fn)
+    toks = _tokens(df, text_col, id_col)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per doc: per-token hash bit-votes, sign-aggregated.
 
     Pure column math: for each bit position, sum(+1/-1 votes) over tokens;
-    bit set iff the sum is positive. Returns (doc_id, simhash: bigint)."""
+    bit set iff the sum is positive. 64 bits for xxhash64; 60 bits for the
+    portable md5_60 hash (so the signature stays a positive long with
+    engine-independent decimal form). Returns (doc_id, simhash: bigint)."""
+    bits = 64 if hash_fn == "xxhash64" else 60
     toks = _tokens(df, text_col, id_col)
-    h = F.xxhash64(F.col("tok"))
+    h = token_hash(F.col("tok"), 0, hash_fn) if hash_fn != "xxhash64" else F.xxhash64(F.col("tok"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for i in range(64):
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"b{i}") > 0,
+            F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)),
+        ).otherwise(0)
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_fn: str = "xxhash64"
+) -> DataFrame:
     """Docs sharing an identical SimHash (strong near-dup signal)."""
-    sigs = simhash(df, text_col, id_col)
+    sigs = simhash(df, text_col, id_col, hash_fn)
     w = Window.partitionBy("simhash")
     return (
         sigs.withColumn("n", F.count(F.lit(1)).over(w))

@@ -114,12 +114,20 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_train_rows: int = 100_000,
 ):
     """IVF coarse quantizer: KMeans centroids + per-vector cell assignment.
 
-    Training cost is one MLlib KMeans fit (sampled at real scale); assignment
-    is one transform. Returns (assignments DataFrame(id, __cell), centroids
-    list) — the index a 100 TB deployment would persist next to the table."""
+    Training fits MLlib KMeans on a seeded SAMPLE capped at
+    ``max_train_rows`` (centroid quality saturates long before that; fitting
+    on the full table at 100 TB would be the bottleneck); assignment is one
+    transform over everything. Returns (assignments DataFrame(id, __cell),
+    centroids list) — the index a deployment would persist next to the table.
+
+    NONDETERMINISM NOTE: KMeans centroid updates sum floats in shuffle
+    order, so centroids (and therefore probe cells) can differ across runs /
+    cluster sizes even with a fixed seed. Use :func:`ivf_seeded_index` where
+    bit-reproducibility across cluster shapes matters more than recall."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -127,10 +135,95 @@ def ivf_index(
         F.col(id_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv"),
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell").fit(feat)
+    n = feat.count()
+    train = feat
+    if n > max_train_rows:
+        train = feat.sample(fraction=min(1.0, (1.2 * max_train_rows) / n), seed=seed).limit(
+            max_train_rows
+        )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell").fit(train)
     assigned = model.transform(feat).select(id_col, "__cell")
     centroids = [c.tolist() for c in model.clusterCenters()]
     return assigned, centroids
+
+
+def ivf_seeded_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """DETERMINISTIC IVF coarse quantizer: centroids are the vectors of the
+    ``n_cells`` smallest ids (a seeded sample in FAISS terms — random-point
+    init without Lloyd iterations trades some recall for exactness), and
+    assignment is pure column math: argmin over unrolled literal centroid
+    distances with sequential fold order, so the same input yields the SAME
+    cells at any parallelism — unlike KMeans, whose float shuffle order
+    leaks into the centroids. Returns (assignments, centroids).
+
+    Scale shape: the centroid fetch is a driver-side top-k (tiny); the
+    assignment is one codegen'd projection — no shuffle, no training job."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in rows]
+
+    def dist2(c: list[float]) -> Column:
+        w = F.array(*[F.lit(v) for v in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col), w, lambda x, cv: (x.cast("double") - cv) * (x.cast("double") - cv)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # argmin over n_cells distances via array_position(d, array_min(d)) —
+    # each distance expression appears exactly once in the array (a when()
+    # fold would nest and duplicate them exponentially); double equality
+    # against itself is exact, and ties resolve to the LOWEST cell index
+    # (array_position returns the first occurrence).
+    darr = F.array(*[dist2(c) for c in centroids])
+    assigned = df.select(
+        F.col(id_col),
+        (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias("__cell"),
+    )
+    return assigned, centroids
+
+
+def _python_dist2(vec: list[float], c: list[float]) -> float:
+    """Driver-side twin of the seeded-IVF distance fold (same sequential
+    order → identical IEEE-754 result)."""
+    acc = 0.0
+    for x, cv in zip(vec, c):
+        d = float(x) - cv
+        acc = acc + d * d
+    return acc
+
+
+def ivf_seeded_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via the deterministic seeded IVF quantizer: probe the
+    ``n_probe`` cells whose centroids are nearest the query (computed
+    driver-side with the same fold order as the executor assignment), exact
+    cosine rescore within those cells only."""
+    assigned, centroids = ivf_seeded_index(df, n_cells, id_col, vec_col)
+    q = [float(v) for v in query_vec]
+    dists = [_python_dist2(q, c) for c in centroids]
+    probe = sorted(range(len(dists)), key=lambda i: (dists[i], i))[:n_probe]
+    cand = df.join(assigned.filter(F.col("__cell").isin(probe)).select(id_col), id_col)
+    qcol = F.array(*[F.lit(v) for v in q])
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 4).alias("cos"))
+    )
 
 
 def ivf_topk(

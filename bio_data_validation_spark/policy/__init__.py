@@ -1,1 +1,3 @@
 from .decision import Decision, decide, requires_review, severity_counts  # noqa: F401
+from .presets import PRESETS, apply_preset  # noqa: F401
+from .rationale import generate_conditions, generate_rationale  # noqa: F401

@@ -1,0 +1,66 @@
+"""Named threshold presets — strict / lenient / production.
+
+Mirrors the reference's DecisionTablePresets (decision_tables.py:258-298):
+the same three bundles, translated into this engine's decision-matrix keys
+(decision.py semantics, reference policy_engine.py:145-182):
+
+  strict      reject on any error            (error_threshold=1,  warn=5)
+  lenient     accept up to 9 errors          (error_threshold=10, warn=20)
+  production  the reference's default gate   (error_threshold=5,  warn=10,
+              review triggers error>=3 / warning>=15)
+
+A preset overrides the registry's decision_matrix / review_triggers without
+touching the rules themselves, so the same ruleset_hash can be gated at
+different strictness per deployment.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+PRESETS: dict[str, dict[str, dict[str, int]]] = {
+    "strict": {
+        "decision_matrix": {
+            "reject_critical_min": 1,
+            "reject_error_min": 1,
+            "conditional_error_min": 1,
+            "conditional_warning_min": 5,
+        },
+        "review_triggers": {"critical_min": 1, "error_min": 1, "warning_min": 5},
+    },
+    "lenient": {
+        "decision_matrix": {
+            "reject_critical_min": 1,
+            "reject_error_min": 10,
+            "conditional_error_min": 1,
+            "conditional_warning_min": 20,
+        },
+        "review_triggers": {"critical_min": 1, "error_min": 10, "warning_min": 20},
+    },
+    "production": {
+        "decision_matrix": {
+            "reject_critical_min": 1,
+            "reject_error_min": 5,
+            "conditional_error_min": 1,
+            "conditional_warning_min": 10,
+        },
+        "review_triggers": {"critical_min": 1, "error_min": 3, "warning_min": 15},
+    },
+}
+
+
+def apply_preset(registry: Any, name: str) -> Any:
+    """Return the registry with its decision thresholds replaced by the named
+    preset (the Registry's raw dict is updated in place on a shallow copy of
+    the raw mapping — rules and hash are untouched; the preset name is
+    recorded so reports can show which gate was applied)."""
+    if name not in PRESETS:
+        raise ValueError(f"unknown preset {name!r}; choose from {sorted(PRESETS)}")
+    import copy
+
+    reg = copy.copy(registry)
+    reg.raw = dict(registry.raw)
+    reg.raw["decision_matrix"] = dict(PRESETS[name]["decision_matrix"])
+    reg.raw["review_triggers"] = dict(PRESETS[name]["review_triggers"])
+    reg.raw["preset"] = name
+    return reg

@@ -1,0 +1,73 @@
+"""Human-readable decision rationale + conditions.
+
+Mirrors the reference's templated rationale text exactly
+(policy_engine.py:210-254 for rationale, :260-280 for conditions) so a
+report consumer migrating from the reference sees the same "why" strings:
+
+  REJECTED           -> "REJECTED: <n> critical issue(s), <n> errors exceed
+                         threshold (<t>)"
+  CONDITIONAL_ACCEPT -> "Conditional accept: <n> error(s), <n> warning(s)
+                         require review before production use"
+  ACCEPTED           -> "Accepted with <n> minor warning(s)" /
+                        "All validation checks passed"
+"""
+
+from __future__ import annotations
+
+from .decision import Decision
+
+
+def generate_rationale(
+    decision: Decision | str, counts: dict[str, int], matrix: dict[str, int]
+) -> str:
+    """Templated one-line rationale for a decision (reference
+    policy_engine.py:210-254)."""
+    d = Decision(decision) if isinstance(decision, str) else decision
+    error_threshold = matrix.get("reject_error_min", 5)
+    critical = counts.get("critical", 0)
+    errors = counts.get("error", 0)
+    warnings_ = counts.get("warning", 0)
+
+    if d == Decision.REJECTED:
+        reasons = []
+        if critical > 0:
+            reasons.append(f"{critical} critical issue(s)")
+        if errors >= error_threshold:
+            reasons.append(f"{errors} errors exceed threshold ({error_threshold})")
+        return (
+            f"REJECTED: {', '.join(reasons)}"
+            if reasons
+            else "REJECTED: Data quality standards not met"
+        )
+    if d == Decision.CONDITIONAL_ACCEPT:
+        parts = []
+        if errors > 0:
+            parts.append(f"{errors} error(s)")
+        if warnings_ > 0:
+            parts.append(f"{warnings_} warning(s)")
+        return (
+            f"Conditional accept: {', '.join(parts)} require review before production use"
+            if parts
+            else "Conditional accept: Manual review recommended"
+        )
+    if warnings_ > 0:
+        return f"Accepted with {warnings_} minor warning(s)"
+    return "All validation checks passed"
+
+
+def generate_conditions(
+    counts: dict[str, int], failed_rules: list[str] | None = None
+) -> list[str]:
+    """Conditions/recommendations for CONDITIONAL_ACCEPT decisions
+    (reference policy_engine.py:260-280; per-stage issue pointers become
+    per-failed-rule pointers — the engine's stage granularity is the rule)."""
+    conditions: list[str] = []
+    errors = counts.get("error", 0)
+    warnings_ = counts.get("warning", 0)
+    if errors > 0:
+        conditions.append(f"Review and address {errors} error(s) before production use")
+    if warnings_ > 0:
+        conditions.append(f"Consider reviewing {warnings_} warning(s) for optimization")
+    for rule_id in failed_rules or []:
+        conditions.append(f"Review {rule_id} validation issues")
+    return conditions if conditions else ["Manual review recommended before proceeding"]

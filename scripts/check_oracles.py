@@ -1,0 +1,96 @@
+"""Local twin of the driver's correctness gate: run every contract query on
+Spark AND its DuckDB oracle at sf0.01, compare row count, column names/types,
+and values (columns sorted by name, rows sorted by all columns — the same
+normalization the driver applies before hashing).
+
+Usage: python scripts/check_oracles.py [query ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    if len(a) != len(b):
+        return False, f"rows {len(a)} vs {len(b)}"
+    if sorted(a.columns) != sorted(b.columns):
+        return False, f"cols {sorted(a.columns)} vs {sorted(b.columns)}"
+    a, b = normalize(a), normalize(b)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                ok = np.allclose(
+                    av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True
+                )
+            else:
+                ok = (av.astype(str) == bv.astype(str)).all()
+        except Exception as e:  # noqa: BLE001
+            return False, f"col {c}: compare error {e}"
+        if not ok:
+            i = next(
+                j for j in range(len(av))
+                if str(av.iloc[j]) != str(bv.iloc[j])
+            )
+            return False, f"col {c} differs at row {i}: {av.iloc[j] if False else av.iloc[i]!r} vs {bv.iloc[i]!r}"
+    return True, "ok"
+
+
+def main() -> int:
+    from bio_data_validation_spark.contract import ORACLES, QUERIES
+    from bio_data_validation_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("local[8]", app_name="check-oracles")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spdf = fn(spark, SF_DIR).toPandas()
+            odf = con.sql(ORACLES[name]).df()
+            ok, why = compare(spdf, odf)
+        except Exception as e:  # noqa: BLE001
+            ok, why = False, f"EXC {type(e).__name__}: {e}"
+            spdf = pd.DataFrame()
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {name:32s} rows={len(spdf):6d} {time.time() - t0:6.2f}s  {why if not ok else ''}")
+        if not ok:
+            failures.append((name, why))
+    spark.stop()
+    print(f"\n{len(failures)} failures" + (": " + ", ".join(n for n, _ in failures) if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,24 +40,28 @@ def test_fused_agg_reads_only_needed_profile_columns(spark, snapshot, registry, 
 def test_violations_uses_broadcast_joins(spark, snapshot, registry):
     df = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
     manifest = read_manifest(spark, snapshot["manifest"])
-    plan = _plan(profile_violations(build_row_profile(df, registry), registry, manifest))
-    # dup-key set, dup-sha set, and the RI dimension all build broadcast sides
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in plan
+    viols, preps = profile_violations(build_row_profile(df, registry), registry, manifest)
+    try:
+        plan = _plan(viols)
+        # dup-key set, dup-sha set, and the RI dimension all build broadcast sides
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan
+    finally:
+        for p in preps:
+            p.unpersist()
 
 
 def test_dup_shuffles_carry_hashes_not_strings(spark, snapshot, registry):
     """The dup-key and dup-sha exchanges must partition on 8-byte xxhash64
     values, never on the near-unique string keys (map-side combine removes
     nothing there, so shuffle bytes are everything). Inline the prep plans
-    (concurrent_prep=False) so the exchanges are visible in one plan."""
+    (materialize_prep=False) so the exchanges are visible in one plan."""
     df = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
     manifest = read_manifest(spark, snapshot["manifest"])
-    plan = _plan(
-        profile_violations(
-            build_row_profile(df, registry), registry, manifest, concurrent_prep=False
-        )
+    viols, _ = profile_violations(
+        build_row_profile(df, registry), registry, manifest, materialize_prep=False
     )
+    plan = _plan(viols)
     assert "xxhash64" in plan
     # hashpartitioning on the hash aliases, not on the raw composite keys
     assert "hashpartitioning(__kh" in plan or "hashpartitioning(__sh" in plan
