@@ -43,6 +43,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "--skew-report", action="store_true",
         help="also compute the per-repo skew profile (salted two-phase agg)",
     )
+    v.add_argument(
+        "--preset", default=None, choices=["strict", "lenient", "production"],
+        help="decision-threshold preset overriding the registry's matrix",
+    )
+    v.add_argument(
+        "--source-format-auto", action="store_true",
+        help="sniff the file format from the source location instead of --source-format",
+    )
 
     g = sub.add_parser("datagen", help="generate the synthetic snapshot")
     g.add_argument("--sf", type=float, required=True)
@@ -69,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark(master=args.master, app_name="bio_data_validation_spark.validate")
+    source_format = args.source_format
+    if args.source_format_auto:
+        from .routing import sniff_source_format
+
+        source_format = sniff_source_format(args.source)
     report = run_validation(
         spark,
         source_path=args.source,
@@ -79,8 +92,9 @@ def main(argv: list[str] | None = None) -> int:
         build_baseline=args.build_baseline,
         snapshot_id=args.snapshot_id,
         resume=not args.no_resume,
-        source_format=args.source_format,
+        source_format=source_format,
         with_skew_report=args.skew_report,
+        preset=args.preset,
     )
     print(
         json.dumps(

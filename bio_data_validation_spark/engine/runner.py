@@ -121,12 +121,25 @@ def run_validation(
     def _mark(name: str, t_start: float) -> None:
         phases[name] = round(time.time() - t_start, 3)
 
-    registry = load_registry(registry_path) if registry_path else load_registry()
-    if preset:
-        registry = apply_preset(registry, preset)
+    registry: Registry | None = None
+    if registry_path and registry_path != "auto":
+        registry = load_registry(registry_path)
+    elif registry_path != "auto":
+        registry = load_registry()
     snapshot_id = snapshot_id or source_path
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+
+    raw = read_source(spark, source_path, source_format)
+    detected_format: str | None = None
+    if registry is None:
+        # registry_path="auto": route by column signature (reference
+        # orchestrator.py:179-226 suggest_format → validator dispatch).
+        from ..routing import route
+
+        detected_format, registry = route(raw)
+    if preset:
+        registry = apply_preset(registry, preset)
 
     report: dict = {
         "snapshot_id": snapshot_id,
@@ -140,8 +153,9 @@ def run_validation(
     }
     if preset:
         report["preset"] = preset
+    if detected_format:
+        report["detected_format"] = detected_format
 
-    raw = read_source(spark, source_path, source_format)
     # Iceberg-bucket-layout emulation stores pid in the layout; an
     # unpartitioned source derives it on the fly, which changes the profile
     # write strategy below (repartition first to avoid a small-files blowup).

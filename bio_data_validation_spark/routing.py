@@ -1,0 +1,84 @@
+"""Format sniffing + validator routing — the Spark-native twin of the
+reference's auto-routing (orchestrator.py:179-226 ``suggest_format`` by
+column signature; src/cli/commands/validate.py:16-56 file-format dispatch).
+
+Two layers, both cheap (schema/extension only — never a data scan):
+
+  1. ``sniff_source_format(path)``: what reader to use (parquet / csv /
+     json), from file extensions in the location.
+  2. ``suggest_format(df)``: which logical table family a DataFrame is,
+     from column-name signatures — the most specific signature wins,
+     mirroring the reference's ordered signature checks.
+  3. ``route(df)``: format → the rule registry that validates it (the
+     reference's format→validator table, collapsed onto the registry
+     system: source_code routes to the default registry; anything else is
+     a loud NotImplementedError naming the detected format, never a silent
+     mis-validation).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from .rules import DEFAULT_REGISTRY, Registry, load_registry
+
+# Ordered: most specific signature first (reference orchestrator.py:196-218).
+FORMAT_SIGNATURES: list[tuple[str, set[str]]] = [
+    ("source_code", {"repo", "path", "commit", "content"}),
+    ("documents", {"doc_id", "text"}),
+    ("embeddings", {"vec_id", "embedding"}),
+    ("events", {"event_id", "ts", "value"}),
+]
+
+# format → registry path (None = no registry shipped for that family yet).
+FORMAT_REGISTRIES: dict[str, str | None] = {
+    "source_code": DEFAULT_REGISTRY,
+    "documents": None,
+    "embeddings": None,
+    "events": None,
+    "generic": None,
+}
+
+_EXT_FORMATS = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".jsonl": "json"}
+
+
+def sniff_source_format(location: str) -> str:
+    """File-format detection from extensions (reference validate.py:16-56
+    dispatches on suffix the same way). A directory is sniffed from its
+    first recognizable file; defaults to parquet (the lake-native format)."""
+    p = Path(location)
+    if p.suffix.lower() in _EXT_FORMATS:
+        return _EXT_FORMATS[p.suffix.lower()]
+    if p.is_dir():
+        for child in sorted(p.rglob("*")):
+            if child.suffix.lower() in _EXT_FORMATS:
+                return _EXT_FORMATS[child.suffix.lower()]
+    return "parquet"
+
+
+def suggest_format(df: DataFrame) -> str:
+    """Logical-format suggestion from the schema: first matching column
+    signature wins; 'generic' when nothing matches (reference
+    orchestrator.py:179-226)."""
+    cols = set(df.columns)
+    for fmt, sig in FORMAT_SIGNATURES:
+        if sig <= cols:
+            return fmt
+    return "generic"
+
+
+def route(df: DataFrame) -> tuple[str, Registry]:
+    """Detect the format and return (format, registry) for validation.
+
+    Formats without a shipped registry raise with the detected name — the
+    reference's router also refuses rather than guessing a validator."""
+    fmt = suggest_format(df)
+    reg_path = FORMAT_REGISTRIES.get(fmt)
+    if reg_path is None:
+        raise NotImplementedError(
+            f"detected format {fmt!r} has no rule registry in this build; "
+            "supply registry_path explicitly to validate it"
+        )
+    return fmt, load_registry(reg_path)

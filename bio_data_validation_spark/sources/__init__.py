@@ -25,6 +25,13 @@ def read_source(spark: SparkSession, location: str, fmt: str = "parquet") -> Dat
         return spark.read.table(location)
     if fmt == "parquet":
         return spark.read.parquet(location)
+    if fmt == "csv":
+        # Header + schema inference is the ad-hoc path; production declares
+        # the schema via the registry's column_types (structural_check still
+        # catches type drift either way).
+        return spark.read.option("header", True).option("inferSchema", True).csv(location)
+    if fmt == "json":
+        return spark.read.json(location)
     raise ValueError(f"unknown source format {fmt!r}")
 
 

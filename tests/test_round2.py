@@ -1,0 +1,255 @@
+"""Round-2 surfaces: rationale/presets/markdown report, format routing,
+portable md5_60 hashing, seeded IVF determinism, broadcast-guard fallback,
+loud degraded mode."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.policy import (
+    PRESETS,
+    apply_preset,
+    decide,
+    generate_conditions,
+    generate_rationale,
+)
+from bio_data_validation_spark.rules import load_registry
+
+
+# ---- policy: rationale / conditions / presets ------------------------------
+
+def test_rationale_matches_reference_templates():
+    m = {"reject_error_min": 5}
+    assert (
+        generate_rationale("rejected", {"critical": 2, "error": 0, "warning": 0}, m)
+        == "REJECTED: 2 critical issue(s)"
+    )
+    assert (
+        generate_rationale("rejected", {"critical": 0, "error": 7, "warning": 1}, m)
+        == "REJECTED: 7 errors exceed threshold (5)"
+    )
+    assert (
+        generate_rationale("conditional_accept", {"critical": 0, "error": 2, "warning": 3}, m)
+        == "Conditional accept: 2 error(s), 3 warning(s) require review before production use"
+    )
+    assert (
+        generate_rationale("accepted", {"critical": 0, "error": 0, "warning": 2}, m)
+        == "Accepted with 2 minor warning(s)"
+    )
+    assert (
+        generate_rationale("accepted", {"critical": 0, "error": 0, "warning": 0}, m)
+        == "All validation checks passed"
+    )
+
+
+def test_conditions_reference_semantics():
+    conds = generate_conditions({"error": 2, "warning": 1}, ["DUP_002"])
+    assert conds[0] == "Review and address 2 error(s) before production use"
+    assert "Review DUP_002 validation issues" in conds
+    assert generate_conditions({"error": 0, "warning": 0}) == [
+        "Manual review recommended before proceeding"
+    ]
+
+
+def test_presets_gate_differently():
+    one_error = {"critical": 0, "error": 1, "warning": 0}
+    assert decide(one_error, PRESETS["strict"]["decision_matrix"]).value == "rejected"
+    assert decide(one_error, PRESETS["lenient"]["decision_matrix"]).value == "conditional_accept"
+    nine = {"critical": 0, "error": 9, "warning": 0}
+    assert decide(nine, PRESETS["production"]["decision_matrix"]).value == "rejected"
+    assert decide(nine, PRESETS["lenient"]["decision_matrix"]).value == "conditional_accept"
+
+
+def test_apply_preset_keeps_rules_and_hash():
+    reg = load_registry()
+    strict = apply_preset(reg, "strict")
+    assert strict.ruleset_hash == reg.ruleset_hash
+    assert strict.row_rules == reg.row_rules
+    assert strict.decision_matrix["reject_error_min"] == 1
+    assert reg.decision_matrix["reject_error_min"] != 1  # original untouched
+    with pytest.raises(ValueError):
+        apply_preset(reg, "nope")
+
+
+# ---- routing ---------------------------------------------------------------
+
+def test_suggest_format_signatures(spark):
+    from bio_data_validation_spark.routing import route, suggest_format
+
+    src = spark.createDataFrame(
+        [("r", "p", "c", "py", "x")], "repo string, path string, commit string, lang string, content string"
+    )
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    other = spark.createDataFrame([(1,)], "x long")
+    assert suggest_format(src) == "source_code"
+    assert suggest_format(docs) == "documents"
+    assert suggest_format(other) == "generic"
+    fmt, reg = route(src)
+    assert fmt == "source_code" and reg.version
+    with pytest.raises(NotImplementedError, match="documents"):
+        route(docs)
+
+
+def test_sniff_source_format(tmp_path):
+    from bio_data_validation_spark.routing import sniff_source_format
+
+    (tmp_path / "a.csv").write_text("x\n1\n")
+    assert sniff_source_format(str(tmp_path / "a.csv")) == "csv"
+    assert sniff_source_format(str(tmp_path)) == "csv"
+    assert sniff_source_format("warehouse/table.parquet") == "parquet"
+    assert sniff_source_format("somewhere/unknown") == "parquet"
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    from bio_data_validation_spark.sources import read_source
+
+    p = tmp_path / "src.csv"
+    p.write_text("repo,path\nr1,a.py\nr2,b.py\n")
+    got = read_source(spark, str(p), fmt="csv")
+    assert got.count() == 2 and set(got.columns) == {"repo", "path"}
+
+
+# ---- portable md5_60 hash + sketches ---------------------------------------
+
+def _py_md5_60(seed: int, tok: str) -> int:
+    return int(hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:15], 16)
+
+
+def test_token_hash_md5_60_matches_python(spark):
+    from bio_data_validation_spark.functions.dedup import token_hash
+
+    toks = ["hello", "spark", "", "a", "Ünïcode"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    for seed in (0, 7):
+        got = {
+            r["tok"]: r["h"]
+            for r in df.select("tok", token_hash(F.col("tok"), seed, "md5_60").alias("h")).collect()
+        }
+        for t in toks:
+            assert got[t] == _py_md5_60(seed, t), (seed, t)
+    with pytest.raises(ValueError):
+        token_hash(F.col("tok"), 0, "crc32")
+
+
+def test_simhash_md5_60_range_and_determinism(spark):
+    from bio_data_validation_spark.functions.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, hash_fn="md5_60").collect()}
+    assert sigs[0] == sigs[1] != sigs[2]
+    assert all(0 <= s < 2**60 for s in sigs.values())
+
+
+def test_near_dup_pairs_lsh_rescore(spark):
+    from bio_data_validation_spark.functions.dedup import near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox leaps over the lazy dog"),
+            (3, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in near_dup_pairs(docs, threshold=0.7, hash_fn="md5_60").collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dups always share every band
+    assert (0, 3) not in pairs  # rescore kills low-jaccard LSH accidents
+
+
+# ---- seeded IVF: determinism across parallelism ----------------------------
+
+def test_ivf_seeded_parallelism_invariance(spark):
+    import numpy as np
+
+    from bio_data_validation_spark.functions.similarity import ivf_seeded_index
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, rng.normal(size=16).astype(np.float32).tolist()) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    a1, cent1 = ivf_seeded_index(df.repartition(1), n_cells=5)
+    a8, cent8 = ivf_seeded_index(df.repartition(8), n_cells=5)
+    assert cent1 == cent8
+    m1 = {r["vec_id"]: r["__cell"] for r in a1.collect()}
+    m8 = {r["vec_id"]: r["__cell"] for r in a8.collect()}
+    assert m1 == m8
+
+
+def test_ivf_seeded_topk_self_hit(spark):
+    import numpy as np
+
+    from bio_data_validation_spark.functions.similarity import ivf_seeded_topk
+
+    rng = np.random.default_rng(13)
+    vecs = [(i, rng.normal(size=16).astype(np.float32).tolist()) for i in range(100)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = [float(v) for v in vecs[3][1]]
+    got = ivf_seeded_topk(df, q, k=5, n_cells=4, n_probe=2).collect()
+    assert got[0]["vec_id"] == 3 and got[0]["cos"] == 1.0
+
+
+# ---- broadcast guard fallback ----------------------------------------------
+
+def test_violation_broadcast_guard_falls_back(spark, snapshot, monkeypatch):
+    """With the broadcast cap forced to zero every prep set exceeds it: the
+    plan must contain no broadcast of the violation sets, results identical."""
+    from bio_data_validation_spark.engine import violations as V
+    from bio_data_validation_spark.engine.profilepass import build_row_profile
+    from bio_data_validation_spark.sources import read_manifest, read_source, with_pid
+
+    registry = load_registry()
+    df = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
+    manifest = read_manifest(spark, snapshot["manifest"])
+    profile = build_row_profile(df, registry)
+
+    base, preps0 = V.profile_violations(profile, registry, manifest, materialize_prep=False)
+    want = sorted((r["rule_id"], r["repo"], r["path"]) for r in base.collect())
+
+    with pytest.warns(UserWarning, match="too large to broadcast"):
+        monkeypatch.setattr(V, "BROADCAST_MAX_ROWS", 0)
+        guarded, preps = V.profile_violations(profile, registry, manifest)
+        try:
+            got = sorted((r["rule_id"], r["repo"], r["path"]) for r in guarded.collect())
+        finally:
+            for p in preps:
+                p.unpersist()
+    assert got == want
+
+
+# ---- runner surfaces --------------------------------------------------------
+
+def test_run_reports_markdown_rationale_and_degraded_mode(spark, snapshot, tmp_path):
+    from bio_data_validation_spark.engine import run_validation
+
+    with pytest.warns(UserWarning, match="degraded mode"):
+        rep = run_validation(
+            spark, snapshot["dirty"], str(tmp_path / "out"),
+            manifest_path=None, snapshot_id="r2-test", resume=False,
+        )
+    assert rep["warnings"] and "LOOKUP" in rep["warnings"][0]
+    assert rep["rationale"].startswith(("REJECTED", "Conditional", "Accepted", "All"))
+    md = (tmp_path / "out" / "report.md").read_text()
+    assert rep["final_decision"].upper() in md.upper()
+    assert "Per-rule verdict rollup" in md
+
+
+def test_run_with_auto_routing_and_preset(spark, snapshot, tmp_path):
+    from bio_data_validation_spark.engine import run_validation
+
+    rep = run_validation(
+        spark, snapshot["dirty"], str(tmp_path / "out"),
+        manifest_path=snapshot["manifest"], registry_path="auto",
+        snapshot_id="r2-auto", resume=False, preset="strict",
+    )
+    assert rep["detected_format"] == "source_code"
+    assert rep["preset"] == "strict"
+    assert rep["final_decision"] == "rejected"
