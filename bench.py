@@ -36,7 +36,13 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # rows / ~12 GB — the snapshot is generated once and cached on disk.
 SCALING_SF = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "2.4"))
 
-SKIP_AT_BENCH = {"ngram_jaccard", "minhash_lsh_candidates"}  # O(n^2) pair ops
+# Pair-OUTPUT operators: on this dup-heavy synthetic corpus the number of
+# qualifying pairs itself grows quadratically with SF (30k pairs at sf0.01),
+# so any exact pair emitter is output-bound regardless of algorithm. They
+# are correctness-gated at sf0.01 (all three have exact DuckDB oracles);
+# the candidate-generation stage that matters at scale (MinHash banding,
+# linear shuffle) is exercised via simhash/minhash signatures in-bench.
+SKIP_AT_BENCH = {"ngram_jaccard", "minhash_lsh_candidates", "near_dup_pairs"}
 
 
 def _sf_from_dir(sf_dir: str) -> float:

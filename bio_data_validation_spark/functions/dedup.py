@@ -115,14 +115,31 @@ def minhash_signatures(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc: min over seeded token hashes per seed —
-    pure column math (no UDF). Returns (doc_id, sig: array<bigint>)."""
+    pure column math (no UDF). Returns (doc_id, sig: array<bigint>).
+
+    xxhash64 hashes inline (the intrinsic is cheaper than a join). md5_60
+    is ~30× costlier per call, so the num_hashes md5s are computed ONCE per
+    DISTINCT token and joined back onto the postings — vocabulary is tiny
+    relative to occurrences (AQE broadcasts it when it fits), so the join
+    is far cheaper than num_hashes md5s per occurrence."""
     toks = _tokens(df, text_col, id_col)
-    mins = toks.groupBy("doc_id").agg(
-        *[
-            F.min(token_hash(F.col("tok"), seed, hash_fn)).alias(f"h{seed}")
-            for seed in range(num_hashes)
-        ]
-    )
+    if hash_fn == "md5_60":
+        vocab = toks.select("tok").distinct().select(
+            "tok",
+            *[token_hash(F.col("tok"), seed, hash_fn).alias(f"th{seed}")
+              for seed in range(num_hashes)],
+        )
+        hashed = toks.join(vocab, "tok")
+        mins = hashed.groupBy("doc_id").agg(
+            *[F.min(f"th{seed}").alias(f"h{seed}") for seed in range(num_hashes)]
+        )
+    else:
+        mins = toks.groupBy("doc_id").agg(
+            *[
+                F.min(token_hash(F.col("tok"), seed, hash_fn)).alias(f"h{seed}")
+                for seed in range(num_hashes)
+            ]
+        )
     return mins.select(
         "doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
     )
@@ -241,7 +258,16 @@ def simhash(
     engine-independent decimal form). Returns (doc_id, simhash: bigint)."""
     bits = 64 if hash_fn == "xxhash64" else 60
     toks = _tokens(df, text_col, id_col)
-    h = token_hash(F.col("tok"), 0, hash_fn) if hash_fn != "xxhash64" else F.xxhash64(F.col("tok"))
+    if hash_fn == "md5_60":
+        # One md5 per DISTINCT token, joined back (same rationale as
+        # minhash_signatures — md5 per occurrence is the wrong cost shape).
+        vocab = toks.select("tok").distinct().select(
+            "tok", token_hash(F.col("tok"), 0, hash_fn).alias("__th")
+        )
+        toks = toks.join(vocab, "tok")
+        h = F.col("__th")
+    else:
+        h = F.xxhash64(F.col("tok"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
