@@ -1244,22 +1244,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-projection bucket (16 buckets at 4 planes), never the full corpus.
     This is the blocked-join shape that survives a 100× scale-up; add planes
     to shrink blocks as density grows."""
-    from .functions.similarity import dot, l2_norm, sign_lsh_buckets
+    from .functions.similarity import dot, l2_norm, sign_lsh_bucket_col
 
     e = _t(spark, sf_dir, "embeddings")
-    buckets = sign_lsh_buckets(e, n_planes=4, vec_col="embedding", dims=EMBED_DIMS)
-    eb = e.join(buckets, "vec_id")
-    # Norms are computed ONCE per vector before the pairwise join (identical
-    # arithmetic to cosine() — sqrt of sum of squares per side — so the
-    # rounded values match the oracle exactly; the join then pays one dot
-    # product per pair instead of one dot and two norms).
-    a = eb.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        l2_norm(F.col("embedding")).alias("norm_a"),
+    # Bucket AND norm are computed inline in each side's single projection —
+    # one scan per side, no bucket-attach join. (Norm arithmetic is identical
+    # to cosine() — sqrt of sum of squares — so the rounded values match the
+    # oracle exactly; the pairwise join then pays one dot product per pair.)
+    bucket = sign_lsh_bucket_col(_near_dup_planes(), "embedding")
+    a = e.select(
+        bucket.alias("bucket"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"), l2_norm(F.col("embedding")).alias("norm_a"),
     )
-    b = eb.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        l2_norm(F.col("embedding")).alias("norm_b"),
+    b = e.select(
+        bucket.alias("bucket"), F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"), l2_norm(F.col("embedding")).alias("norm_b"),
     )
     return (
         a.join(b, "bucket")

@@ -67,6 +67,24 @@ def _lsh_planes(dims: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return (rng.uniform(-1.0, 1.0, size=(n_planes, dims))).tolist()
 
 
+def sign_lsh_bucket_col(planes: list[list[float]], vec_col: str = "embedding") -> Column:
+    """The LSH bucket as a plain Column expression (composable into any
+    projection — no join needed to attach buckets to a scan)."""
+
+    def plane_dot(p: int) -> Column:
+        w = F.array(*[F.lit(v) for v in planes[p]])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda x, wv: x.cast("double") * wv),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(len(planes)):
+        bucket = bucket * 2 + F.when(plane_dot(p) > 0, 1).otherwise(0)
+    return bucket
+
+
 def sign_lsh_buckets(
     df: DataFrame,
     n_planes: int = 8,
@@ -81,19 +99,7 @@ def sign_lsh_buckets(
     if dims is None:
         dims = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
     planes = _lsh_planes(dims, n_planes)
-
-    def plane_dot(p: int) -> Column:
-        w = F.array(*[F.lit(v) for v in planes[p]])
-        return F.aggregate(
-            F.zip_with(F.col(vec_col), w, lambda x, wv: x.cast("double") * wv),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        bucket = bucket * 2 + F.when(plane_dot(p) > 0, 1).otherwise(0)
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return df.select(F.col(id_col), sign_lsh_bucket_col(planes, vec_col).alias("bucket"))
 
 
 def _python_bucket(vec: list[float], planes: list[list[float]]) -> int:

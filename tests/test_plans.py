@@ -87,3 +87,31 @@ def test_selective_filter_pushdown(spark, snapshot):
     df = read_source(spark, snapshot["dirty"]).filter(F.col("lang") == "python").select("repo")
     plan = _plan(df)
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,python)]" in plan
+
+
+def test_new_operator_scans_prune_columns(spark):
+    """Round-2 operators: scans must prune to exactly the columns used, and
+    the LSH-blocked near-dup must not re-read the table to attach buckets
+    (bucket + norm are inline in each side's projection: exactly 2 scans)."""
+    import re
+
+    from bio_data_validation_spark.contract import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def schemas(name):
+        plan = _plan(QUERIES[name](spark, sf))
+        return [m.group(0) for m in re.finditer(r"ReadSchema: struct<[^\n]+", plan)], plan
+
+    rs, plan = schemas("embedding_near_dup")
+    assert len(rs) == 2
+    assert all("label" not in s for s in rs)  # only vec_id + embedding read
+
+    rs, plan = schemas("media_feature_stats")
+    assert len(rs) == 1 and "lang" not in rs[0] and "source" not in rs[0]
+
+    rs, plan = schemas("zero_value_users")
+    assert len(rs) == 1 and "props" not in rs[0] and "event_type" not in rs[0]
+
+    _, plan = schemas("lsh_topk")
+    assert "SortMergeJoin" not in plan  # candidate attach is broadcast-sized
