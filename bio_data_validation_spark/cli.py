@@ -58,6 +58,13 @@ def _build_parser() -> argparse.ArgumentParser:
 
     m = sub.add_parser("metrics", help="aggregate quality metrics from a run dir")
     m.add_argument("--out", required=True, help="validation output directory")
+
+    r = sub.add_parser("review", help="list / resolve human-review queue tasks")
+    r.add_argument("--out", required=True, help="validation output directory")
+    r.add_argument("--resolve", default=None, metavar="REVIEW_ID")
+    r.add_argument("--status", default="completed",
+                   choices=["pending", "in_progress", "completed", "escalated"])
+    r.add_argument("--note", default="", help="resolution note")
     return p
 
 
@@ -74,6 +81,16 @@ def main(argv: list[str] | None = None) -> int:
         from .policy.metrics import quality_metrics
 
         print(json.dumps(quality_metrics(args.out), indent=2, default=str))
+        return 0
+
+    if args.cmd == "review":
+        from .policy.review import pending, resolve
+
+        if args.resolve:
+            q = resolve(args.out, args.resolve, args.status, args.note)
+            print(json.dumps(q.to_dict("records"), indent=2, default=str))
+        else:
+            print(json.dumps(pending(args.out).to_dict("records"), indent=2, default=str))
         return 0
 
     spark = get_spark(master=args.master, app_name="bio_data_validation_spark.validate")

@@ -378,6 +378,25 @@ def run_validation(
     )
     if g["decision"] == "conditional_accept":
         report["conditions"] = generate_conditions(g["severity_counts"], g["failed_rules"])
+
+    # ---- human-review queue (reference human_review_coordinator.py:143-152:
+    # a prioritized task per failed rule when the review triggers fire)
+    if g["requires_review"]:
+        from ..policy.review import build_queue, write_queue
+
+        queue = build_queue(all_verdicts, snapshot_id)
+        write_queue(queue, out)
+        report["review_queue"] = {
+            "path": str(out / "review_queue.parquet"),
+            "pending": int((queue["status"] == "pending").sum()),
+            "priorities": queue["priority"].value_counts().to_dict(),
+        }
+
     (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
     (out / "report.md").write_text(render_markdown(report, all_verdicts))
+    # metrics.json: the quality-metrics rollup a monitoring scraper would
+    # ingest (reference scripts/metrics/calculate_quality_metrics.py:12-84).
+    from ..policy.metrics import quality_metrics
+
+    (out / "metrics.json").write_text(json.dumps(quality_metrics(out), indent=2, default=str))
     return report

@@ -1,0 +1,89 @@
+"""Human-review queue — the minimal Spark-native twin of the reference's
+HumanReviewCoordinator (human_review_coordinator.py:52-618).
+
+Semantics ported (not code):
+  - priority from severity: critical→critical, error→high (explicitly NOT
+    critical — reference :340-362), warning→medium, else low;
+  - statuses pending / in_progress / completed / escalated (:258-263);
+  - a review task is created per failed rule from the verdict table when
+    the run's review triggers fire (:143-152).
+
+The queue is a driver-sized parquet table next to the run output (the
+verdict table it derives from is O(P × rules) regardless of data scale),
+append-only with status transitions by rewrite — expert assignment /
+feedback learning are declared extension points, not stubbed logic.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+
+PRIORITIES = {"critical": "critical", "error": "high", "warning": "medium", "info": "low"}
+_PRIORITY_ORDER = {"critical": 3, "high": 2, "medium": 1, "low": 0}
+STATUSES = ("pending", "in_progress", "completed", "escalated")
+
+QUEUE_FILE = "review_queue.parquet"
+
+
+def priority_for(severity: str) -> str:
+    """Reference _calculate_priority: errors are HIGH, never CRITICAL."""
+    return PRIORITIES.get(str(severity).lower(), "low")
+
+
+def build_queue(verdicts: pd.DataFrame, snapshot_id: str) -> pd.DataFrame:
+    """One pending review task per failed (rule_id, severity), counting the
+    partitions and violation rows affected, sorted most-urgent first."""
+    failed = verdicts[~verdicts["passed"]]
+    if failed.empty:
+        return pd.DataFrame(
+            columns=["review_id", "snapshot_id", "rule_id", "severity", "priority",
+                     "failing_pids", "violation_rows", "status", "resolution"]
+        )
+    rows = []
+    for (rule_id, severity), grp in failed.groupby(["rule_id", "severity"]):
+        rows.append(
+            {
+                "review_id": f"{snapshot_id}:{rule_id}",
+                "snapshot_id": snapshot_id,
+                "rule_id": rule_id,
+                "severity": severity,
+                "priority": priority_for(severity),
+                "failing_pids": int(len(grp)),
+                "violation_rows": int(grp["violation_count"].sum()),
+                "status": "pending",
+                "resolution": "",
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["__p"] = out["priority"].map(_PRIORITY_ORDER)
+    out = out.sort_values(["__p", "violation_rows"], ascending=False).drop(columns="__p")
+    return out.reset_index(drop=True)
+
+
+def write_queue(queue: pd.DataFrame, out_dir: str | Path) -> Path:
+    path = Path(out_dir) / QUEUE_FILE
+    queue.to_parquet(path, index=False)
+    return path
+
+
+def load_queue(out_dir: str | Path) -> pd.DataFrame:
+    return pd.read_parquet(Path(out_dir) / QUEUE_FILE)
+
+
+def pending(out_dir: str | Path) -> pd.DataFrame:
+    q = load_queue(out_dir)
+    return q[q["status"] == "pending"].reset_index(drop=True)
+
+
+def resolve(out_dir: str | Path, review_id: str, status: str, resolution: str = "") -> pd.DataFrame:
+    """Transition one task (pending → in_progress/completed/escalated)."""
+    if status not in STATUSES:
+        raise ValueError(f"unknown status {status!r}; choose from {STATUSES}")
+    q = load_queue(out_dir)
+    if review_id not in set(q["review_id"]):
+        raise KeyError(f"no review task {review_id!r}")
+    q.loc[q["review_id"] == review_id, ["status", "resolution"]] = [status, resolution]
+    write_queue(q, out_dir)
+    return q

@@ -253,3 +253,42 @@ def test_run_with_auto_routing_and_preset(spark, snapshot, tmp_path):
     assert rep["detected_format"] == "source_code"
     assert rep["preset"] == "strict"
     assert rep["final_decision"] == "rejected"
+
+
+# ---- human-review queue + metrics sink --------------------------------------
+
+def test_review_queue_lifecycle(spark, snapshot, tmp_path):
+    from bio_data_validation_spark.engine import run_validation
+    from bio_data_validation_spark.policy.review import load_queue, pending, priority_for, resolve
+
+    assert priority_for("critical") == "critical"
+    assert priority_for("error") == "high"  # reference: errors are HIGH, never CRITICAL
+    assert priority_for("warning") == "medium"
+
+    out = tmp_path / "out"
+    rep = run_validation(
+        spark, snapshot["dirty"], str(out), manifest_path=snapshot["manifest"],
+        snapshot_id="rq", resume=False,
+    )
+    assert rep["requires_human_review"] and rep["review_queue"]["pending"] > 0
+    q = load_queue(out)
+    assert set(rep["failed_rules"]) == set(q["rule_id"])
+    # most-urgent-first ordering
+    order = {"critical": 3, "high": 2, "medium": 1, "low": 0}
+    pr = [order[p] for p in q["priority"]]
+    assert pr == sorted(pr, reverse=True)
+    # transition one task and confirm the pending view shrinks
+    rid = q["review_id"].iloc[0]
+    resolve(out, rid, "completed", "fixed upstream")
+    assert rid not in set(pending(out)["review_id"])
+    with pytest.raises(KeyError):
+        resolve(out, "nope", "completed")
+    with pytest.raises(ValueError):
+        resolve(out, rid, "banana")
+
+    # metrics.json written with the rollup a scraper would ingest
+    import json
+
+    m = json.loads((out / "metrics.json").read_text())
+    assert m["final_decision"] == rep["final_decision"]
+    assert m["total_violation_rows"] > 0
