@@ -3,8 +3,9 @@
 ``entry(spark)`` is the flagship fused-profile query; ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus the
 training-pipeline extras (dedup, similarity, text analysis), each paired with
-an ANSI-SQL DuckDB oracle where SQL can express it (Spark-only operators —
-MinHash LSH, SimHash, LSH ANN — get rows-only checks).
+an ANSI-SQL DuckDB oracle — including the hash-sketch / ANN / clustering
+operators, which use a portable md5_60 hash, literal plane weights, and a
+recursive-CTE connected-components twin so DuckDB reproduces them exactly.
 """
 
 from __future__ import annotations

@@ -42,7 +42,16 @@ SCALING_SF = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "2.4"))
 # are correctness-gated at sf0.01 (all three have exact DuckDB oracles);
 # the candidate-generation stage that matters at scale (MinHash banding,
 # linear shuffle) is exercised via simhash/minhash signatures in-bench.
-SKIP_AT_BENCH = {"ngram_jaccard", "minhash_lsh_candidates", "near_dup_pairs"}
+SKIP_AT_BENCH = {
+    "ngram_jaccard",
+    "minhash_lsh_candidates",
+    "near_dup_pairs",
+    # dup_clusters: linear OUTPUT, but its candidate-edge intermediate is the
+    # same pair set as above, and the registered variant uses the portable
+    # md5_60 oracle hash (~30x the xxhash64 production cost) plus iterative
+    # CC rounds — correctness-gated at sf0.01 like the other pair ops.
+    "dup_clusters",
+}
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -1391,6 +1391,48 @@ WHERE i / CAST(sa.n_tok + sb.n_tok - i AS DOUBLE) >= {NEAR_DUP_THRESHOLD}
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: transitive closure (connected components)
+    over the LSH candidate pairs — the group-level dedup output
+    (doc_id, cluster_id = min id in component, cluster_size, is_canonical).
+    Spark side: O(log diameter) min-label-propagation rounds, one node-keyed
+    shuffle per round (dedup.connected_components); oracle side: recursive
+    CTE fixpoint over the same edge set."""
+    from .functions.dedup import dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_clusters(
+        d, "text", "doc_id",
+        num_hashes=MINHASH_NUM_HASHES, bands=MINHASH_BANDS, hash_fn="md5_60",
+    )
+
+
+def _sql_dup_clusters() -> str:
+    # The recursion carries (node, lbl) = "label lbl has reached node",
+    # pruned to lbl < node: the component minimum c is strictly below every
+    # other member, so (·, c) survives pruning along any simple path from c,
+    # while dominated labels (which can never be a final min) are dropped —
+    # keeps the fixpoint state near-linear instead of O(component²).
+    return f"""
+WITH RECURSIVE {_sql_minhash_banded()},
+cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cands
+          UNION SELECT doc_b, doc_a FROM cands),
+reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node WHERE r.lbl < e.v
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       node = cluster_id AS is_canonical
+FROM comp
+"""
+
+
 SIMHASH_BITS = 60  # md5_60 hash → 60-bit portable signature
 
 
@@ -1597,6 +1639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "near_dup_pairs": q_near_dup_pairs,
+    "dup_clusters": q_dup_clusters,
     "simhash_signatures": q_simhash_signatures,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -1655,6 +1698,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": _sql_embedding_near_dup(),
     "minhash_lsh_candidates": _sql_minhash_lsh_candidates(),
     "near_dup_pairs": _sql_near_dup_pairs(),
+    "dup_clusters": _sql_dup_clusters(),
     "simhash_signatures": _sql_simhash_signatures(),
     "lsh_topk": _sql_lsh_topk(),
     "ivf_topk": _sql_ivf_topk(),

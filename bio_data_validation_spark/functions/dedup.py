@@ -285,6 +285,130 @@ def simhash(
     return votes.select("doc_id", sig.alias("simhash"))
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list: (node, label)
+    where label = the minimum node id in the component.
+
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the min of its own label and its neighbors' labels, then one
+    path-compression join (label := label(label)) halves the remaining
+    propagation distance — convergence in O(log diameter) rounds instead of
+    O(diameter). This is the DataFrame form of the alternating-star /
+    hash-to-min family (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014); near-dup graphs are unions of near-cliques, so
+    2-3 rounds is typical.
+
+    Scale properties: every round is one shuffle on node id (join + min
+    groupBy, map-side combinable); state is one row per node, never the
+    pair-set; labels only decrease, so convergence is detected by comparing
+    sum(label) between rounds (a single scalar agg — no extra join).
+    ``localCheckpoint`` truncates the per-round lineage so plans stay flat
+    (on a real cluster use a reliable checkpoint dir for fault tolerance).
+    Deterministic for any partitioning/parallelism: min is order-independent.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["u"] == labels["node"]).select(
+            F.col("v").alias("node"), "label"
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label := label(label) (labels are node ids)
+        a, b = new.alias("a"), new.alias("b")
+        new = (
+            a.join(b, F.col("a.label") == F.col("b.node"), "left")
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.col("a.label"), F.coalesce(F.col("b.label"), F.col("a.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        s = new.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        labels = new
+        if s == prev_sum:  # labels are monotone non-increasing → fixpoint
+            break
+        prev_sum = s
+    sym.unpersist()
+    return labels
+
+
+def dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: LSH candidate pairs → connected components →
+    (doc_id, cluster_id, cluster_size, is_canonical).
+
+    This is the group-level output a dedup pipeline actually consumes —
+    ``filter(is_canonical)`` keeps exactly one representative (the min
+    doc_id) per near-dup cluster; pairs alone cannot express "keep one of
+    these five". Docs in no cluster of size >= 2 are trivially canonical
+    and excluded. Reference precedent: the reference reports duplicate
+    *groups*, not pairs (rule_validator.py:430-470); here the grouping is
+    transitive closure over LSH candidates.
+
+    Scale design — exact-dup collapse first: LSH runs on ONE representative
+    per distinct text (min doc_id per sha256), then cluster ids join back to
+    all docs through the sha. On dup-heavy corpora this removes the k²
+    candidate-clique blowup inside every group of k identical texts while
+    provably preserving the output: byte-identical texts have identical
+    token sets, hence identical MinHash signatures and band buckets, so the
+    full-corpus candidate graph is exactly the representative graph with
+    each sha group expanded to a clique — same components, same min ids,
+    same sizes.
+    """
+    docs = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.sha2(F.col(text_col), 256).alias("__sha"),
+        F.col(text_col).alias("__text"),
+    )
+    # one representative per distinct text (first(__text) is value-
+    # deterministic: all texts within a sha group are byte-identical)
+    reps = docs.groupBy("__sha").agg(
+        F.min("__id").alias("doc_id"), F.first("__text").alias("__text")
+    )
+    edges = minhash_lsh_candidates(reps, "__text", "doc_id", num_hashes, bands, hash_fn)
+    comp = connected_components(edges, "doc_a", "doc_b", max_iter)
+    # reps with no LSH edge keep their own id as cluster id; CC labels are
+    # min rep ids = min doc_ids (rep id is already the min of its sha group)
+    rep_cluster = reps.join(comp, reps["doc_id"] == comp["node"], "left").select(
+        "__sha", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    assigned = docs.join(rep_cluster, "__sha").select(
+        F.col("__id").alias(id_col), "cluster_id"
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        assigned.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("cluster_size") > 1)
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def simhash_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_fn: str = "xxhash64"
 ) -> DataFrame:

@@ -136,3 +136,57 @@ def test_text_functions(spark):
     df2 = spark.createDataFrame([("A  b",), ("a b",)], "text string")
     fps = [r["fp"] for r in df2.select(fingerprint(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def _uf_components(edges):
+    """Union-find twin: node -> min node id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from bio_data_validation_spark.functions.dedup import connected_components
+
+    # chain + triangle + isolated pair + shared-min cross link
+    edges = [(9, 5), (5, 1), (2, 3), (3, 4), (4, 2), (7, 8), (1, 4), (11, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping must close a 40-node chain well inside max_iter."""
+    from bio_data_validation_spark.functions.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(40, 0, -1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels = connected_components(df, max_iter=10).collect()
+    assert {r["label"] for r in labels} == {1}
+    assert len(labels) == 41
+
+
+def test_dup_clusters_groups_and_canonicals(docs):
+    from bio_data_validation_spark.functions.dedup import dup_clusters
+
+    out = dup_clusters(docs, bands=8, num_hashes=32).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # docs 0/1 are byte-identical, doc 2 is a 1-token near-dup: one cluster
+    assert {0, 1, 2} <= set(by_doc)
+    assert len({by_doc[i]["cluster_id"] for i in (0, 1, 2)}) == 1
+    assert by_doc[0]["cluster_id"] == 0
+    canon = [r["doc_id"] for r in out if r["is_canonical"]]
+    assert canon.count(0) == 1 and 1 not in canon and 2 not in canon
+    for r in out:
+        assert r["cluster_size"] > 1
