@@ -41,7 +41,16 @@ FORMAT_REGISTRIES: dict[str, str | None] = {
     "generic": None,
 }
 
-_EXT_FORMATS = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".jsonl": "json"}
+_EXT_FORMATS = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".fasta": "fasta",
+    ".fa": "fasta",
+    ".fastq": "fastq",
+    ".fq": "fastq",
+}
 
 
 def sniff_source_format(location: str) -> str:

@@ -32,6 +32,14 @@ def read_source(spark: SparkSession, location: str, fmt: str = "parquet") -> Dat
         return spark.read.option("header", True).option("inferSchema", True).csv(location)
     if fmt == "json":
         return spark.read.json(location)
+    if fmt == "fasta":
+        from .bio import read_fasta
+
+        return read_fasta(spark, location)
+    if fmt == "fastq":
+        from .bio import read_fastq
+
+        return read_fastq(spark, location)
     raise ValueError(f"unknown source format {fmt!r}")
 
 

@@ -1,0 +1,173 @@
+"""FASTA / FASTQ ingestion as Spark-native sources.
+
+Twin of the reference's BioPython-backed format validation
+(schema_validator.py:211-266 `_validate_fasta`, :269-330 fastq path), re-
+expressed as distributed scans + column math — no BioPython, no per-row
+Python:
+
+- FASTA: ``spark.read.text(lineSep=">")`` — the record delimiter IS the
+  split delimiter, so one multi-GB FASTA file still splits across tasks
+  (Hadoop line reader honors custom delimiters at split boundaries).
+  Header/sequence parsing is regexp column math.
+- FASTQ: records are 4 physical lines with no record sentinel ('@' also
+  starts quality lines), so arbitrary byte-offset splitting is unsafe.
+  Files are the parallelism unit instead (``wholetext=True`` + posexplode,
+  line index % 4 pivot) — the standard shape of real FASTQ corpora
+  (thousands of per-sample files); a single monolithic file should be
+  pre-chunked upstream.
+
+Record-level checks mirror the reference exactly: missing sequence id
+(ERROR), empty sequence (ERROR), ambiguous base ('N') content > 10%
+(WARNING).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FASTA_COLUMNS = ["seq_id", "description", "sequence"]
+FASTQ_COLUMNS = ["seq_id", "description", "sequence", "quality"]
+
+
+def read_fasta(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed FASTA scan → (seq_id, description, sequence).
+
+    Each text record is everything between '>' delimiters: the header line
+    followed by any number of wrapped sequence lines (concatenated). Records
+    with a '>' but nothing else (no id, no sequence) are kept with empty
+    fields so the validation layer can flag them, matching the reference's
+    per-record issue reporting rather than silently dropping.
+    """
+    raw = spark.read.text(path, lineSep=">")
+    block = F.col("value")
+    header = F.substring_index(block, "\n", 1)
+    nl = F.instr(block, "\n")
+    body = F.when(nl > 0, block.substr(nl + F.lit(1), F.length(block))).otherwise(F.lit(""))
+    return (
+        raw.filter(F.length(F.trim(block)) > 0)  # leading chunk before first '>'
+        .select(
+            F.regexp_extract(F.trim(header), r"^(\S*)", 1).alias("seq_id"),
+            F.ltrim(F.regexp_replace(F.trim(header), r"^\S*\s*", "")).alias("description"),
+            # squash line wraps / stray whitespace inside the sequence body
+            F.upper(F.regexp_replace(body, r"\s+", "")).alias("sequence"),
+        )
+    )
+
+
+def read_fastq(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file FASTQ scan → (seq_id, description, sequence, quality).
+
+    wholetext + posexplode: line index % 4 identifies the field, index / 4
+    the record — a groupBy pivot, all JVM column math. Malformed framing
+    (header not '@…', separator not '+', len(seq) != len(qual)) surfaces
+    via :func:`fastq_record_checks`, not as a parse crash (the reference
+    converts parse errors to ERROR issues, schema_validator.py:259-266).
+    """
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+    lines = raw.select(
+        "file", F.posexplode(F.split(F.col("value"), r"\r?\n")).alias("pos", "line")
+    ).filter(~((F.col("line") == "") & (F.col("pos") % 4 == 0)))  # trailing blank
+    rec = (
+        lines.withColumn("rec_no", (F.col("pos") / 4).cast("long"))
+        .withColumn("field", F.col("pos") % 4)
+        .groupBy("file", "rec_no")
+        .agg(
+            F.max(F.when(F.col("field") == 0, F.col("line"))).alias("header"),
+            F.max(F.when(F.col("field") == 1, F.col("line"))).alias("sequence"),
+            F.max(F.when(F.col("field") == 2, F.col("line"))).alias("sep"),
+            F.max(F.when(F.col("field") == 3, F.col("line"))).alias("quality"),
+        )
+    )
+    hdr = F.regexp_replace(F.col("header"), r"^@", "")
+    return rec.select(
+        F.regexp_extract(hdr, r"^(\S*)", 1).alias("seq_id"),
+        F.ltrim(F.regexp_replace(hdr, r"^\S*\s*", "")).alias("description"),
+        F.upper(F.coalesce(F.col("sequence"), F.lit(""))).alias("sequence"),
+        F.coalesce(F.col("quality"), F.lit("")).alias("quality"),
+        F.col("header").startswith("@").alias("_framed"),
+        F.coalesce(F.col("sep"), F.lit("")).startswith("+").alias("_sep_ok"),
+    )
+
+
+def fasta_record_checks(records: DataFrame) -> DataFrame:
+    """Per-record issues, reference semantics (schema_validator.py:228-257):
+    (seq_id, field, message, severity) — one row per issue."""
+    n = F.length("sequence")
+    n_amb = n - F.length(F.regexp_replace(F.col("sequence"), "N", ""))
+    checks = [
+        (
+            F.col("seq_id") == "",
+            F.lit("id"),
+            F.lit("Missing sequence ID"),
+            F.lit("ERROR"),
+        ),
+        (n == 0, F.lit("sequence"), F.lit("Empty sequence"), F.lit("ERROR")),
+        (
+            (n > 0) & (n_amb / n > 0.1),
+            F.lit("sequence"),
+            F.concat(
+                F.lit("High ambiguous base content: "),
+                n_amb.cast("string"),
+                F.lit("/"),
+                n.cast("string"),
+            ),
+            F.lit("WARNING"),
+        ),
+    ]
+    issues = F.filter(
+        F.array(
+            *[
+                F.when(cond, F.struct(fld.alias("field"), msg.alias("message"), sev.alias("severity")))
+                for cond, fld, msg, sev in checks
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        records.select("seq_id", F.explode(issues).alias("issue"))
+        .select("seq_id", "issue.field", "issue.message", "issue.severity")
+    )
+
+
+def fastq_record_checks(records: DataFrame) -> DataFrame:
+    """FASTQ framing + content issues: FASTA checks plus header/'+'
+    framing and sequence/quality length agreement."""
+    base = fasta_record_checks(records)
+    framing = records.select(
+        "seq_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        ~F.col("_framed"),
+                        F.struct(
+                            F.lit("header").alias("field"),
+                            F.lit("Header does not start with '@'").alias("message"),
+                            F.lit("ERROR").alias("severity"),
+                        ),
+                    ),
+                    F.when(
+                        ~F.col("_sep_ok"),
+                        F.struct(
+                            F.lit("separator").alias("field"),
+                            F.lit("Separator line does not start with '+'").alias("message"),
+                            F.lit("ERROR").alias("severity"),
+                        ),
+                    ),
+                    F.when(
+                        F.length("sequence") != F.length("quality"),
+                        F.struct(
+                            F.lit("quality").alias("field"),
+                            F.lit("Sequence/quality length mismatch").alias("message"),
+                            F.lit("ERROR").alias("severity"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("issue"),
+    ).select("seq_id", "issue.field", "issue.message", "issue.severity")
+    return base.unionByName(framing)

@@ -1,0 +1,74 @@
+"""FASTA/FASTQ source + record checks (reference schema_validator.py:211-330
+semantics: missing id / empty sequence = ERROR, >10% 'N' = WARNING, FASTQ
+framing errors surfaced as issues, never parse crashes)."""
+
+from bio_data_validation_spark.sources.bio import (
+    fasta_record_checks,
+    fastq_record_checks,
+    read_fasta,
+    read_fastq,
+)
+
+FASTA = """>seq1 first record
+ACGTACGT
+ACGT
+>seq2
+NNNNNNNNNA
+>
+ACGT
+>empty_rec
+"""
+
+FASTQ_A = "@r1 sample\nACGT\n+\nIIII\n@r2\nAANN\n+r2\nII\n"
+FASTQ_B = "bad_header\nACGT\n+\nIIII\n"
+
+
+def test_read_fasta_parses_records(spark, tmp_path):
+    p = tmp_path / "a.fasta"
+    p.write_text(FASTA)
+    rows = {r["seq_id"]: r for r in read_fasta(spark, str(p)).collect()}
+    assert set(rows) == {"seq1", "seq2", "", "empty_rec"}
+    assert rows["seq1"]["sequence"] == "ACGTACGTACGT"  # wrapped lines joined
+    assert rows["seq1"]["description"] == "first record"
+    assert rows["seq2"]["sequence"] == "NNNNNNNNNA"
+    assert rows["empty_rec"]["sequence"] == ""
+
+
+def test_fasta_record_checks_match_reference_rules(spark, tmp_path):
+    p = tmp_path / "a.fasta"
+    p.write_text(FASTA)
+    issues = fasta_record_checks(read_fasta(spark, str(p))).collect()
+    by = {(r["seq_id"], r["field"]): r for r in issues}
+    assert by[("", "id")]["severity"] == "ERROR"  # missing sequence ID
+    assert by[("empty_rec", "sequence")]["message"] == "Empty sequence"
+    amb = by[("seq2", "sequence")]
+    assert amb["severity"] == "WARNING" and "9/10" in amb["message"]
+    assert ("seq1", "sequence") not in by and ("seq1", "id") not in by
+
+
+def test_read_fastq_multi_file_and_checks(spark, tmp_path):
+    (tmp_path / "q").mkdir()
+    (tmp_path / "q" / "a.fastq").write_text(FASTQ_A)
+    (tmp_path / "q" / "b.fastq").write_text(FASTQ_B)
+    recs = read_fastq(spark, str(tmp_path / "q"))
+    rows = {r["seq_id"]: r for r in recs.collect()}
+    assert rows["r1"]["sequence"] == "ACGT" and rows["r1"]["quality"] == "IIII"
+    assert rows["r1"]["description"] == "sample"
+    issues = {(r["seq_id"], r["field"]): r["message"] for r in fastq_record_checks(recs).collect()}
+    # r2: seq len 4 vs qual len 2
+    assert issues[("r2", "quality")] == "Sequence/quality length mismatch"
+    # bad_header file: header framing error
+    assert ("bad_header", "header") in issues
+    assert ("r1", "header") not in issues and ("r1", "quality") not in issues
+
+
+def test_read_source_and_sniff_dispatch_fasta(spark, tmp_path):
+    from bio_data_validation_spark.routing import sniff_source_format
+    from bio_data_validation_spark.sources import read_source
+
+    p = tmp_path / "x.fa"
+    p.write_text(">s1\nACGT\n")
+    assert sniff_source_format(str(p)) == "fasta"
+    assert sniff_source_format("runs/sample.fastq") == "fastq"
+    rows = read_source(spark, str(p), fmt="fasta").collect()
+    assert rows[0]["seq_id"] == "s1" and rows[0]["sequence"] == "ACGT"
