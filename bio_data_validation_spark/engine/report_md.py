@@ -105,3 +105,101 @@ def render_markdown(report: dict, verdicts: pd.DataFrame | None = None) -> str:
     )
     lines.append("")
     return "\n".join(lines)
+
+
+_HTML_CSS = """
+body{font-family:system-ui,sans-serif;max-width:900px;margin:2rem auto;color:#1a202c}
+table{border-collapse:collapse;margin:.75rem 0}
+td,th{border:1px solid #cbd5e0;padding:.3rem .7rem;text-align:left}
+th{background:#edf2f7}
+.decision{display:inline-block;padding:.2rem .8rem;border-radius:4px;color:#fff;font-weight:600}
+.accepted{background:#2f855a}.rejected{background:#c53030}
+.conditional{background:#b7791f}.unknown{background:#4a5568}
+.warn{background:#fffaf0;border-left:4px solid #dd6b20;padding:.4rem .8rem;margin:.4rem 0}
+code{background:#edf2f7;padding:0 .25rem;border-radius:3px}
+"""
+
+
+def _esc(s: object) -> str:
+    return (
+        str(s)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def render_html(report: dict, verdicts: pd.DataFrame | None = None) -> str:
+    """HTML report sink — same data as :func:`render_markdown`, rendered as
+    a self-contained page (reference report_generator.py:130-430 HTML path;
+    the PDF branch there is a headless-browser print of this same page and
+    stays out of scope). Driver-sized, zero Spark jobs."""
+    decision = str(report.get("final_decision", "unknown")).lower()
+    cls = decision if decision in ("accepted", "rejected", "conditional") else "unknown"
+    meta = report.get("ruleset_metadata", {})
+    h: list[str] = [
+        "<!doctype html><html><head><meta charset='utf-8'>",
+        f"<title>Validation report — {_esc(report.get('snapshot_id', '?'))}</title>",
+        f"<style>{_HTML_CSS}</style></head><body>",
+        f"<h1>Validation report — <code>{_esc(report.get('snapshot_id', '?'))}</code></h1>",
+        f"<p>Ruleset <code>{_esc(meta.get('rule_version', '?'))}</code> "
+        f"(hash <code>{_esc(meta.get('ruleset_hash', '?'))}</code>)"
+        + (f", preset <b>{_esc(report['preset'])}</b>" if report.get("preset") else "")
+        + "</p>",
+        f"<p><span class='decision {cls}'>{_esc(decision.upper())}</span></p>",
+    ]
+    if report.get("rationale"):
+        h.append(f"<p>{_esc(report['rationale'])}</p>")
+    if report.get("conditions"):
+        h.append("<p>Conditions:</p><ul>")
+        h.extend(f"<li>{_esc(c)}</li>" for c in report["conditions"])
+        h.append("</ul>")
+    if report.get("requires_human_review"):
+        h.append("<p><b>Requires human review.</b></p>")
+    for w in report.get("warnings", []):
+        h.append(f"<div class='warn'>{_esc(w)}</div>")
+
+    counts = report.get("severity_counts", {})
+    if counts:
+        h.append("<h2>Failed rules by severity</h2><table>")
+        h.append("<tr><th>severity</th><th>failed rules</th></tr>")
+        for sev in ("critical", "error", "warning", "info"):
+            h.append(f"<tr><td>{sev}</td><td>{counts.get(sev, 0)}</td></tr>")
+        h.append("</table>")
+
+    if verdicts is not None and len(verdicts):
+        h.append("<h2>Per-rule verdict rollup</h2><table>")
+        h.append(
+            "<tr><th>rule</th><th>severity</th>"
+            "<th>failing partitions</th><th>violation rows</th></tr>"
+        )
+        rollup = (
+            verdicts.groupby(["rule_id", "severity"])
+            .agg(
+                failing_pids=("passed", lambda s: int((~s).sum())),
+                violation_rows=("violation_count", "sum"),
+            )
+            .reset_index()
+            .sort_values(["violation_rows", "rule_id"], ascending=[False, True])
+        )
+        for r in rollup.itertuples():
+            h.append(
+                f"<tr><td><code>{_esc(r.rule_id)}</code></td><td>{_esc(r.severity)}</td>"
+                f"<td>{r.failing_pids}</td><td>{int(r.violation_rows)}</td></tr>"
+            )
+        h.append("</table>")
+
+    pds = report.get("partition_decisions") or []
+    if pds:
+        rejected = sum(1 for d in pds if d.get("decision") == "rejected")
+        review = sum(1 for d in pds if d.get("requires_review"))
+        h.append(
+            f"<h2>Partitions</h2><p>{len(pds)} processed, {rejected} rejected, "
+            f"{review} flagged for review.</p>"
+        )
+    h.append(
+        f"<p><i>{report.get('records_processed', 0)} records in "
+        f"{report.get('elapsed_sec', 0):.1f}s</i></p></body></html>"
+    )
+    return "".join(h)

@@ -44,7 +44,7 @@ from .fused import (
     rollups_from_fine_pdf,
 )
 from .profilepass import build_row_profile, read_profile, write_profile
-from .report_md import render_markdown
+from .report_md import render_html, render_markdown
 from .verdicts import build_verdicts, global_decision, partition_decisions
 from .violations import profile_violations, violation_counts
 
@@ -190,6 +190,7 @@ def run_validation(
         )
         (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
         (out / "report.md").write_text(render_markdown(report))
+        (out / "report.html").write_text(render_html(report))
         return report
 
     # ---- resume: drop completed partitions (prunes at scan via pid dirs)
@@ -278,6 +279,7 @@ def run_validation(
             report.update({"final_decision": "accepted", "exit_code": 0})
         (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
         (out / "report.md").write_text(render_markdown(report, all_verdicts))
+        (out / "report.html").write_text(render_html(report, all_verdicts))
         return report
     stats = stats.merge(card, on="pid", how="left")
     _mark("pass_1_fused_stats", t)
@@ -394,9 +396,14 @@ def run_validation(
 
     (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
     (out / "report.md").write_text(render_markdown(report, all_verdicts))
+    (out / "report.html").write_text(render_html(report, all_verdicts))
     # metrics.json: the quality-metrics rollup a monitoring scraper would
     # ingest (reference scripts/metrics/calculate_quality_metrics.py:12-84).
-    from ..policy.metrics import quality_metrics
+    from ..policy.metrics import quality_metrics, render_openmetrics
 
-    (out / "metrics.json").write_text(json.dumps(quality_metrics(out), indent=2, default=str))
+    m = quality_metrics(out)
+    (out / "metrics.json").write_text(json.dumps(m, indent=2, default=str))
+    # metrics.prom: Prometheus text exposition (textfile-collector style),
+    # the batch twin of the reference's live registry (monitoring/metrics.py).
+    (out / "metrics.prom").write_text(render_openmetrics(m))
     return report

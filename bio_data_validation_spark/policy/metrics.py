@@ -59,3 +59,91 @@ def quality_metrics(out_dir: str | Path) -> dict:
         metrics["rows_per_sec"] = rep.get("rows_per_sec")
         metrics["ruleset"] = rep.get("ruleset_metadata")
     return metrics
+
+
+def render_openmetrics(metrics: dict) -> str:
+    """Prometheus/OpenMetrics text exposition of the quality-metrics rollup.
+
+    Batch twin of the reference's live prometheus_client registry
+    (monitoring/metrics.py:14-145): same metric-name family, but emitted as
+    a scrape-able .prom file per run (node_exporter textfile-collector
+    convention) instead of an in-process HTTP endpoint — a batch Spark job
+    has no long-lived process to scrape.
+    """
+    lines: list[str] = []
+
+    def emit(name: str, mtype: str, help_: str, samples: list[tuple[str, float]]):
+        lines.append(f"# HELP {name} {help_}")
+        lines.append(f"# TYPE {name} {mtype}")
+        for labels, value in samples:
+            v = int(value) if float(value).is_integer() else value
+            lines.append(f"{name}{labels} {v}")
+
+    led = metrics.get("ledger", {})
+    if led:
+        emit(
+            "validation_records_processed_total", "counter",
+            "Rows through the fused validation pass",
+            [("", led["rows_processed"])],
+        )
+        emit(
+            "validation_partitions_completed_total", "counter",
+            "Partitions with a ledger entry",
+            [("", led["partitions_completed"])],
+        )
+    if "rule_pass_rate" in metrics:
+        emit(
+            "validation_rule_pass_rate", "gauge",
+            "Fraction of (partition, rule) verdicts that passed",
+            [("", round(metrics["rule_pass_rate"], 6))],
+        )
+    if "total_violation_rows" in metrics:
+        emit(
+            "issues_detected_total", "counter",
+            "Violation rows across all rules",
+            [("", metrics["total_violation_rows"])],
+        )
+    rules = metrics.get("rules", [])
+    if rules:
+        emit(
+            "validation_rule_violation_rows_total", "counter",
+            "Violation rows per rule",
+            [
+                (f'{{rule_id="{r["rule_id"]}"}}', r["violation_rows"])
+                for r in rules
+            ],
+        )
+        emit(
+            "validation_rule_failed_partitions", "gauge",
+            "Partitions failing per rule",
+            [
+                (f'{{rule_id="{r["rule_id"]}"}}', r["failed_partitions"])
+                for r in rules
+            ],
+        )
+    pd_counts = metrics.get("partition_decisions", {})
+    if pd_counts:
+        emit(
+            "validation_partition_decisions", "gauge",
+            "Partition decisions by outcome",
+            [(f'{{decision="{k}"}}', v) for k, v in sorted(pd_counts.items())],
+        )
+    if "partitions_requiring_review" in metrics:
+        emit(
+            "human_reviews_pending", "gauge",
+            "Partitions flagged for human review",
+            [("", metrics["partitions_requiring_review"])],
+        )
+    if metrics.get("final_decision"):
+        emit(
+            "validation_final_decision_info", "gauge",
+            "Run-level decision (1 = the labelled outcome)",
+            [(f'{{decision="{metrics["final_decision"]}"}}', 1)],
+        )
+    if metrics.get("rows_per_sec"):
+        emit(
+            "validation_rows_per_second", "gauge",
+            "Throughput of the fused pass",
+            [("", round(metrics["rows_per_sec"], 1))],
+        )
+    return "\n".join(lines) + "\n"

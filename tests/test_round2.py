@@ -240,6 +240,10 @@ def test_run_reports_markdown_rationale_and_degraded_mode(spark, snapshot, tmp_p
     md = (tmp_path / "out" / "report.md").read_text()
     assert rep["final_decision"].upper() in md.upper()
     assert "Per-rule verdict rollup" in md
+    html = (tmp_path / "out" / "report.html").read_text()
+    assert html.startswith("<!doctype html>")
+    assert rep["final_decision"].upper() in html
+    assert "Per-rule verdict rollup" in html and "<table>" in html
 
 
 def test_run_with_auto_routing_and_preset(spark, snapshot, tmp_path):
@@ -292,3 +296,12 @@ def test_review_queue_lifecycle(spark, snapshot, tmp_path):
     m = json.loads((out / "metrics.json").read_text())
     assert m["final_decision"] == rep["final_decision"]
     assert m["total_violation_rows"] > 0
+
+    # metrics.prom: Prometheus text exposition of the same rollup
+    prom = (out / "metrics.prom").read_text()
+    assert "# TYPE issues_detected_total counter" in prom
+    assert f"issues_detected_total {m['total_violation_rows']}" in prom
+    assert f'validation_final_decision_info{{decision="{rep["final_decision"]}"}} 1' in prom
+    assert 'validation_rule_violation_rows_total{rule_id="DUP_002"}' in prom
+    for line in prom.strip().splitlines():  # exposition-format shape check
+        assert line.startswith("#") or " " in line
