@@ -114,3 +114,29 @@ def stream_windowed_stats(
         .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "*")
         .drop("w")
     )
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: keep the FIRST record per key within the
+    watermark horizon — the streaming twin of DUP_002 (key uniqueness) and,
+    with ``content_col``, DUP_003 (duplicate content via sha256).
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state store by the
+    watermark (expired keys are GC'd), unlike plain ``dropDuplicates`` whose
+    state grows without bound on an infinite stream. Duplicates arriving
+    later than the watermark are passed through — the batch engine remains
+    the exactness backstop, the stream gives bounded-state early signal.
+    """
+    df = stream_df
+    keys = list(key_cols)
+    if content_col is not None:
+        df = df.withColumn("__sha", F.sha2(F.col(content_col), 256))
+        keys = ["__sha"]
+    out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return out.drop("__sha") if content_col is not None else out

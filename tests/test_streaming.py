@@ -113,3 +113,39 @@ def test_stream_windowed_stats(spark, stream_input):
     )
     assert got["rows"].tolist() == [2, 2]
     assert got["null_lang"].tolist() == [0, 1]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Key- and content-dedup keep one record per duplicate group inside the
+    watermark horizon (DUP_002 / DUP_003 streaming twins)."""
+    from bio_data_validation_spark.streaming import stream_dedup
+
+    rows = [
+        ("r1", "a.py", "c1", "python", "same", "2024-01-01 00:00:01"),
+        ("r1", "a.py", "c1", "python", "same", "2024-01-01 00:00:02"),  # dup key
+        ("r1", "b.py", "c2", "python", "same", "2024-01-01 00:00:03"),  # dup content only
+        ("r2", "c.py", "c3", "python", "other", "2024-01-01 00:00:04"),
+    ]
+    pdf = spark.createDataFrame(
+        [(r, p, c, lg, ct, datetime.fromisoformat(ts)) for r, p, c, lg, ct, ts in rows],
+        SCHEMA,
+    )
+    d = tmp_path / "in"
+    pdf.write.mode("overwrite").parquet(str(d))
+
+    src = spark.readStream.schema(SCHEMA).parquet(str(d))
+    for name, kwargs, expect in [
+        ("dedup_keys", {"key_cols": ("repo", "path", "commit")}, 3),
+        ("dedup_content", {"content_col": "content"}, 2),
+    ]:
+        out = stream_dedup(src, "ts", **kwargs)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(f"select * from {name}").toPandas()
+        assert len(got) == expect, name
+        assert "__sha" not in got.columns
