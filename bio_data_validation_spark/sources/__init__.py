@@ -62,3 +62,32 @@ def with_pid(df: DataFrame, n_partitions: int) -> DataFrame:
 def read_manifest(spark: SparkSession, location: str) -> DataFrame:
     """The repo_manifest(repo, path) referential dimension."""
     return spark.read.parquet(location)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = 64,
+    key: str = "repo",
+    sort_by: tuple[str, ...] = ("repo", "path"),
+) -> None:
+    """Persist as a bucketed table: hash(key) % buckets decides file layout,
+    recorded in the catalog — the on-disk twin of the Iceberg bucket
+    transform this engine targets (SURVEY.md §7.0).
+
+    Why at 100 TB: two tables bucketed on the same key with the same bucket
+    count join WITHOUT an Exchange — the most expensive shuffle in the
+    pipeline (fact-to-fact joins on repo, e.g. snapshot-to-snapshot diff or
+    source-to-manifest at fact scale) disappears from every downstream job,
+    paid once at write time. `sortBy` additionally pre-sorts within buckets
+    so sort-merge joins skip the per-task sort.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(*sort_by)
+        .format("parquet")
+        .saveAsTable(table)
+    )

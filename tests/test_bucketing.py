@@ -1,0 +1,37 @@
+"""Bucketed-write sink: co-located joins must be Exchange-free.
+
+The point of write_bucketed is that the shuffle for repo-keyed joins is
+paid ONCE at write time; this asserts the physical plan actually cashes
+that in (no Exchange on either side of the join)."""
+
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.sources import write_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    left = spark.range(0, 1000).select(
+        F.concat(F.lit("repo_"), (F.col("id") % 50).cast("string")).alias("repo"),
+        F.col("id").alias("path_id"),
+    )
+    right = spark.range(0, 200).select(
+        F.concat(F.lit("repo_"), (F.col("id") % 50).cast("string")).alias("repo"),
+        F.col("id").alias("meta"),
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    write_bucketed(left, "bt_left", str(tmp_path / "l"), buckets=8, sort_by=("repo",))
+    write_bucketed(right, "bt_right", str(tmp_path / "r"), buckets=8, sort_by=("repo",))
+
+    a, b = spark.table("bt_left"), spark.table("bt_right")
+    joined = a.join(b, "repo")
+    # disable broadcast so the co-location (not a broadcast) avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 1000 * 4  # 200 right rows / 50 repos = 4 per repo
+    # and the data round-trips
+    assert a.count() == 1000 and b.count() == 200
