@@ -1,0 +1,79 @@
+"""Incremental validation: fingerprint-diff two snapshots, carry unchanged
+partitions forward through the ledger, and re-validate only the changed
+ones — the result must be indistinguishable from a from-scratch run."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.engine import run_validation
+from bio_data_validation_spark.engine.incremental import (
+    incremental_validation,
+    pid_fingerprints,
+    unchanged_pids,
+)
+from bio_data_validation_spark.rules import load_registry
+from bio_data_validation_spark.sources import read_source
+
+
+def test_fingerprints_order_and_parallelism_invariant(spark, snapshot):
+    reg = load_registry()
+    df = read_source(spark, snapshot["clean"])
+    a = {r["pid"]: (r["n_rows"], r["fp0"], r["fp1"])
+         for r in pid_fingerprints(df.repartition(1), reg.n_partitions).collect()}
+    b = {r["pid"]: (r["n_rows"], r["fp0"], r["fp1"])
+         for r in pid_fingerprints(df.repartition(16), reg.n_partitions).collect()}
+    assert a == b
+    assert unchanged_pids(df, df, reg.n_partitions) == set(a)
+
+
+def test_incremental_matches_from_scratch(spark, snapshot, tmp_path):
+    reg = load_registry()
+
+    # new snapshot = clean with ONE repo's content emptied (fires LEN_001A)
+    clean = read_source(spark, snapshot["clean"])
+    victim = clean.select("repo").first()["repo"]
+    mutated_path = tmp_path / "mutated"
+    (
+        clean.withColumn(
+            "content",
+            F.when(F.col("repo") == victim, F.lit("")).otherwise(F.col("content")),
+        )
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .parquet(str(mutated_path))
+    )
+
+    # full validation of the OLD snapshot into the reusable out dir
+    out_inc = tmp_path / "out_inc"
+    run_validation(
+        spark, snapshot["clean"], str(out_inc),
+        manifest_path=snapshot["manifest"], snapshot_id="snapA", resume=False,
+    )
+
+    rep = incremental_validation(
+        spark, snapshot["clean"], str(mutated_path), str(out_inc),
+        "snapA", "snapB", manifest_path=snapshot["manifest"],
+    )
+    changed = {
+        int(r["pid"])
+        for r in clean.filter(F.col("repo") == victim).select("pid").distinct().collect()
+    }
+    n_pids = clean.select("pid").distinct().count()
+    assert rep["carried_forward_pids"] == n_pids - len(changed)
+    assert len(rep["resumed_skipped_pids"]) == rep["carried_forward_pids"]
+
+    # from-scratch run on the new snapshot must agree exactly
+    scratch = run_validation(
+        spark, str(mutated_path), str(tmp_path / "out_scratch"),
+        manifest_path=snapshot["manifest"], snapshot_id="snapB", resume=False,
+    )
+    assert rep["final_decision"] == scratch["final_decision"]
+    assert set(rep["failed_rules"]) == set(scratch["failed_rules"]) >= {"LEN_001A"}
+
+    d_inc = pd.read_parquet(out_inc / "decisions.parquet")
+    d_scr = pd.read_parquet(tmp_path / "out_scratch" / "decisions.parquet")
+    cols = ["pid", "decision", "requires_review"]
+    pd.testing.assert_frame_equal(
+        d_inc[cols].sort_values("pid").reset_index(drop=True),
+        d_scr[cols].sort_values("pid").reset_index(drop=True),
+    )

@@ -305,3 +305,32 @@ def test_review_queue_lifecycle(spark, snapshot, tmp_path):
     assert 'validation_rule_violation_rows_total{rule_id="DUP_002"}' in prom
     for line in prom.strip().splitlines():  # exposition-format shape check
         assert line.startswith("#") or " " in line
+
+
+def test_ambiguous_manifest_keys_warn_lookup_002(spark, snapshot, tmp_path):
+    """LOOKUP_002 twin: duplicate (repo, path) rows in the manifest dim are
+    surfaced loudly; the referential verdict itself is unchanged (the check
+    runs on the deduplicated key set)."""
+    import pandas as pd
+    import pytest as _pt
+
+    from bio_data_validation_spark.engine import run_validation
+
+    m = pd.read_parquet(snapshot["manifest"])
+    dup = pd.concat([m, m.head(3)], ignore_index=True)
+    amb_path = tmp_path / "manifest_dup.parquet"
+    dup.to_parquet(amb_path)
+
+    with _pt.warns(UserWarning, match="LOOKUP_002"):
+        rep = run_validation(
+            spark, snapshot["dirty"], str(tmp_path / "out"),
+            manifest_path=str(amb_path), snapshot_id="amb", resume=False,
+        )
+    assert any("LOOKUP_002" in w and "3 ambiguous" in w for w in rep["warnings"])
+    # same decision as with the clean manifest: dedup keeps semantics intact
+    rep2 = run_validation(
+        spark, snapshot["dirty"], str(tmp_path / "out2"),
+        manifest_path=snapshot["manifest"], snapshot_id="amb2", resume=False,
+    )
+    assert rep["final_decision"] == rep2["final_decision"]
+    assert set(rep["failed_rules"]) == set(rep2["failed_rules"])
