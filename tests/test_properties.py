@@ -1,0 +1,93 @@
+"""Property-based checks (hypothesis) for the invariants that carry the
+engine's determinism story: connected components == union-find on arbitrary
+graphs, the portable md5_60 hash == its Python twin on arbitrary tokens, and
+partition fingerprints are multiset functions (order/partitioning blind).
+
+Examples are capped low: each example is a real Spark job, so the value is
+in the adversarial shrinking, not the count."""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.test_functions import _uf_components
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_equals_union_find(spark, edges):
+    from bio_data_validation_spark.functions.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=20
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    seed=st.integers(0, 63),
+)
+def test_md5_60_portable_hash_matches_python(spark, toks, seed):
+    from bio_data_validation_spark.functions.dedup import token_hash
+
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r["tok"]: r["h"]
+        for r in df.select("tok", token_hash(F.col("tok"), seed, "md5_60").alias("h")).collect()
+    }
+    for t in toks:
+        want = int(hashlib.md5(f"{seed}:{t}".encode()).hexdigest()[:15], 16)
+        assert got[t] == want
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["r1", "r2", "r3"]),
+            st.text(min_size=1, max_size=6),
+            st.text(min_size=1, max_size=10),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    parts=st.sampled_from([1, 3, 7]),
+)
+def test_pid_fingerprint_is_multiset_function(spark, rows, parts):
+    """Same multiset of rows → same fingerprints, under any row order and
+    physical partitioning; dropping one row changes (n_rows, fp) somewhere."""
+    from bio_data_validation_spark.engine.incremental import pid_fingerprints
+
+    df = spark.createDataFrame(
+        [(r, p, c, "c" * 4) for r, p, c in rows],
+        "repo string, path string, content string, commit string",
+    )
+    fp = lambda d: {  # noqa: E731
+        r["pid"]: (r["n_rows"], r["fp0"], r["fp1"])
+        for r in pid_fingerprints(d, 8).collect()
+    }
+    assert fp(df.repartition(parts)) == fp(df.orderBy(F.desc("path")))
+    if len(rows) > 1:
+        assert fp(df.limit(len(rows) - 1)) != fp(df)
