@@ -96,9 +96,20 @@ class Registry:
 
 
 def load_registry(path: str | Path = DEFAULT_REGISTRY) -> Registry:
-    """Load + validate + hash a YAML registry."""
+    """Load + validate + hash a YAML registry.
+
+    Bundled registries (paths inside this package) are read through
+    ``importlib.resources`` so they resolve when the package is imported
+    from a ``spark-submit --py-files`` zip, where ``Path(__file__)`` points
+    inside an archive that plain ``open()`` cannot traverse."""
     p = Path(path)
-    content = p.read_bytes()
+    try:
+        content = p.read_bytes()
+    except (NotADirectoryError, FileNotFoundError):
+        from importlib import resources
+
+        res = resources.files(__package__).joinpath(p.name)
+        content = res.read_bytes()
     raw = yaml.safe_load(content)
     if not isinstance(raw, dict) or "version" not in raw:
         raise ValueError(f"registry {p} missing 'version'")

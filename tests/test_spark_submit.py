@@ -1,0 +1,57 @@
+"""The ship criterion made executable: the engine must run as a
+`spark-submit --py-files <zip>` package (BASELINE north rule / SURVEY §7).
+
+This builds the archive, then launches a REAL spark-submit subprocess whose
+working directory contains no copy of the package — the import can only be
+satisfied by the --py-files zip — and validates the dirty sf0.001 snapshot
+end to end through the CLI entry point."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+
+
+def test_spark_submit_pyfiles_package(snapshot, tmp_path):
+    zip_path = tmp_path / "bio_data_validation_spark.zip"
+    subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "make_pyfiles_zip.py"), str(zip_path)],
+        check=True,
+        capture_output=True,
+    )
+    assert zip_path.exists() and zip_path.stat().st_size > 10_000
+
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        "import sys\n"
+        "from bio_data_validation_spark.cli import main\n"
+        "sys.exit(main())\n"
+    )
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", str(zip_path),
+            str(driver),
+            "validate",
+            "--source", str(Path(snapshot["dirty"]).resolve()),
+            "--out", str(out_dir),
+            "--manifest", str(Path(snapshot["manifest"]).resolve()),
+            "--snapshot-id", "submit-smoke",
+            "--no-resume",
+        ],
+        cwd=tmp_path,  # package import must come from the zip, not the repo
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 1, proc.stderr[-3000:]  # dirty snapshot → rejected → exit 1
+    assert (out_dir / "report.json").exists()
+    import json
+
+    rep = json.loads((out_dir / "report.json").read_text())
+    assert rep["final_decision"] == "rejected"
+    assert "DUP_002" in rep["failed_rules"]
