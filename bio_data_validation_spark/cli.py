@@ -51,6 +51,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "--source-format-auto", action="store_true",
         help="sniff the file format from the source location instead of --source-format",
     )
+    v.add_argument(
+        "--incremental-from", default=None, metavar="OLD_SOURCE",
+        help="previous snapshot source: fingerprint-diff against it and "
+        "re-validate only changed partitions into the previous run's --out",
+    )
+    v.add_argument(
+        "--old-snapshot-id", default=None,
+        help="snapshot id of the previous run (required with --incremental-from)",
+    )
 
     g = sub.add_parser("datagen", help="generate the synthetic snapshot")
     g.add_argument("--sf", type=float, required=True)
@@ -99,20 +108,39 @@ def main(argv: list[str] | None = None) -> int:
         from .routing import sniff_source_format
 
         source_format = sniff_source_format(args.source)
-    report = run_validation(
-        spark,
-        source_path=args.source,
-        out_dir=args.out,
-        manifest_path=args.manifest,
-        registry_path=args.rules,
-        profile_dir=args.profile,
-        build_baseline=args.build_baseline,
-        snapshot_id=args.snapshot_id,
-        resume=not args.no_resume,
-        source_format=source_format,
-        with_skew_report=args.skew_report,
-        preset=args.preset,
-    )
+    if args.incremental_from:
+        if not (args.old_snapshot_id and args.snapshot_id):
+            raise SystemExit("--incremental-from needs --old-snapshot-id and --snapshot-id")
+        from .engine.incremental import incremental_validation
+
+        report = incremental_validation(
+            spark,
+            old_source=args.incremental_from,
+            new_source=args.source,
+            out_dir=args.out,
+            old_snapshot_id=args.old_snapshot_id,
+            new_snapshot_id=args.snapshot_id,
+            manifest_path=args.manifest,
+            registry_path=args.rules,
+            profile_dir=args.profile,
+            with_skew_report=args.skew_report,
+            preset=args.preset,
+        )
+    else:
+        report = run_validation(
+            spark,
+            source_path=args.source,
+            out_dir=args.out,
+            manifest_path=args.manifest,
+            registry_path=args.rules,
+            profile_dir=args.profile,
+            build_baseline=args.build_baseline,
+            snapshot_id=args.snapshot_id,
+            resume=not args.no_resume,
+            source_format=source_format,
+            with_skew_report=args.skew_report,
+            preset=args.preset,
+        )
     print(
         json.dumps(
             {

@@ -126,4 +126,9 @@ def incremental_validation(
         snapshot_id=new_snapshot_id, resume=True, **run_kwargs,
     )
     report["carried_forward_pids"] = carried
+    # re-persist so the on-disk report.json carries the incremental lineage
+    import json
+    from pathlib import Path
+
+    (Path(out_dir) / "report.json").write_text(json.dumps(report, indent=2, default=str))
     return report

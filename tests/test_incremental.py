@@ -77,3 +77,22 @@ def test_incremental_matches_from_scratch(spark, snapshot, tmp_path):
         d_inc[cols].sort_values("pid").reset_index(drop=True),
         d_scr[cols].sort_values("pid").reset_index(drop=True),
     )
+
+
+def test_cli_incremental_flag(spark, snapshot, tmp_path):
+    from bio_data_validation_spark.cli import main
+
+    out = str(tmp_path / "out")
+    assert main([
+        "validate", "--source", snapshot["clean"], "--out", out,
+        "--manifest", snapshot["manifest"], "--snapshot-id", "d1", "--no-resume",
+    ]) == 0
+    assert main([
+        "validate", "--source", snapshot["dirty"], "--out", out,
+        "--manifest", snapshot["manifest"], "--incremental-from", snapshot["clean"],
+        "--old-snapshot-id", "d1", "--snapshot-id", "d2",
+    ]) == 1
+    import json
+    rep = json.loads((tmp_path / "out" / "report.json").read_text())
+    assert rep["carried_forward_pids"] >= 0
+    assert rep["snapshot_id"] == "d2"
