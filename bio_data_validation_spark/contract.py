@@ -545,6 +545,78 @@ FROM t GROUP BY lang
 """
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum glyphs —
+# the merge-input granularity of byte-pair tokenizers, as ONE regexp_count
+# per row (codegen'd; no Python). ASCII classes on lowercased text keep the
+# Java-regex (Spark) and RE2 (DuckDB) interpretations identical.
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count stats under a BPE-style pre-tokenization (letters/digits/
+    punctuation split — the unit LLM token budgets are estimated from),
+    grouped per source."""
+    d = _t(spark, sf_dir, "documents")
+    nt = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_TOKEN_PATTERN))
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nt).cast("long").alias("sum_bpe_tokens"),
+        F.round(F.avg(nt), 6).alias("avg_bpe_tokens"),
+        F.max(nt).cast("long").alias("max_bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_STATS = rf"""
+WITH t AS (SELECT source,
+                  CASE WHEN text IS NULL THEN 0
+                       ELSE len(regexp_extract_all(lower(text), '{BPE_TOKEN_PATTERN}')) END AS nt
+           FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_bpe_tokens,
+       round(avg(nt), 6) AS avg_bpe_tokens,
+       CAST(max(nt) AS BIGINT) AS max_bpe_tokens
+FROM t GROUP BY source
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the non-whitespace character distribution
+    per source — a corpus-quality signal (mojibake / binary-in-text / single-
+    char spam collapse entropy). Two shuffles: char histogram, then the
+    per-source entropy fold; both map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "source",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S"), 0)).alias("ch"),
+    )
+    hist = chars.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        hist.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"),
+            F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+        )
+    )
+
+
+SQL_CHAR_ENTROPY = r"""
+WITH chars AS (SELECT source, unnest(regexp_extract_all(text, '\S')) AS ch
+               FROM documents WHERE text IS NOT NULL),
+hist AS (SELECT source, ch, count(*) AS n FROM chars GROUP BY 1, 2),
+tot AS (SELECT source, sum(n) AS tot FROM hist GROUP BY 1)
+SELECT h.source,
+       round(-sum((n / tot) * ln(n / tot)), 6) AS char_entropy,
+       CAST(count(*) AS BIGINT) AS distinct_chars
+FROM hist h JOIN tot USING (source)
+GROUP BY h.source
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     score = T.quality_score(F.col("text"))
@@ -1610,6 +1682,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi_square_lang_by_source": q_chi_square_lang_by_source,
     "ks_length_by_source": q_ks_length_by_source,
     "token_stats": q_token_stats,
+    "bpe_token_stats": q_bpe_token_stats,
+    "char_entropy": q_char_entropy,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -1669,6 +1743,8 @@ ORACLES: dict[str, str] = {
     "chi_square_lang_by_source": SQL_CHI_SQUARE_LANG_BY_SOURCE,
     "ks_length_by_source": SQL_KS_LENGTH_BY_SOURCE,
     "token_stats": SQL_TOKEN_STATS,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

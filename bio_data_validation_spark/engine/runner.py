@@ -304,31 +304,16 @@ def run_validation(
     # ---- PASS 2: violation rows from the profile, deterministic order
     t = time.time()
     manifest = read_manifest(spark, manifest_path) if manifest_path else None
-    if manifest is not None and registry.referential:
-        # LOOKUP_002 twin (reference bio_lookups.py ambiguous-result path):
-        # the reference treats a lookup returning multiple conflicting
-        # results per key as its own finding. Here the dim is local, so the
-        # equivalent defect is the manifest itself carrying duplicate keys —
-        # the anti-join would silently collapse them, so surface it loudly.
-        ref_keys = list(registry.referential["keys"])
-        n_ambiguous = (
-            manifest.groupBy(*ref_keys)
-            .count()
-            .filter(F.col("count") > 1)
-            .count()
-        )
-        if n_ambiguous:
-            msg = (
-                f"LOOKUP_002: manifest has {n_ambiguous} ambiguous "
-                f"{tuple(ref_keys)} keys (duplicate dim rows) — referential "
-                "check uses the deduplicated key set"
-            )
-            report["warnings"].append(msg)
-            import warnings as _w
-
-            _w.warn(msg, stacklevel=2)
+    # LOOKUP_002 twin (reference bio_lookups.py ambiguous-result path): the
+    # reference treats a lookup returning multiple conflicting results per
+    # key as its own finding; the local-dim equivalent is the manifest
+    # carrying duplicate keys, which the anti-join would silently collapse.
+    # Detected inside the violation prep itself (one filter+count over the
+    # dedup shuffle the RI join needs anyway — no extra manifest pass).
+    pass2_stats: dict = {}
     violations, preps = profile_violations(
-        profile_cur, registry, manifest, full_profile=profile_all
+        profile_cur, registry, manifest, full_profile=profile_all,
+        stats_out=pass2_stats,
     )
     violations = violations.persist()
     try:
@@ -345,6 +330,17 @@ def run_validation(
         violations.unpersist()
         for p in preps:
             p.unpersist()
+    n_ambiguous = int(pass2_stats.get("ambiguous_manifest_keys", 0))
+    if n_ambiguous:
+        msg = (
+            f"LOOKUP_002: manifest has {n_ambiguous} ambiguous "
+            f"{tuple(registry.referential['keys'])} keys (duplicate dim "
+            "rows) — referential check uses the deduplicated key set"
+        )
+        report["warnings"].append(msg)
+        import warnings as _w
+
+        _w.warn(msg, stacklevel=2)
     _mark("pass_2_violations", t)
 
     # ---- verdicts + decisions (all driver-sized pandas: the verdict table

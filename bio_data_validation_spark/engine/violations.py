@@ -117,6 +117,7 @@ def profile_violations(
     manifest: DataFrame | None = None,
     full_profile: DataFrame | None = None,
     materialize_prep: bool = True,
+    stats_out: dict | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Violations from the row-profile table.
 
@@ -222,7 +223,17 @@ def profile_violations(
         not_null = F.lit(True)
         for k in keys:
             not_null = not_null & F.col(k).isNotNull()
-        dim = manifest.select(*keys).dropDuplicates(keys)
+        # Dedup via groupBy+count rather than dropDuplicates: the SAME
+        # shuffle the anti-join needs anyway also yields per-key dim counts,
+        # so the LOOKUP_002 ambiguity check (duplicate manifest keys) costs
+        # one filter+count over this persisted relation instead of a second
+        # full shuffle of the dim (which measurably hurt wall time at scale,
+        # the dim being file-count-sized).
+        dim_grouped = manifest.groupBy(*keys).agg(F.count(F.lit(1)).alias("__dim_n"))
+        dim = dim_grouped.select(*keys)
+        if stats_out is not None and materialize_prep:
+            dim_grouped = dim_grouped.persist()
+            stats_out["_ambiguous_df"] = dim_grouped
         orphan_pairs = (
             profile.filter(not_null)
             .select(*keys)
@@ -241,9 +252,19 @@ def profile_violations(
         for p in preps:
             p.df.persist()
             persisted.append(p.df)
-        with ThreadPoolExecutor(max_workers=len(preps)) as ex:
+        amb_df = stats_out.pop("_ambiguous_df", None) if stats_out is not None else None
+        with ThreadPoolExecutor(max_workers=len(preps) + (1 if amb_df is not None else 0)) as ex:
+            amb_f = (
+                ex.submit(lambda: amb_df.filter(F.col("__dim_n") > 1).count())
+                if amb_df is not None
+                else None
+            )
             for p, n in zip(preps, ex.map(lambda p: p.df.count(), preps)):
                 p.rows = int(n)
+            if amb_f is not None:
+                stats_out["ambiguous_manifest_keys"] = int(amb_f.result())
+        if amb_df is not None:
+            persisted.append(amb_df)
 
     work = profile
     for p in preps:

@@ -30,6 +30,15 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
         shuffle_partitions = 32 if n == "*" else max(int(n), 4)
 
+    # Shuffle/spill scratch: a single local disk serializes 32 concurrent
+    # shuffle writers (measured 3-5x slowdown of shuffle-heavy stages at
+    # local[32] vs tmpfs). Clusters provision striped NVMe for this via
+    # spark.local.dir / SPARK_LOCAL_DIRS; the local-mode equivalent is shm.
+    # Honored only when /dev/shm exists; override with SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -43,6 +52,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -115,3 +115,28 @@ def test_new_operator_scans_prune_columns(spark):
 
     _, plan = schemas("lsh_topk")
     assert "SortMergeJoin" not in plan  # candidate attach is broadcast-sized
+
+
+def test_fingerprint_agg_single_shuffle_with_partial_combine(spark, snapshot, registry):
+    """pid_fingerprints must be ONE pid-keyed shuffle with map-side partial
+    aggregation — the whole point of fingerprint-diffing is that it never
+    joins snapshots row-level."""
+    from bio_data_validation_spark.engine.incremental import pid_fingerprints
+
+    df = read_source(spark, snapshot["clean"])
+    plan = _plan(pid_fingerprints(df, registry.n_partitions))
+    assert plan.count("Exchange") == 1
+    assert "partial_" in plan  # map-side combine before the shuffle
+    assert "Join" not in plan
+
+
+def test_dup_clusters_scan_prunes_to_id_and_text(spark):
+    """The dup_clusters input scan must read only (doc_id, text) — cluster
+    math never touches lang/source/n_chars."""
+    from bio_data_validation_spark.functions.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_lsh_candidates(docs, "text", "doc_id"))
+    read_schema = plan[plan.index("ReadSchema"):].split("\n")[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
