@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd beats snappy on every axis for this workload (measured at
+        # sf2.4: profile write 1637->917 MB and 36.5->27.7 s — output IO is
+        # write-bound, so smaller is also faster; readback 2x faster). At
+        # 100 TB the saved bytes are also saved scan bandwidth downstream.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
