@@ -140,3 +140,74 @@ def stream_dedup(
         keys = ["__sha"]
     out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return out.drop("__sha") if content_col is not None else out
+
+
+def _chi2_critical(dof: int, alpha: float) -> float:
+    """Critical value x with chi2_sf(x, dof) = alpha, by bisection — computed
+    once on the driver so the stream itself stays pure column math."""
+    from ..engine.stats import chi2_sf
+
+    lo, hi = 0.0, 10.0
+    while chi2_sf(hi, dof) > alpha:
+        hi *= 2
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if chi2_sf(mid, dof) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def stream_lang_drift(
+    stream_df: DataFrame,
+    ts_col: str,
+    baseline: dict[str, int],
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    lang_col: str = "lang",
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Streaming twin of DRIFT_LANG_001: per event-time window, the Pearson
+    chi-square statistic of the lang distribution against baseline counts.
+
+    Identical conventions to the batch path (engine/drift.chi_square_stat):
+    category set = baseline categories plus OTHER for unseen langs, 0.5
+    pseudo-count on the baseline side. The statistic is a fixed arithmetic
+    expression over one windowed aggregation — conditional counts per
+    category — so the whole check is watermark-bounded column math; the
+    chi-square critical value at ``alpha`` is precomputed on the driver
+    (the inverse-CDF is the only non-SQL piece, and it is a constant).
+    Emits (window_start, window_end, rows, statistic, dof, drifted).
+    """
+    cats = sorted(baseline)
+    base_total = sum(baseline.values()) + 0.5 * (len(cats) + 1)  # +1: OTHER
+    in_set = F.col(lang_col).isin(cats)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for i, c in enumerate(cats):
+        aggs.append(F.count(F.when(F.col(lang_col) == c, 1)).alias(f"__c{i}"))
+    aggs.append(
+        F.count(F.when(F.col(lang_col).isNotNull() & ~in_set, 1)).alias("__c_other")
+    )
+    win = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*aggs)
+    )
+    tot = F.col("rows").cast("double")
+    stat = F.lit(0.0)
+    for i, c in enumerate(cats):
+        e = tot * (baseline[c] + 0.5) / base_total
+        stat = stat + (F.col(f"__c{i}") - e) * (F.col(f"__c{i}") - e) / e
+    e_other = tot * 0.5 / base_total
+    stat = stat + (F.col("__c_other") - e_other) * (F.col("__c_other") - e_other) / e_other
+    dof = len(cats)  # (len(cats)+1 categories) - 1
+    crit = _chi2_critical(dof, alpha)
+    return win.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "rows",
+        F.round(stat, 6).alias("statistic"),
+        F.lit(dof).alias("dof"),
+        (stat > F.lit(crit)).alias("drifted"),
+    )

@@ -149,3 +149,54 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         got = spark.sql(f"select * from {name}").toPandas()
         assert len(got) == expect, name
         assert "__sha" not in got.columns
+
+
+def test_stream_lang_drift_statistic_matches_batch(spark, tmp_path):
+    """The streamed per-window chi-square must equal the batch
+    chi_square_stat under the same conventions (union category set via
+    OTHER bucket, 0.5 baseline pseudo-count)."""
+    from bio_data_validation_spark.engine.stats import chi2_sf
+    from bio_data_validation_spark.streaming import _chi2_critical, stream_lang_drift
+
+    # window 1: matches baseline mix; window 2: all-klingon (drifted)
+    rows = (
+        [("r", "p", "c" * 40, "python", "x", f"2024-01-01 00:00:{s:02d}") for s in range(1, 31)]
+        + [("r", "p", "c" * 40, "go", "x", f"2024-01-01 00:00:{s:02d}") for s in range(31, 41)]
+        + [("r", "p", "c" * 40, "klingon", "x", f"2024-01-01 00:01:{s:02d}") for s in range(1, 41)]
+    )
+    pdf = spark.createDataFrame(
+        [(r, p, c, lg, ct, datetime.fromisoformat(ts)) for r, p, c, lg, ct, ts in rows],
+        SCHEMA,
+    )
+    d = tmp_path / "in"
+    pdf.write.mode("overwrite").parquet(str(d))
+    baseline = {"python": 300, "go": 100}
+
+    src = spark.readStream.schema(SCHEMA).parquet(str(d))
+    q = (
+        stream_lang_drift(src, "ts", baseline, window="1 minute")
+        .writeStream.format("memory").queryName("drift_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["window_start"].minute: r for r in spark.sql("select * from drift_sink").collect()}
+
+    from bio_data_validation_spark.engine.drift import chi_square_stat
+
+    # batch twin with the same OTHER-bucket convention
+    def batch_stat(observed):
+        obs = {k: observed.get(k, 0) for k in ["python", "go"]}
+        obs["__OTHER__"] = sum(v for k, v in observed.items() if k not in baseline)
+        base = dict(baseline)
+        base["__OTHER__"] = 0
+        return chi_square_stat(obs, base)
+
+    s1, dof1 = batch_stat({"python": 30, "go": 10})
+    s2, _ = batch_stat({"klingon": 40})
+    assert abs(got[0]["statistic"] - round(s1, 6)) < 1e-6
+    assert abs(got[1]["statistic"] - round(s2, 6)) < 1e-6
+    assert not got[0]["drifted"] and got[1]["drifted"]
+    # critical value really is the alpha quantile
+    crit = _chi2_critical(dof1, 0.01)
+    assert abs(chi2_sf(crit, dof1) - 0.01) < 1e-9
