@@ -59,6 +59,8 @@ SKIP_AT_BENCH = {
     # md5_60 oracle hash (~30x the xxhash64 production cost) plus iterative
     # CC rounds — correctness-gated at sf0.01 like the other pair ops.
     "dup_clusters",
+    # levenshtein rescore over the same pair-output candidate set
+    "levenshtein_near_dups",
 }
 
 

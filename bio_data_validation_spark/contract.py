@@ -1505,6 +1505,65 @@ FROM comp
 """
 
 
+LEV_SIM_THRESHOLD = 0.95  # reference default sequence_similarity_threshold
+
+
+def q_levenshtein_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference DUP_004 semantics exactly (rule_validator.py:288-322 +
+    _find_near_duplicate_sequences): near-dup pairs where similarity =
+    1 - levenshtein/max_len >= 0.95 — but bucket-bounded: the reference
+    caps its all-pairs loop at 5,000 rows; here LSH banding generates the
+    candidate pairs (linear shuffle) and the edit-distance rescore runs on
+    candidates only, so there is no row cap. Spark's built-in levenshtein
+    (JVM codegen) does the rescore."""
+    from .functions.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "text", "doc_id",
+        num_hashes=MINHASH_NUM_HASHES, bands=MINHASH_BANDS, hash_fn="md5_60",
+    )
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+    # Banded early-exit DP: any qualifying pair has distance <=
+    # (1-thr) * global_max_len, so the thresholded levenshtein (O(n*T)
+    # instead of O(n*m), returns -1 above T) is exact for every pair that
+    # can pass the similarity filter — a ~10x cut on the rescore cost.
+    import math
+
+    max_len = d.agg(F.max(F.length("text"))).collect()[0][0] or 0
+    t_bound = max(1, math.ceil((1.0 - LEV_SIM_THRESHOLD) * max_len))
+    lev = F.levenshtein("__ta", "__tb", t_bound)
+    sim = F.round(
+        1.0 - lev / F.greatest(F.length("__ta"), F.length("__tb")).cast("double"), 6
+    )
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", lev.alias("__lev"), sim.alias("similarity"))
+        .filter((F.col("__lev") >= 0) & (F.col("similarity") >= LEV_SIM_THRESHOLD))
+        .drop("__lev")
+    )
+
+
+def _sql_levenshtein_near_dups() -> str:
+    return f"""
+WITH {_sql_minhash_banded()},
+cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         round(1.0 - levenshtein(da.text, db.text)
+               / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 6)
+           AS similarity
+  FROM cands c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b)
+SELECT * FROM scored WHERE similarity >= {LEV_SIM_THRESHOLD}
+"""
+
+
 SIMHASH_BITS = 60  # md5_60 hash → 60-bit portable signature
 
 
@@ -1714,6 +1773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "near_dup_pairs": q_near_dup_pairs,
     "dup_clusters": q_dup_clusters,
+    "levenshtein_near_dups": q_levenshtein_near_dups,
     "simhash_signatures": q_simhash_signatures,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -1775,6 +1835,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_candidates": _sql_minhash_lsh_candidates(),
     "near_dup_pairs": _sql_near_dup_pairs(),
     "dup_clusters": _sql_dup_clusters(),
+    "levenshtein_near_dups": _sql_levenshtein_near_dups(),
     "simhash_signatures": _sql_simhash_signatures(),
     "lsh_topk": _sql_lsh_topk(),
     "ivf_topk": _sql_ivf_topk(),
