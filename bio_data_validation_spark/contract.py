@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .functions.dedup import exact_duplicates, near_dup_pairs, ngram_jaccard_pairs
+from .functions.dedup import (
+    exact_duplicates,
+    near_dup_pairs,
+    ngram_jaccard_pairs,
+    token_hash,
+)
 from .functions.similarity import cosine
 
 
@@ -1505,6 +1510,66 @@ FROM comp
 """
 
 
+KGRAM_K = 5       # fingerprint shingle width (chars)
+KGRAM_MOD = 8     # keep hashes with h % 8 == 0 (Manber-style 0-mod-p selection)
+KGRAM_PREFIX = 256  # fingerprint the first N normalized chars (bounded cost)
+
+
+def q_kgram_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character k-gram rolling fingerprints with 0-mod-p selection (Manber,
+    "Finding Similar Files in a Large File System", USENIX 1994 — the
+    scheme winnowing refines): hash every k-char shingle of the normalized
+    text prefix, keep the deterministic 1/p subset (h % p == 0), summarize
+    per doc. The shingle explode is rows x prefix_len, bounded by the
+    KGRAM_PREFIX cap — the standard fingerprint trade (position-robust,
+    unlike whole-doc sha)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = F.substring(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, KGRAM_PREFIX)
+    grams = (
+        d.select("doc_id", t.alias("__t"))
+        .filter(F.length("__t") >= KGRAM_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__t") - F.lit(KGRAM_K - 1))
+            ).alias("pos"),
+            "__t",
+        )
+        .select(
+            "doc_id",
+            token_hash(F.expr(f"substr(__t, pos, {KGRAM_K})"), 0, "md5_60").alias("h"),
+        )
+    )
+    kept = grams.filter(F.col("h") % KGRAM_MOD == 0)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.count_distinct("h").alias("n_fingerprints"),
+            F.min("h").alias("min_fp"),
+        )
+    )
+
+
+def _sql_kgram_fingerprints() -> str:
+    h = _sql_md5h(0, f"substr(__t, pos, {KGRAM_K})")
+    return rf"""
+WITH norm AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, {KGRAM_PREFIX}) AS __t
+  FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT doc_id, {h} AS h
+  FROM norm, LATERAL (SELECT unnest(range(1, length(__t) - {KGRAM_K} + 2)) AS pos)
+  WHERE length(__t) >= {KGRAM_K}),
+kept AS (SELECT * FROM grams WHERE h % {KGRAM_MOD} = 0)
+SELECT doc_id, count(*) AS n_kept,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_fingerprints,
+       min(h) AS min_fp
+FROM kept GROUP BY doc_id
+"""
+
+
 LEV_SIM_THRESHOLD = 0.95  # reference default sequence_similarity_threshold
 
 
@@ -1774,6 +1839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_pairs": q_near_dup_pairs,
     "dup_clusters": q_dup_clusters,
     "levenshtein_near_dups": q_levenshtein_near_dups,
+    "kgram_fingerprints": q_kgram_fingerprints,
     "simhash_signatures": q_simhash_signatures,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -1836,6 +1902,7 @@ ORACLES: dict[str, str] = {
     "near_dup_pairs": _sql_near_dup_pairs(),
     "dup_clusters": _sql_dup_clusters(),
     "levenshtein_near_dups": _sql_levenshtein_near_dups(),
+    "kgram_fingerprints": _sql_kgram_fingerprints(),
     "simhash_signatures": _sql_simhash_signatures(),
     "lsh_topk": _sql_lsh_topk(),
     "ivf_topk": _sql_ivf_topk(),
