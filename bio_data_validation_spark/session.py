@@ -53,6 +53,12 @@ def get_spark(
         # write-bound, so smaller is also faster; readback 2x faster). At
         # 100 TB the saved bytes are also saved scan bandwidth downstream.
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Allow co-partitioned joins when the join keys are a superset of
+        # the partitioning keys (rows equal on (repo, path) ARE co-located
+        # when both sides are bucketed by repo). Turns the LOOKUP_001
+        # anti-join into a storage-partitioned join on bucketed tables —
+        # zero Exchange (asserted in tests/test_bucketing.py).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

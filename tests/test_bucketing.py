@@ -35,3 +35,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == 1000 * 4  # 200 right rows / 50 repos = 4 per repo
     # and the data round-trips
     assert a.count() == 1000 and b.count() == 200
+
+
+def test_bucketed_referential_anti_join_is_exchange_free(spark, tmp_path):
+    """The README claim made executable: once source and manifest are both
+    bucketed by repo, the LOOKUP_001 anti-join on (repo, path) needs no
+    Exchange — HashPartitioning(repo) satisfies the (repo, path) clustering
+    requirement (subset property), so the RI check is a storage-partitioned
+    join at scale."""
+    src = spark.range(0, 2000).select(
+        F.concat(F.lit("repo_"), (F.col("id") % 40).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("id").cast("string")).alias("path"),
+    )
+    man = src.limit(1900)  # manifest missing 100 paths -> orphans
+    spark.sql("DROP TABLE IF EXISTS bt_src")
+    spark.sql("DROP TABLE IF EXISTS bt_man")
+    write_bucketed(src, "bt_src", str(tmp_path / "s"), buckets=8, sort_by=("repo", "path"))
+    write_bucketed(man, "bt_man", str(tmp_path / "m"), buckets=8, sort_by=("repo", "path"))
+
+    fact, dim = spark.table("bt_src"), spark.table("bt_man")
+    orphans = fact.join(dim, ["repo", "path"], "left_anti")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = orphans._jdf.queryExecution().executedPlan().toString()
+        n = orphans.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange" not in plan, plan
+    assert n == 100
