@@ -56,6 +56,35 @@ def build_row_profile(df: DataFrame, registry: Registry) -> DataFrame:
         cols.append(
             F.coalesce(F.expr(r.violation_when), F.lit(False)).alias(FLAG_PREFIX + r.rule_id)
         )
+    nd = registry.near_duplicates
+    if nd:
+        # Optional DUP_004 support: the MinHash signature is PER-ROW array
+        # math (array_distinct(split) -> transform -> array_min per seed) —
+        # no explode, no shuffle, computed in this same single content scan.
+        # PASS 2 does the LSH banding over the compact profile, so enabling
+        # near-dup detection never adds a second read of content.
+        from ..functions.dedup import token_hash
+
+        toks = F.filter(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("content"))), r"\s+")),
+            lambda t: F.length(t) > 0,
+        )
+        num = int(nd.get("num_hashes", 16))
+        hash_fn = nd.get("hash_fn", "xxhash64")
+
+        def _min_hash(seed: int):
+            # single-arg lambda: a 2-arg lambda would make F.transform pass
+            # the ARRAY INDEX as the second argument, clobbering the seed
+            return F.array_min(F.transform(toks, lambda t: token_hash(t, seed, hash_fn)))
+
+        sig = F.array(*[_min_hash(seed) for seed in range(num)])
+        # No tokens (empty/whitespace-only content) -> no signature: such
+        # rows are LEN_001A / exact-dup findings, not near-dup candidates.
+        cols.append(
+            F.when(
+                F.col("content").isNotNull() & (F.size(toks) > 0), sig
+            ).alias("__mh")
+        )
     return df.select(*cols)
 
 

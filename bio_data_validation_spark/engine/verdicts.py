@@ -90,7 +90,12 @@ def build_verdicts(
 
     # Row-level rule families: one verdict per (pid, rule), count from PASS 2.
     row_rule_meta = [(r.rule_id, r.severity) for r in registry.row_rules]
-    for extra in (registry.uniqueness, registry.content_duplicates, registry.referential):
+    for extra in (
+        registry.uniqueness,
+        registry.content_duplicates,
+        registry.referential,
+        registry.near_duplicates,
+    ):
         if extra:
             row_rule_meta.append((extra["id"], extra["severity"]))
     vc = {

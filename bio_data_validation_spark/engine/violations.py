@@ -210,6 +210,59 @@ def profile_violations(
             F.col("content_sha256").isNotNull() & F.col("__sha_dup").isNotNull(),
         )
 
+    nd = registry.near_duplicates
+    if nd and "__mh" in profile.columns:
+        # DUP_004 (reference rule_validator.py:288-322): flag rows sharing
+        # an LSH band bucket with at least one other row — near-duplicate
+        # (or identical) content. Signatures were computed in PASS A; this
+        # prep shuffles rows x bands small records (key, band, bucket),
+        # never pairs. Like DUP_003, bucket groups span partitions, so the
+        # banding runs over the FULL profile on resumed runs.
+        from ..functions.dedup import _band_bucket
+
+        src = full_profile if full_profile is not None else profile
+        num = int(nd.get("num_hashes", 16))
+        bands = int(nd.get("bands", 4))
+        hash_fn = nd.get("hash_fn", "xxhash64")
+        rpb = num // bands
+        nd_keys = ["repo", "path", "commit"]
+        banded = src.filter(F.col("__mh").isNotNull()).select(
+            *nd_keys,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            _band_bucket(
+                                [F.col("__mh")[b * rpb + i] for i in range(rpb)], hash_fn
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(*nd_keys, "bb.band", "bb.bucket")
+        hot = (
+            banded.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > 1)
+            .select("band", "bucket")
+        )
+        nd_rows = (
+            banded.join(hot, ["band", "bucket"])
+            .select(*nd_keys)
+            .dropDuplicates(nd_keys)
+            .withColumn("__nd_cand", F.lit(1))
+        )
+        preps.append(_Prep("near_duplicates", nd_rows, nd_keys))
+        rules.add(
+            nd.get("id", "DUP_004"),
+            nd.get("severity", "warning"),
+            "content",
+            nd.get("message", "near-duplicate content (MinHash-LSH candidate)"),
+            F.col("__nd_cand").isNotNull(),
+        )
+
     ref = registry.referential
     if ref and manifest is not None:
         # The manifest scales with file count — broadcasting it is wrong at

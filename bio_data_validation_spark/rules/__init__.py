@@ -79,6 +79,10 @@ class Registry:
         return self.raw.get("referential")
 
     @property
+    def near_duplicates(self) -> dict[str, Any] | None:
+        return self.raw.get("near_duplicates")
+
+    @property
     def agg_rules(self) -> list[dict[str, Any]]:
         return list(self.raw.get("agg_rules", []))
 

@@ -89,3 +89,31 @@ def pid_stats(df: pd.DataFrame) -> pd.DataFrame:
     ).reset_index()
     out["mean_len"] = out["sum_len"] / (out["rows"] - out["null_content"])
     return out
+
+
+def dup004_mask(df: pd.DataFrame, num_hashes: int = 16, bands: int = 4) -> pd.Series:
+    """DUP_004 near-dup oracle: md5_60 MinHash + LSH banding, pure hashlib —
+    twin of profilepass.__mh + violations near_duplicates prep (registry
+    rules_v1.2.0.yml). True for rows sharing any band bucket with another."""
+
+    def md5_60(seed: int, tok: str) -> int:
+        return int(hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:15], 16)
+
+    rpb = num_hashes // bands
+    sig_of: dict[int, list[int]] = {}
+    for idx, content in df["content"].items():
+        if not isinstance(content, str):
+            continue
+        toks = {t for t in re.split(r"\s+", content.strip().lower()) if t}
+        if not toks:
+            continue
+        sig_of[idx] = [min(md5_60(s, t) for t in toks) for s in range(num_hashes)]
+
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for idx, sig in sig_of.items():
+        for b in range(bands):
+            key = ",".join(str(v) for v in sig[b * rpb : (b + 1) * rpb])
+            buckets.setdefault((b, hashlib.md5(key.encode()).hexdigest()), []).append(idx)
+
+    flagged = {i for members in buckets.values() if len(members) > 1 for i in members}
+    return pd.Series(df.index.isin(list(flagged)), index=df.index)

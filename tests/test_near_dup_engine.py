@@ -1,0 +1,74 @@
+"""In-engine DUP_004 (registry v1.2.0): MinHash signatures in the single
+PASS-A content scan, LSH banding in PASS 2 — violation rows must match the
+pure-hashlib oracle exactly, and the default registry must be unaffected."""
+
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from bio_data_validation_spark.engine.violations import violation_pass
+from bio_data_validation_spark.rules import load_registry
+from bio_data_validation_spark.sources import read_manifest, read_source, with_pid
+
+from .oracle import dup004_mask
+
+V12 = str(Path(__file__).parent.parent / "bio_data_validation_spark" / "rules" / "rules_v1.2.0.yml")
+
+
+@pytest.fixture(scope="module")
+def reg12():
+    return load_registry(V12)
+
+
+def test_registry_v12_declares_near_dups(reg12):
+    nd = reg12.near_duplicates
+    assert nd["id"] == "DUP_004" and nd["hash_fn"] == "md5_60"
+    assert load_registry().near_duplicates is None  # default unaffected
+
+
+def test_dup004_controlled_fixture(spark, reg12):
+    rows = [
+        # near-dup pair: one token differs out of 9
+        ("r1", "a.py", "a" * 40, "python", "the quick brown fox jumps over the lazy dog"),
+        ("r1", "b.py", "b" * 40, "python", "the quick brown fox leaps over the lazy dog"),
+        # exact dup pair (identical signatures share every bucket)
+        ("r2", "c.py", "c" * 40, "python", "import os\nimport sys"),
+        ("r2", "d.py", "d" * 40, "python", "import os\nimport sys"),
+        # distinct docs
+        ("r3", "e.py", "e" * 40, "python", "completely unrelated spark engine code"),
+        ("r3", "f.py", "f" * 40, "python", "def main(): return 42"),
+        # no-signature rows: empty and null content
+        ("r4", "g.py", "1" * 40, "python", ""),
+        ("r4", "h.py", "2" * 40, "python", None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    df = with_pid(spark.createDataFrame(pdf), reg12.n_partitions)
+    manifest = spark.createDataFrame(pdf[["repo", "path"]].drop_duplicates())
+
+    viols = violation_pass(df, reg12, manifest)
+    got = {
+        (r["repo"], r["path"])
+        for r in viols.filter("rule_id = 'DUP_004'").collect()
+    }
+    mask = dup004_mask(pdf, 16, 4)
+    want = {(r.repo, r.path) for r in pdf[mask].itertuples()}
+    assert got == want
+    # identical texts have identical signatures -> share EVERY band, always
+    assert {("r2", "c.py"), ("r2", "d.py")} <= got
+    # the 1-token-off pair is flagged iff >= 1 band collides — probabilistic
+    # by design (the LSH recall trade), so only oracle agreement is asserted
+    assert ("r4", "g.py") not in got and ("r4", "h.py") not in got
+
+
+def test_dup004_snapshot_parity(spark, snapshot, dirty_pdf, reg12):
+    """Exact row-set parity on the full dirty snapshot vs the oracle."""
+    df = with_pid(read_source(spark, snapshot["dirty"]), reg12.n_partitions)
+    manifest = read_manifest(spark, snapshot["manifest"])
+    viols = violation_pass(df, reg12, manifest).filter("rule_id = 'DUP_004'")
+    got = {(r["repo"], r["path"], r["commit"]) for r in viols.collect()}
+    mask = dup004_mask(dirty_pdf, 16, 4)
+    want = {
+        (r.repo, r.path, r.commit) for r in dirty_pdf[mask].itertuples()
+    }
+    assert got == want and len(got) > 0
