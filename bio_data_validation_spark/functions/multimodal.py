@@ -119,3 +119,51 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         )
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_index int, ts_ms int, frame_sha256 string, "
+    f"feature array<float>"
+)
+
+
+def _decode_video_frames_stub(payload: bytes, meta, every_ms: int) -> list[tuple[int, bytes]]:
+    """REAL frame decoding lives here in production (PyAV/ffmpeg seek +
+    decode at each sample point). STUB: deterministic pseudo-frames — one
+    per sample timestamp, bytes derived from (payload, ts) — so the
+    frame-sampling plumbing (timestamps from duration, per-frame rows,
+    per-frame features) is fully exercisable without a codec library."""
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder would stream-fetch")
+    duration = (meta or {}).get("duration_ms") or 0
+    ts_points = list(range(0, max(int(duration), 1), max(int(every_ms), 1)))
+    return [
+        (ts, hashlib.sha256(payload + ts.to_bytes(4, "big")).digest()) for ts in ts_points
+    ]
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000, batch_hint: int = 256) -> DataFrame:
+    """Frame-sampling for video rows: one output row per sampled frame
+    (media_id, frame_index, ts_ms, frame_sha256, feature), via Arrow-batched
+    ``mapInPandas`` — the row-expansion happens inside the UDF so a 2-hour
+    video never materializes as a single huge struct. Non-video rows are
+    filtered before the UDF (Catalyst pushes the filter to the scan)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "ts_ms": [], "frame_sha256": [], "feature": []}
+            for media_id, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                meta_d = dict(meta.asDict()) if hasattr(meta, "asDict") else (dict(meta) if meta is not None else {})
+                for idx, (ts, fbytes) in enumerate(
+                    _decode_video_frames_stub(payload, meta_d, every_ms)
+                ):
+                    arr = np.frombuffer(fbytes[:FEATURE_DIM], dtype=np.uint8).astype(np.float32)
+                    norm = float(np.linalg.norm(arr)) or 1.0
+                    out["media_id"].append(media_id)
+                    out["frame_index"].append(idx)
+                    out["ts_ms"].append(ts)
+                    out["frame_sha256"].append(hashlib.sha256(fbytes).hexdigest())
+                    out["feature"].append((arr / norm).tolist())
+            yield pd.DataFrame(out)
+
+    return df.filter("kind = 'video'").mapInPandas(process, schema=FRAME_SCHEMA)

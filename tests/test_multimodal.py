@@ -44,3 +44,33 @@ def test_unknown_kind_raises(spark):
     bad = synthesize_media(spark, n=2).withColumn("kind", __import__("pyspark").sql.functions.lit("video"))
     with pytest.raises(Exception, match="decoder for kind='video'"):
         extract_features(bad).collect()
+
+
+def test_video_frame_sampling_plumbing(spark):
+    """Frame-sample path: one row per sampled timestamp, deterministic
+    features, non-video rows excluded before the UDF."""
+    import numpy as np
+
+    from bio_data_validation_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    rows = [
+        (0, "video", b"\x01\x02\x03", (640, 360, None, 3500, "fakemp4")),
+        (1, "image", b"\x04\x05", (64, 48, None, None, "fakepng")),
+        (2, "video", b"\x06\x07\x08\x09", (640, 360, None, 1000, "fakemp4")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_video_frames(df, every_ms=1000).toPandas()
+    # media 0: ts 0,1000,2000,3000 ; media 2: ts 0 ; image excluded
+    assert sorted(out["media_id"].unique()) == [0, 2]
+    m0 = out[out.media_id == 0].sort_values("frame_index")
+    assert list(m0["ts_ms"]) == [0, 1000, 2000, 3000]
+    assert list(m0["frame_index"]) == [0, 1, 2, 3]
+    assert len(out[out.media_id == 2]) == 1
+    # determinism + unit-norm features
+    out2 = sample_video_frames(df, every_ms=1000).toPandas()
+    assert list(out["frame_sha256"]) == list(out2["frame_sha256"])
+    for f in out["feature"]:
+        assert abs(np.linalg.norm(f) - 1.0) < 1e-6
