@@ -120,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
             out_dir=args.out,
             old_snapshot_id=args.old_snapshot_id,
             new_snapshot_id=args.snapshot_id,
+            source_format=source_format,
             manifest_path=args.manifest,
             registry_path=args.rules,
             profile_dir=args.profile,

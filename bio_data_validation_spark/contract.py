@@ -1590,21 +1590,32 @@ def q_levenshtein_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
-    # Banded early-exit DP: any qualifying pair has distance <=
-    # (1-thr) * global_max_len, so the thresholded levenshtein (O(n*T)
-    # instead of O(n*m), returns -1 above T) is exact for every pair that
-    # can pass the similarity filter — a ~10x cut on the rescore cost.
-    import math
-
-    max_len = d.agg(F.max(F.length("text"))).collect()[0][0] or 0
-    t_bound = max(1, math.ceil((1.0 - LEV_SIM_THRESHOLD) * max_len))
-    lev = F.levenshtein("__ta", "__tb", t_bound)
+    # Banded early-exit DP with a PER-PAIR bound: a qualifying pair has
+    # distance <= (1-thr) * greatest(len_a, len_b), so the thresholded
+    # levenshtein (O(n*T) instead of O(n*m), returns -1 above T) is exact
+    # for every pair that can pass the similarity filter — and the bound no
+    # longer inflates for short pairs when one giant doc exists somewhere
+    # in the corpus (the round-2 global-max version did, voiding the early
+    # exit; it also cost an extra .collect() job). A free pre-DP cut drops
+    # pairs whose length gap alone already exceeds the bound
+    # (levenshtein >= |len_a - len_b|; reference rule_validator.py:471-494
+    # uses the same length-ratio prefilter).
+    t_bound = F.greatest(
+        F.lit(1),
+        F.ceil(
+            F.lit(1.0 - LEV_SIM_THRESHOLD)
+            * F.greatest(F.length("__ta"), F.length("__tb"))
+        ).cast("int"),
+    )
+    lev = F.expr("levenshtein(__ta, __tb, __t)")
     sim = F.round(
         1.0 - lev / F.greatest(F.length("__ta"), F.length("__tb")).cast("double"), 6
     )
     return (
         cands.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .withColumn("__t", t_bound)
+        .filter(F.abs(F.length("__ta") - F.length("__tb")) <= F.col("__t"))
         .select("doc_a", "doc_b", lev.alias("__lev"), sim.alias("similarity"))
         .filter((F.col("__lev") >= 0) & (F.col("similarity") >= LEV_SIM_THRESHOLD))
         .drop("__lev")
@@ -1678,19 +1689,34 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lsh_topk() -> str:
+    # Mirrors lsh_topk's staged widening exactly: exact bucket, else
+    # Hamming<=1 multi-probe, else brute force — each tier gated by the
+    # measured candidate count, so returned rows == min(k, n).
     planes = _lsh_topk_planes()
     vb = _sql_lsh_bucket(planes, "embedding")
     qb = _sql_lsh_bucket(planes, "qvec")
+    probe_or = " OR ".join(
+        f"b.bucket = xor(qbucket.bucket, {1 << i})" for i in range(LSH_TOPK_PLANES)
+    )
+    score = "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 4)"
+    order = "list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) DESC, vec_id"
     return f"""
 WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
 b AS (SELECT vec_id, embedding, {vb} AS bucket FROM embeddings),
 qbucket AS (SELECT {qb} AS bucket FROM q),
-cand AS (SELECT b.vec_id, b.embedding FROM b, qbucket WHERE b.bucket = qbucket.bucket)
-SELECT vec_id,
-       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 4) AS cos
-FROM cand, q
-ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) DESC, vec_id
-LIMIT 10
+cand1 AS (SELECT b.vec_id, b.embedding FROM b, qbucket WHERE b.bucket = qbucket.bucket),
+cand2 AS (SELECT b.vec_id, b.embedding FROM b, qbucket
+          WHERE b.bucket = qbucket.bucket OR {probe_or}),
+t1 AS (SELECT vec_id, {score} AS cos FROM cand1, q ORDER BY {order} LIMIT 10),
+t2 AS (SELECT vec_id, {score} AS cos FROM cand2, q ORDER BY {order} LIMIT 10),
+t3 AS (SELECT vec_id, {score} AS cos
+       FROM (SELECT vec_id, embedding FROM b) cand3, q ORDER BY {order} LIMIT 10)
+SELECT * FROM t1 WHERE (SELECT count(*) FROM cand1) >= 10
+UNION ALL
+SELECT * FROM t2 WHERE (SELECT count(*) FROM cand1) < 10
+                   AND (SELECT count(*) FROM cand2) >= 10
+UNION ALL
+SELECT * FROM t3 WHERE (SELECT count(*) FROM cand2) < 10
 """
 
 

@@ -8,8 +8,22 @@ volume of P rows (never a row-level join of the snapshots), then seeds the
 resume ledger so :func:`run_validation` skips the unchanged partitions via
 its existing partition-pruned resume path — changed pids are re-profiled
 and re-validated in place (dynamic partition overwrite), carried pids keep
-their on-disk profile/violations/verdicts, which are byte-valid because the
-data they describe is identical.
+their on-disk profile and PARTITION-LOCAL violations/verdicts, which are
+byte-valid because the data they describe is identical.
+
+Soundness boundaries (each enforced, not assumed):
+
+- Fingerprints cover EVERY source column (any row change — including a
+  column no rule currently reads — invalidates its partition).
+- Cross-partition rules (DUP_003/DUP_004) are NEVER carried: the runner
+  recomputes them over the full on-disk profile each run and overwrites
+  every pid's dup verdicts (engine/violations.py module doc).
+- Partitions present in the old snapshot but absent from the new one have
+  their on-disk profile/violations/verdicts deleted before the run, so no
+  ghost partition shapes the new report or the dup recompute.
+- Referential verdicts are only carried when the manifest is provably
+  unchanged (fingerprint match vs the old run's report.json); otherwise
+  the carry set is voided and the run revalidates everything, loudly.
 
 Reference precedent: persisted per-run reports keyed by content+ruleset
 hash (orchestrator.py:130-177) — generalized here from whole-runs to
@@ -17,6 +31,11 @@ partitions.
 """
 
 from __future__ import annotations
+
+import json
+import shutil
+import warnings
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,31 +46,92 @@ from ..sources import with_pid
 _FP_SEEDS = (0, 1)  # two independent xor fingerprints
 
 
+def _fp_columns(df: DataFrame) -> list[str]:
+    """Every source column, sorted for a layout-independent hash order.
+
+    ``pid`` is excluded: it is either derived (pure function of ``repo``)
+    or a storage-layout column; either way it carries no information the
+    remaining columns don't, and including it would make the fingerprint
+    depend on partition-count configuration."""
+    return sorted(c for c in df.columns if c != "pid")
+
+
 def pid_fingerprints(df: DataFrame, n_partitions: int) -> DataFrame:
     """(pid, n_rows, fp0, fp1): order-independent partition fingerprint.
 
-    fp_k = bit_xor of xxhash64(repo, path, commit, content, seed_k) over the
+    fp_k = bit_xor of xxhash64(<all source columns>, seed_k) over the
     partition's rows — commutative, so any task/row ordering yields the same
     value, and computable in ONE pass with map-side partial aggregation
     (shuffle = P rows per side). XOR alone is blind to duplicated rows
     (a pair cancels); n_rows plus two independent seeds closes that:
     equal (n_rows, fp0, fp1) ⇒ equal multisets up to a ~2^-128 collision.
+
+    Hashes EVERY column (sorted) — a partition where only one non-key
+    column (e.g. ``lang``) changed must be re-validated, or the rules that
+    read it (LANG_ENUM / BIAS / DRIFT_LANG) would silently go stale.
     """
     d = with_pid(df, n_partitions)
+    cols = ", ".join(_fp_columns(df))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for k in _FP_SEEDS:
-        aggs.append(
-            F.expr(f"bit_xor(xxhash64(repo, path, commit, content, {k}))").alias(f"fp{k}")
-        )
+        aggs.append(F.expr(f"bit_xor(xxhash64({cols}, {k}))").alias(f"fp{k}"))
     return d.groupBy("pid").agg(*aggs)
+
+
+def relation_fingerprint(df: DataFrame) -> str:
+    """Order-independent fingerprint of a whole (small) relation — used to
+    prove the referential manifest unchanged between runs. One agg job."""
+    cols = ", ".join(_fp_columns(df))
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(f"bit_xor(xxhash64({cols}, {k}))").alias(f"fp{k}")
+            for k in _FP_SEEDS
+        ],
+    ).collect()[0]
+    return f"{row['n']}:{row['fp0']}:{row['fp1']}"
+
+
+def snapshot_diff(
+    old_df: DataFrame, new_df: DataFrame, n_partitions: int
+) -> tuple[set[int], set[int]]:
+    """(unchanged_pids, vanished_pids) between two snapshots.
+
+    Both fingerprint relations are P-row tables; collect them and diff on
+    the driver — one job per side, no cross-snapshot shuffle at all."""
+    a = {
+        int(r["pid"]): (r["n_rows"], r["fp0"], r["fp1"])
+        for r in pid_fingerprints(old_df, n_partitions).collect()
+    }
+    b = {
+        int(r["pid"]): (r["n_rows"], r["fp0"], r["fp1"])
+        for r in pid_fingerprints(new_df, n_partitions).collect()
+    }
+    unchanged = {p for p, fp in a.items() if b.get(p) == fp}
+    vanished = set(a) - set(b)
+    return unchanged, vanished
 
 
 def unchanged_pids(old_df: DataFrame, new_df: DataFrame, n_partitions: int) -> set[int]:
     """Partitions whose row multiset is identical in both snapshots."""
-    a = pid_fingerprints(old_df, n_partitions)
-    b = pid_fingerprints(new_df, n_partitions)
-    same = a.join(b, ["pid", "n_rows"] + [f"fp{k}" for k in _FP_SEEDS], "inner")
-    return {int(r["pid"]) for r in same.select("pid").collect()}
+    return snapshot_diff(old_df, new_df, n_partitions)[0]
+
+
+def drop_vanished_pids(out_dir: str, vanished: set[int]) -> list[int]:
+    """Delete on-disk per-pid artifacts for partitions absent from the new
+    snapshot, so stale profile rows can't feed the dup recompute and stale
+    verdicts can't shape the new decision. Returns the pids dropped."""
+    dropped: list[int] = []
+    for pid in sorted(vanished):
+        hit = False
+        for sub in ("row_profile", "violations", "verdicts"):
+            d = Path(out_dir) / sub / f"pid={pid}"
+            if d.exists():
+                shutil.rmtree(d)
+                hit = True
+        if hit:
+            dropped.append(pid)
+    return dropped
 
 
 def carry_forward(
@@ -94,6 +174,7 @@ def incremental_validation(
     out_dir: str,
     old_snapshot_id: str,
     new_snapshot_id: str,
+    source_format: str = "parquet",
     **run_kwargs,
 ) -> dict:
     """Validate ``new_source`` into the ``out_dir`` previously produced for
@@ -101,9 +182,14 @@ def incremental_validation(
 
     One fingerprint scan per snapshot decides the carry set; everything else
     is the ordinary resume machinery (partition-pruned scan, dynamic
-    per-partition overwrite of profile/violations/verdicts)."""
+    per-partition overwrite of profile/violations/verdicts) plus the
+    runner's always-global DUP_003/DUP_004 recompute.
+
+    ``source_format`` applies to BOTH snapshots and is threaded through to
+    the inner :func:`run_validation` (csv/json/fasta/fastq sources work
+    incrementally too)."""
     from ..rules import load_registry
-    from ..sources import read_source
+    from ..sources import read_manifest, read_source
     from .runner import run_validation
 
     reg_path = run_kwargs.get("registry_path")
@@ -114,21 +200,42 @@ def incremental_validation(
         )
     registry = load_registry(reg_path) if reg_path else load_registry()
     n_part = registry.n_partitions
-    old_df = read_source(spark, old_source)
-    new_df = read_source(spark, new_source)
-    same = unchanged_pids(old_df, new_df, n_part)
+    old_df = read_source(spark, old_source, source_format)
+    new_df = read_source(spark, new_source, source_format)
+    same, vanished = snapshot_diff(old_df, new_df, n_part)
+
+    # Referential verdicts are carried inside unchanged partitions, but they
+    # depend on the manifest too — carry is only sound if the manifest is
+    # the one the old run validated against. Compare fingerprints with the
+    # old report; any mismatch (or a missing old record) voids the carry.
+    manifest_path = run_kwargs.get("manifest_path")
+    if registry.referential and manifest_path:
+        new_fp = relation_fingerprint(read_manifest(spark, manifest_path))
+        old_fp = None
+        old_report_path = Path(out_dir) / "report.json"
+        if old_report_path.exists():
+            old_fp = json.loads(old_report_path.read_text()).get("manifest_fingerprint")
+        if old_fp != new_fp:
+            warnings.warn(
+                "incremental_validation: referential manifest changed (or the "
+                "old run recorded no fingerprint) — carrying nothing, full "
+                "revalidation of every partition",
+                stacklevel=2,
+            )
+            same = set()
+
+    dropped = drop_vanished_pids(out_dir, vanished)
     carried = carry_forward(
         out_dir, same, old_snapshot_id, new_snapshot_id,
         registry.ruleset_hash, registry.version,
     )
     report = run_validation(
         spark, new_source, out_dir,
-        snapshot_id=new_snapshot_id, resume=True, **run_kwargs,
+        snapshot_id=new_snapshot_id, resume=True, source_format=source_format,
+        **run_kwargs,
     )
     report["carried_forward_pids"] = carried
+    report["vanished_pids_dropped"] = dropped
     # re-persist so the on-disk report.json carries the incremental lineage
-    import json
-    from pathlib import Path
-
     (Path(out_dir) / "report.json").write_text(json.dumps(report, indent=2, default=str))
     return report

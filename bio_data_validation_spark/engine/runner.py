@@ -72,6 +72,64 @@ def _read_verdicts_pandas(out_dir: Path) -> pd.DataFrame:
     return ds.dataset(str(out_dir), partitioning="hive").to_table().to_pandas()
 
 
+def _write_global_violations(global_v: DataFrame, out: Path) -> pd.DataFrame:
+    """Persist the cross-partition (DUP_003/DUP_004) violation relation.
+
+    Fully overwritten every run — a pid whose dup rows all disappeared must
+    lose its stale files, which dynamic per-partition overwrite would keep —
+    so this is a plain (non-hive) parquet dir with pid as a data column.
+    Returns the per-(pid, rule) counts for verdict assembly."""
+    from .violations import violation_counts
+
+    global_v = global_v.persist()
+    try:
+        (
+            global_v.repartition("pid")
+            .sortWithinPartitions("pid", "rule_id", "repo", "path", "commit")
+            .write.mode("overwrite")
+            .parquet(str(out / "violations_global"))
+        )
+        return violation_counts(global_v).toPandas()
+    finally:
+        global_v.unpersist()
+
+
+def _patch_global_verdicts(
+    all_verdicts: pd.DataFrame, gcounts: pd.DataFrame, registry: Registry
+) -> tuple[pd.DataFrame, bool]:
+    """Refresh DUP_003/DUP_004 verdict rows for EVERY pid from this run's
+    global recompute. Cross-partition verdicts carried forward from a prior
+    run can be stale (a changed partition flips an unchanged partition's
+    dup status); the recompute is authoritative. Driver-sized: the verdict
+    table is O(P × rules) regardless of data scale."""
+    global_ids = [
+        r["id"]
+        for r in (registry.content_duplicates, registry.near_duplicates)
+        if r
+    ]
+    if not global_ids or all_verdicts.empty:
+        return all_verdicts, False
+    gmap = {
+        (int(r.pid), str(r.rule_id)): int(r.violation_count)
+        for r in gcounts.itertuples()
+    }
+    mask = all_verdicts["rule_id"].isin(global_ids)
+    if not mask.any():
+        return all_verdicts, False
+    new_counts = [
+        gmap.get((int(p), str(rid)), 0)
+        for p, rid in zip(
+            all_verdicts.loc[mask, "pid"], all_verdicts.loc[mask, "rule_id"]
+        )
+    ]
+    changed = bool(
+        (all_verdicts.loc[mask, "violation_count"].astype(int).to_numpy() != new_counts).any()
+    )
+    all_verdicts.loc[mask, "violation_count"] = new_counts
+    all_verdicts.loc[mask, "passed"] = [c == 0 for c in new_counts]
+    return all_verdicts, changed
+
+
 def structural_check(df: DataFrame, registry: Registry) -> list[dict]:
     """Plan-time CONS_001/CONS_002: required columns + declared types.
 
@@ -257,8 +315,33 @@ def run_validation(
         all_verdicts = None
         if verdicts_path.exists():
             all_verdicts = _read_verdicts_pandas(verdicts_path)
+            # Cross-partition dup state can change even with no partitions
+            # to reprocess (partitions VANISHED between snapshots, turning
+            # cross-partition dup groups into singletons), so refresh it
+            # from the on-disk profile — profile-table algebra only, no
+            # content scan — and patch every pid's DUP_003/DUP_004 verdicts.
+            if registry.content_duplicates or registry.near_duplicates:
+                _, global_v, gpreps_p = profile_violations(
+                    profile_all, registry, None,
+                    full_profile=profile_all, include_local=False,
+                )
+                try:
+                    gcounts = _write_global_violations(global_v, out)
+                finally:
+                    for p in gpreps_p:
+                        p.unpersist()
+                all_verdicts, patched = _patch_global_verdicts(
+                    all_verdicts, gcounts, registry
+                )
+                if patched:
+                    _write_verdicts_pandas(all_verdicts, out / "verdicts")
             g = global_decision(all_verdicts, registry)
             decisions = partition_decisions(all_verdicts, registry)
+            # Rewritten unconditionally: the verdict set itself can shrink
+            # between snapshots (vanished partitions were dropped before
+            # this run), so a stale decisions.parquet may mention pids that
+            # no longer exist.
+            decisions.to_parquet(out / "decisions.parquet", index=False)
             any_rej = bool((decisions["decision"] == "rejected").any())
             report.update(
                 {
@@ -304,6 +387,13 @@ def run_validation(
     # ---- PASS 2: violation rows from the profile, deterministic order
     t = time.time()
     manifest = read_manifest(spark, manifest_path) if manifest_path else None
+    if manifest is not None:
+        # Recorded so a later incremental run can prove the manifest
+        # unchanged (carry-forward of referential verdicts is only sound
+        # against the same manifest — incremental.py module doc).
+        from .incremental import relation_fingerprint
+
+        report["manifest_fingerprint"] = relation_fingerprint(manifest)
     # LOOKUP_002 twin (reference bio_lookups.py ambiguous-result path): the
     # reference treats a lookup returning multiple conflicting results per
     # key as its own finding; the local-dim equivalent is the manifest
@@ -311,7 +401,7 @@ def run_validation(
     # Detected inside the violation prep itself (one filter+count over the
     # dedup shuffle the RI join needs anyway — no extra manifest pass).
     pass2_stats: dict = {}
-    violations, preps = profile_violations(
+    violations, global_violations, preps = profile_violations(
         profile_cur, registry, manifest, full_profile=profile_all,
         stats_out=pass2_stats,
     )
@@ -326,10 +416,14 @@ def run_validation(
             .parquet(str(out / "violations"))
         )
         viol_counts = violation_counts(violations).toPandas()
+        # Cross-partition rules: recomputed over the full profile, emitted
+        # for ALL pids, fully overwritten (see violations.py module doc).
+        gviol_counts = _write_global_violations(global_violations, out)
     finally:
         violations.unpersist()
         for p in preps:
             p.unpersist()
+    viol_counts_all = pd.concat([viol_counts, gviol_counts], ignore_index=True)
     n_ambiguous = int(pass2_stats.get("ambiguous_manifest_keys", 0))
     if n_ambiguous:
         msg = (
@@ -346,12 +440,18 @@ def run_validation(
     # ---- verdicts + decisions (all driver-sized pandas: the verdict table
     # is O(P × rules) regardless of data scale — no Spark jobs needed)
     t = time.time()
-    verdicts = build_verdicts(stats, lang_hist, viol_counts, drift_results, registry)
+    verdicts = build_verdicts(stats, lang_hist, viol_counts_all, drift_results, registry)
     _write_verdicts_pandas(verdicts, out / "verdicts")
 
     # Read back the FULL verdict table (this run + prior resumed runs) so the
-    # dataset decision covers every partition.
+    # dataset decision covers every partition — then overwrite every pid's
+    # cross-partition (DUP_003/DUP_004) rows from this run's global
+    # recompute: carried-forward dup verdicts are stale by construction
+    # whenever another partition's content changed.
     all_verdicts = _read_verdicts_pandas(out / "verdicts")
+    all_verdicts, patched = _patch_global_verdicts(all_verdicts, gviol_counts, registry)
+    if patched:
+        _write_verdicts_pandas(all_verdicts, out / "verdicts")
     decisions = partition_decisions(all_verdicts, registry)
     decisions.to_parquet(out / "decisions.parquet", index=False)
     g = global_decision(all_verdicts, registry)

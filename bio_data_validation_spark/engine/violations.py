@@ -23,6 +23,21 @@ falls back to a plain shuffle join (AQE handles the rest) and warns — the
 degraded plan is slower, never wrong, and the driver never OOMs on a
 surprise broadcast.
 
+Rules split into two emission relations by their data dependency:
+
+  - PARTITION-LOCAL (row rules, uniqueness, referential): a row's verdict
+    depends only on that row (plus broadcast-scale side inputs), so a
+    resumed/incremental run re-emits them only for the partitions it
+    processes and carries the rest forward from disk.
+  - CROSS-PARTITION (duplicate content DUP_003, near-duplicates DUP_004):
+    a row's verdict depends on rows in OTHER partitions, so carry-forward
+    is unsound — a changed partition can flip an unchanged partition's
+    verdict (new content duplicating old rows). These are recomputed over
+    the FULL profile every run and emitted for ALL partitions into a
+    separate fully-overwritten relation. The recompute never re-reads
+    content — it's algebra over the compact profile (~1-2% of source
+    bytes), which is exactly the cost class an incremental run can afford.
+
 Reference twins: per-record constraint checks (schema_validator.py:335-394),
 DUP_002 (rule_validator.py:273-286), DUP_003 (rule_validator.py:292-305),
 LOOKUP_001 (bio_lookups.py:745-764).
@@ -118,16 +133,29 @@ def profile_violations(
     full_profile: DataFrame | None = None,
     materialize_prep: bool = True,
     stats_out: dict | None = None,
-) -> tuple[DataFrame, list[DataFrame]]:
+    include_local: bool = True,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Violations from the row-profile table.
 
-    Returns ``(violations, persisted_preps)``; the caller owns the persisted
-    prep DataFrames and must unpersist them after the final action on
-    ``violations`` (the runner does this in a try/finally).
+    Returns ``(local_violations, global_violations, persisted_preps)``:
 
-    ``full_profile``: duplicate-content groups span partitions, so the
-    duplicated-sha set is computed over the full profile even when a resumed
-    run emits violations only for the remaining partitions (``profile``).
+    - ``local_violations`` — partition-local rules (row rules, uniqueness,
+      referential) emitted over ``profile`` (the partitions this run
+      processes); written per-pid with dynamic overwrite and carried
+      forward on resume.
+    - ``global_violations`` — cross-partition rules (DUP_003/DUP_004)
+      emitted over the FULL profile for ALL partitions; must be fully
+      overwritten every run (carry-forward would go stale the moment a
+      changed partition introduces content duplicating unchanged rows).
+
+    The caller owns the persisted prep DataFrames and must unpersist them
+    after the final action on both relations (the runner does this in a
+    try/finally).
+
+    ``full_profile``: the complete profile relation (defaults to
+    ``profile``). Cross-partition rule SETS and emission both run over it;
+    the uniqueness candidate set also uses it so a row in a processed
+    partition duplicating a carried row is still flagged.
 
     ``materialize_prep``: persist + count the independent violating-key sets
     from worker threads so (a) their jobs overlap instead of running
@@ -135,14 +163,24 @@ def profile_violations(
     counts gate the broadcast-vs-shuffle choice. ``False`` skips persist and
     counting entirely (tests / ad-hoc on small data) and broadcasts
     unconditionally.
+
+    ``include_local=False`` builds only the cross-partition relation (the
+    incremental no-op path: no partitions to reprocess, but the global dup
+    state must still be refreshed).
     """
     rules = _RuleMeta()
-    for r in registry.row_rules:
-        rules.add(r.rule_id, r.severity, r.column, r.message, F.col(FLAG_PREFIX + r.rule_id))
+    grules = _RuleMeta()  # cross-partition rules, emitted over full_src
+    full_src = full_profile if full_profile is not None else profile
+    if include_local:
+        for r in registry.row_rules:
+            rules.add(
+                r.rule_id, r.severity, r.column, r.message, F.col(FLAG_PREFIX + r.rule_id)
+            )
 
     preps: list[_Prep] = []
+    gpreps: list[_Prep] = []
 
-    uniq = registry.uniqueness
+    uniq = registry.uniqueness if include_local else None
     if uniq:
         # Duplicate detection must co-locate equal keys, but shuffling the
         # full string keys is the wrong plan: the keys are near-unique, so
@@ -157,9 +195,19 @@ def profile_violations(
             keys_non_null = keys_non_null & F.col(k).isNotNull()
         # Uniqueness is defined over rows with fully non-null keys (null keys
         # are KEY_NULL_001's finding, and SQL null-equality would be ambiguous).
+        # The candidate SET runs over the full profile so a processed row
+        # duplicating a carried partition's row is still flagged on resume
+        # (with the default pid=f(repo) derivation key-dups colocate and
+        # this is equivalent; with a user-supplied pid layout it is strictly
+        # more complete). Emission stays partition-local: the carried twin's
+        # verdict is refreshed whenever its partition is reprocessed.
+        # No explicit broadcast hint on the intermediate hash set: it is
+        # unbounded on pathological input (bulk-duplicated corpus), so AQE
+        # decides from the measured shuffle size at runtime — broadcast-hash
+        # when genuinely small, shuffle join otherwise, never a driver OOM.
         kh = F.xxhash64(*keys).alias("__kh")
         dup_hashes = (
-            profile.filter(keys_non_null)
+            full_src.filter(keys_non_null)
             .select(kh)
             .groupBy("__kh")
             .count()
@@ -167,9 +215,9 @@ def profile_violations(
             .select("__kh")
         )
         dup_keys = (
-            profile.filter(keys_non_null)
+            full_src.filter(keys_non_null)
             .select(*keys, kh)
-            .join(F.broadcast(dup_hashes), "__kh")
+            .join(dup_hashes, "__kh")
             .groupBy(*keys)
             .count()
             .filter(F.col("count") > 1)
@@ -185,10 +233,13 @@ def profile_violations(
     if cdup:
         # Same hash-candidate plan as uniqueness: shuffle xxhash64(sha)
         # (8 bytes) instead of the 64-char sha string, confirm exactly on
-        # the full sha over candidates only.
-        src = full_profile if full_profile is not None else profile
+        # the full sha over candidates only. Cross-partition rule: both the
+        # set and the emission run over the full profile (every partition's
+        # DUP_003 verdict can flip when any other partition changes).
+        # As above, no broadcast hint on the intermediate hash set — AQE
+        # gates on measured size.
         sh = F.xxhash64("content_sha256").alias("__sh")
-        nn = src.filter(F.col("content_sha256").isNotNull())
+        nn = full_src.filter(F.col("content_sha256").isNotNull())
         dup_sha_hashes = (
             nn.select(sh)
             .groupBy("__sh")
@@ -198,14 +249,14 @@ def profile_violations(
         )
         dup_shas = (
             nn.select("content_sha256", sh)
-            .join(F.broadcast(dup_sha_hashes), "__sh")
+            .join(dup_sha_hashes, "__sh")
             .groupBy("content_sha256")
             .count()
             .filter(F.col("count") > 1)
             .select("content_sha256", F.lit(1).alias("__sha_dup"))
         )
-        preps.append(_Prep("duplicate_content", dup_shas, ["content_sha256"]))
-        rules.add(
+        gpreps.append(_Prep("duplicate_content", dup_shas, ["content_sha256"]))
+        grules.add(
             cdup["id"], cdup["severity"], "content", cdup["message"],
             F.col("content_sha256").isNotNull() & F.col("__sha_dup").isNotNull(),
         )
@@ -217,10 +268,11 @@ def profile_violations(
         # (or identical) content. Signatures were computed in PASS A; this
         # prep shuffles rows x bands small records (key, band, bucket),
         # never pairs. Like DUP_003, bucket groups span partitions, so the
-        # banding runs over the FULL profile on resumed runs.
+        # banding runs over the FULL profile on resumed runs, and (like
+        # DUP_003) emission covers ALL partitions.
         from ..functions.dedup import _band_bucket
 
-        src = full_profile if full_profile is not None else profile
+        src = full_src
         num = int(nd.get("num_hashes", 16))
         bands = int(nd.get("bands", 4))
         hash_fn = nd.get("hash_fn", "xxhash64")
@@ -254,8 +306,8 @@ def profile_violations(
             .dropDuplicates(nd_keys)
             .withColumn("__nd_cand", F.lit(1))
         )
-        preps.append(_Prep("near_duplicates", nd_rows, nd_keys))
-        rules.add(
+        gpreps.append(_Prep("near_duplicates", nd_rows, nd_keys))
+        grules.add(
             nd.get("id", "DUP_004"),
             nd.get("severity", "warning"),
             "content",
@@ -263,7 +315,7 @@ def profile_violations(
             F.col("__nd_cand").isNotNull(),
         )
 
-    ref = registry.referential
+    ref = registry.referential if include_local else None
     if ref and manifest is not None:
         # The manifest scales with file count — broadcasting it is wrong at
         # 10^12 files (and measurably slow even at bench scale). Shape the
@@ -301,48 +353,59 @@ def profile_violations(
         )
 
     persisted: list[DataFrame] = []
-    if materialize_prep and preps:
-        for p in preps:
+    all_preps = preps + gpreps
+    if materialize_prep and all_preps:
+        for p in all_preps:
             p.df.persist()
             persisted.append(p.df)
         amb_df = stats_out.pop("_ambiguous_df", None) if stats_out is not None else None
-        with ThreadPoolExecutor(max_workers=len(preps) + (1 if amb_df is not None else 0)) as ex:
+        with ThreadPoolExecutor(
+            max_workers=len(all_preps) + (1 if amb_df is not None else 0)
+        ) as ex:
             amb_f = (
                 ex.submit(lambda: amb_df.filter(F.col("__dim_n") > 1).count())
                 if amb_df is not None
                 else None
             )
-            for p, n in zip(preps, ex.map(lambda p: p.df.count(), preps)):
+            for p, n in zip(all_preps, ex.map(lambda p: p.df.count(), all_preps)):
                 p.rows = int(n)
             if amb_f is not None:
                 stats_out["ambiguous_manifest_keys"] = int(amb_f.result())
         if amb_df is not None:
             persisted.append(amb_df)
 
-    work = profile
-    for p in preps:
-        work = _join_prep(work, p)
+    def _emit(base: DataFrame, meta: _RuleMeta, emit_preps: list[_Prep]) -> DataFrame:
+        if not meta.conds:
+            schema = (
+                "pid int, rule_id string, rule_version string, ruleset_hash string, "
+                "severity string, repo string, path string, commit string, "
+                "column string, message string"
+            )
+            return base.sparkSession.createDataFrame([], schema)
+        work = base
+        for p in emit_preps:
+            work = _join_prep(work, p)
+        idx = F.col("__rule_idx")
+        return (
+            work.select(
+                "pid", "repo", "path", "commit",
+                F.explode(meta.fired_indexes()).alias("__rule_idx"),
+            )
+            .select(
+                "pid",
+                meta.attach(idx, 0).alias("rule_id"),
+                F.lit(registry.version).alias("rule_version"),
+                F.lit(registry.ruleset_hash).alias("ruleset_hash"),
+                meta.attach(idx, 1).alias("severity"),
+                "repo",
+                "path",
+                "commit",
+                meta.attach(idx, 2).alias("column"),
+                meta.attach(idx, 3).alias("message"),
+            )
+        )
 
-    idx = F.col("__rule_idx")
-    result = (
-        work.select(
-            "pid", "repo", "path", "commit",
-            F.explode(rules.fired_indexes()).alias("__rule_idx"),
-        )
-        .select(
-            "pid",
-            rules.attach(idx, 0).alias("rule_id"),
-            F.lit(registry.version).alias("rule_version"),
-            F.lit(registry.ruleset_hash).alias("ruleset_hash"),
-            rules.attach(idx, 1).alias("severity"),
-            "repo",
-            "path",
-            "commit",
-            rules.attach(idx, 2).alias("column"),
-            rules.attach(idx, 3).alias("message"),
-        )
-    )
-    return result, persisted
+    return _emit(profile, rules, preps), _emit(full_src, grules, gpreps), persisted
 
 
 def violation_pass(
@@ -357,10 +420,16 @@ def violation_pass(
     no prep materialization — nothing for the caller to clean up."""
     profile = build_row_profile(df, registry)
     full_profile = build_row_profile(full_df, registry) if full_df is not None else None
-    result, _ = profile_violations(
+    local_v, global_v, _ = profile_violations(
         profile, registry, manifest, full_profile, materialize_prep=False
     )
-    return result
+    if full_df is None:
+        return local_v.unionByName(global_v)
+    # With an explicit full_df, global rules cover ALL partitions; restrict
+    # to the requested subset so the historical contract (violations for
+    # ``df``'s rows) holds for ad-hoc callers.
+    pids = [r["pid"] for r in df.select("pid").distinct().collect()]
+    return local_v.unionByName(global_v.filter(F.col("pid").isin(pids)))
 
 
 def violation_counts(violations: DataFrame) -> DataFrame:

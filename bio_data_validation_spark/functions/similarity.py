@@ -114,6 +114,38 @@ def _python_bucket(vec: list[float], planes: list[list[float]]) -> int:
     return bucket
 
 
+def ivf_cell_histogram(assigned: DataFrame) -> DataFrame:
+    """(cell, n) occupancy of an IVF index — one groupBy over the
+    assignments, the diagnostic a deployment persists next to the index."""
+    return assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def warn_on_cell_imbalance(
+    assigned: DataFrame, n_cells: int, factor: float = 10.0
+) -> dict[int, int]:
+    """Collect the cell histogram and WARN when the fullest cell exceeds
+    ``factor``× the mean occupancy. Skewed cells (likely with seeded-IVF
+    centroids drawn from the n_cells smallest ids when those ids cluster)
+    silently degrade probes into near-brute-force scans; better to know at
+    index-build time than at query time. Returns the histogram."""
+    import warnings
+
+    hist = {int(r["__cell"]): int(r["n"]) for r in ivf_cell_histogram(assigned).collect()}
+    total = sum(hist.values())
+    if total:
+        mean = total / n_cells
+        worst_cell, worst = max(hist.items(), key=lambda kv: kv[1])
+        if worst > factor * mean:
+            warnings.warn(
+                f"IVF cell imbalance: cell {worst_cell} holds {worst} of "
+                f"{total} vectors ({worst / mean:.1f}x the {mean:.1f}/cell "
+                "mean) — probes hitting it degrade toward brute force; "
+                "consider more cells or KMeans-trained centroids (ivf_index)",
+                stacklevel=3,
+            )
+    return hist
+
+
 def ivf_index(
     df: DataFrame,
     n_cells: int = 16,
@@ -121,6 +153,7 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_train_rows: int = 100_000,
+    balance_check: bool = False,
 ):
     """IVF coarse quantizer: KMeans centroids + per-vector cell assignment.
 
@@ -150,6 +183,8 @@ def ivf_index(
     model = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell").fit(train)
     assigned = model.transform(feat).select(id_col, "__cell")
     centroids = [c.tolist() for c in model.clusterCenters()]
+    if balance_check:
+        warn_on_cell_imbalance(assigned, n_cells)
     return assigned, centroids
 
 
@@ -158,6 +193,7 @@ def ivf_seeded_index(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    balance_check: bool = False,
 ):
     """DETERMINISTIC IVF coarse quantizer: centroids are the vectors of the
     ``n_cells`` smallest ids (a seeded sample in FAISS terms — random-point
@@ -192,6 +228,8 @@ def ivf_seeded_index(
         F.col(id_col),
         (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias("__cell"),
     )
+    if balance_check:
+        warn_on_cell_imbalance(assigned, n_cells)
     return assigned, centroids
 
 
@@ -272,13 +310,24 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: restrict exact scoring to the query's LSH bucket, falling
-    back to brute force when the bucket is smaller than k (quality guard is
-    the caller's concern; this is the scale path)."""
+    """ANN top-k: restrict exact scoring to the query's LSH bucket, with a
+    staged widening guarantee of min(k, n) rows: if the exact bucket holds
+    fewer than k vectors, widen to all buckets within Hamming distance 1
+    (multi-probe: flip one plane bit — the classic recall knob, one cheap
+    count job to decide); if even that is short, fall back to brute force
+    over the table. At scale the first tier almost always wins; the widening
+    tiers are small-data / unlucky-bucket guards, chosen by MEASURED
+    candidate counts, never by guesswork."""
     dims = len(query_vec)
     buckets = sign_lsh_buckets(df, n_planes, id_col, vec_col, dims=dims)
     qbucket = _python_bucket([float(v) for v in query_vec], _lsh_planes(dims, n_planes))
-    cand = df.join(buckets.filter(F.col("bucket") == qbucket).select(id_col), id_col)
+    cand_ids = buckets.filter(F.col("bucket") == qbucket).select(id_col)
+    n_cand = cand_ids.count()
+    if n_cand < k:
+        probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
+        cand_ids = buckets.filter(F.col("bucket").isin(probes)).select(id_col)
+        n_cand = cand_ids.count()
+    cand = df.join(cand_ids, id_col) if n_cand >= k else df
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))

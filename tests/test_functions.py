@@ -96,6 +96,25 @@ def test_lsh_topk_contains_query_bucket_best(spark):
     assert got[0]["vec_id"] == 5 and got[0]["cos"] == 1.0
 
 
+def test_lsh_topk_widens_sparse_buckets_to_min_k_n(spark):
+    """Staged fallback guarantee: min(k, n) rows even when the query's exact
+    bucket holds fewer than k vectors (multi-probe, then brute force)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # tiny corpus: with 6 planes (64 buckets) and 12 vectors, every bucket
+    # is sparse — the fallback tiers MUST fire to return k rows
+    vecs = [(i, rng.normal(size=8).tolist()) for i in range(12)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = vecs[0][1]
+    got = lsh_topk(df, q, k=10, n_planes=6).collect()
+    assert len(got) == 10
+    assert got[0]["vec_id"] == 0 and got[0]["cos"] == 1.0
+    # n < k: returns all n
+    got_all = lsh_topk(df, q, k=50, n_planes=6).collect()
+    assert len(got_all) == 12
+
+
 def test_python_bucket_matches_spark_bucket(spark):
     """The driver-side bucket twin must be bit-identical to the executor
     expression (same literal weights, same sequential fold order) — this is
@@ -190,3 +209,43 @@ def test_dup_clusters_groups_and_canonicals(docs):
     assert canon.count(0) == 1 and 1 not in canon and 2 not in canon
     for r in out:
         assert r["cluster_size"] > 1
+
+
+def test_ivf_cell_imbalance_guard_warns_on_skew(spark):
+    """Seeded-IVF centroids from the n_cells smallest ids can collapse
+    occupancy onto one cell when those vectors cluster — the balance guard
+    must surface it (>10x mean occupancy) at index-build time."""
+    import numpy as np
+    import pytest
+
+    from bio_data_validation_spark.functions.similarity import ivf_seeded_index
+
+    rng = np.random.default_rng(3)
+    n_cells = 16
+    # centroids 0..15 spread out; 184 more vectors all piled on centroid 0
+    vecs = [(i, rng.normal(size=8).tolist()) for i in range(n_cells)]
+    base = np.asarray(vecs[0][1])
+    vecs += [
+        (i, (base + rng.normal(scale=1e-3, size=8)).tolist())
+        for i in range(n_cells, 200)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    with pytest.warns(UserWarning, match="IVF cell imbalance"):
+        assigned, _ = ivf_seeded_index(df, n_cells=n_cells, balance_check=True)
+    # histogram shape: the dense cell dominates
+    from bio_data_validation_spark.functions.similarity import ivf_cell_histogram
+
+    h = {int(r["__cell"]): int(r["n"]) for r in ivf_cell_histogram(assigned).collect()}
+    assert sum(h.values()) == 200
+    assert max(h.values()) >= 185 - 1  # all piled vectors + centroid 0
+
+    # balanced data: no warning
+    import warnings as W
+
+    balanced = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    with W.catch_warnings():
+        W.simplefilter("error", UserWarning)
+        ivf_seeded_index(balanced, n_cells=4, balance_check=True)

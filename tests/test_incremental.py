@@ -96,3 +96,169 @@ def test_cli_incremental_flag(spark, snapshot, tmp_path):
     rep = json.loads((tmp_path / "out" / "report.json").read_text())
     assert rep["carried_forward_pids"] >= 0
     assert rep["snapshot_id"] == "d2"
+
+
+def test_lang_only_change_invalidates_partition(spark, snapshot):
+    """ADVICE r2: a partition where ONLY a non-key column (lang) changed must
+    be re-validated — the fingerprint hashes every source column."""
+    reg = load_registry()
+    clean = read_source(spark, snapshot["clean"])
+    victim = clean.select("repo").first()["repo"]
+    mutated = clean.withColumn(
+        "lang",
+        F.when(F.col("repo") == victim, F.lit("zz")).otherwise(F.col("lang")),
+    )
+    victim_pids = {
+        int(r["pid"])
+        for r in clean.filter(F.col("repo") == victim).select("pid").distinct().collect()
+    }
+    same = unchanged_pids(clean, mutated, reg.n_partitions)
+    assert victim_pids.isdisjoint(same)
+    all_pids = {int(r["pid"]) for r in clean.select("pid").distinct().collect()}
+    assert same == all_pids - victim_pids
+
+
+def test_cross_partition_dup_flips_carried_verdict(spark, snapshot, tmp_path):
+    """ADVICE r2: a changed partition introducing content that duplicates a
+    row in an UNCHANGED partition must flip the carried partition's DUP_003
+    verdict — cross-partition rules are recomputed globally, never carried."""
+    import pyarrow.dataset as ds
+
+    clean = read_source(spark, snapshot["clean"])
+    # two repos guaranteed to live in different pids
+    pairs = (
+        clean.select("repo", "pid").distinct().orderBy("repo").limit(50).collect()
+    )
+    by_pid = {}
+    for r in pairs:
+        by_pid.setdefault(int(r["pid"]), r["repo"])
+    (pid_a, repo_a), (pid_b, repo_b) = list(by_pid.items())[:2]
+    donor = clean.filter(F.col("repo") == repo_a).select("content").first()["content"]
+
+    mutated_path = tmp_path / "mutated"
+    (
+        clean.withColumn(
+            "content",
+            F.when(
+                (F.col("repo") == repo_b)
+                & (F.col("path") == clean.filter(F.col("repo") == repo_b)
+                   .select("path").first()["path"]),
+                F.lit(donor),
+            ).otherwise(F.col("content")),
+        )
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .parquet(str(mutated_path))
+    )
+
+    out = tmp_path / "out"
+    run_validation(
+        spark, snapshot["clean"], str(out),
+        manifest_path=snapshot["manifest"], snapshot_id="s1", resume=False,
+    )
+    rep = incremental_validation(
+        spark, snapshot["clean"], str(mutated_path), str(out),
+        "s1", "s2", manifest_path=snapshot["manifest"],
+    )
+    # pid_a (the donor side) was carried — its data did not change…
+    assert pid_a in rep["resumed_skipped_pids"]
+    # …yet its DUP_003 verdict reflects the NEW cross-partition duplicate.
+    verd = ds.dataset(str(out / "verdicts"), partitioning="hive").to_table().to_pandas()
+    row_a = verd[(verd["pid"] == pid_a) & (verd["rule_id"] == "DUP_003")]
+    assert len(row_a) == 1
+    assert int(row_a["violation_count"].iloc[0]) >= 1
+    assert not bool(row_a["passed"].iloc[0])
+    # and the global violation relation names both sides of the pair
+    gv = pd.read_parquet(out / "violations_global")
+    dup = gv[gv["rule_id"] == "DUP_003"]
+    assert {pid_a, pid_b} <= set(dup["pid"].astype(int))
+    # exact agreement with a from-scratch run on the new snapshot
+    scratch = run_validation(
+        spark, str(mutated_path), str(tmp_path / "scratch"),
+        manifest_path=snapshot["manifest"], snapshot_id="s2", resume=False,
+    )
+    d_inc = pd.read_parquet(out / "decisions.parquet")
+    d_scr = pd.read_parquet(tmp_path / "scratch" / "decisions.parquet")
+    cols = ["pid", "decision", "requires_review"]
+    pd.testing.assert_frame_equal(
+        d_inc[cols].sort_values("pid").reset_index(drop=True),
+        d_scr[cols].sort_values("pid").reset_index(drop=True),
+    )
+
+
+def test_vanished_partitions_are_dropped(spark, snapshot, tmp_path):
+    """ADVICE r2: pids present in the old snapshot but absent from the new
+    one must not ghost-shape the new report — their on-disk artifacts are
+    deleted and the decision table no longer mentions them."""
+    clean = read_source(spark, snapshot["clean"])
+    gone_pid = int(clean.select("pid").distinct().orderBy("pid").first()["pid"])
+    shrunk_path = tmp_path / "shrunk"
+    (
+        clean.filter(F.col("pid") != gone_pid)
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .parquet(str(shrunk_path))
+    )
+    out = tmp_path / "out"
+    run_validation(
+        spark, snapshot["clean"], str(out),
+        manifest_path=snapshot["manifest"], snapshot_id="s1", resume=False,
+    )
+    rep = incremental_validation(
+        spark, snapshot["clean"], str(shrunk_path), str(out),
+        "s1", "s2", manifest_path=snapshot["manifest"],
+    )
+    assert rep["vanished_pids_dropped"] == [gone_pid]
+    assert not (out / "verdicts" / f"pid={gone_pid}").exists()
+    assert not (out / "row_profile" / f"pid={gone_pid}").exists()
+    d = pd.read_parquet(out / "decisions.parquet")
+    assert gone_pid not in set(d["pid"].astype(int))
+
+
+def test_manifest_change_voids_carry(spark, snapshot, tmp_path):
+    """Carried referential verdicts are only sound against the SAME manifest:
+    a changed manifest forces full revalidation, loudly."""
+    import pytest
+
+    out = tmp_path / "out"
+    run_validation(
+        spark, snapshot["clean"], str(out),
+        manifest_path=snapshot["manifest"], snapshot_id="s1", resume=False,
+    )
+    pd.read_parquet(snapshot["manifest"]).iloc[1:].to_parquet(tmp_path / "m2.parquet")
+    with pytest.warns(UserWarning, match="manifest changed"):
+        rep = incremental_validation(
+            spark, snapshot["clean"], snapshot["clean"], str(out),
+            "s1", "s2", manifest_path=str(tmp_path / "m2.parquet"),
+        )
+    assert rep["carried_forward_pids"] == 0
+
+
+def test_incremental_source_format_threaded(spark, snapshot, tmp_path):
+    """ADVICE r2: --incremental-from must honor the source format — an
+    incremental run over a JSON source reads both snapshots as JSON."""
+    clean = read_source(spark, snapshot["clean"])
+    old_json = str(tmp_path / "old_json")
+    new_json = str(tmp_path / "new_json")
+    clean.write.mode("overwrite").json(old_json)
+    victim = clean.select("repo").first()["repo"]
+    (
+        clean.withColumn(
+            "content",
+            F.when(F.col("repo") == victim, F.lit("")).otherwise(F.col("content")),
+        )
+        .write.mode("overwrite")
+        .json(new_json)
+    )
+    out = tmp_path / "out"
+    run_validation(
+        spark, old_json, str(out),
+        manifest_path=snapshot["manifest"], snapshot_id="j1",
+        resume=False, source_format="json",
+    )
+    rep = incremental_validation(
+        spark, old_json, new_json, str(out), "j1", "j2",
+        source_format="json", manifest_path=snapshot["manifest"],
+    )
+    assert rep["carried_forward_pids"] > 0
+    assert "LEN_001A" in rep["failed_rules"]

@@ -40,12 +40,18 @@ def test_fused_agg_reads_only_needed_profile_columns(spark, snapshot, registry, 
 def test_violations_uses_broadcast_joins(spark, snapshot, registry):
     df = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
     manifest = read_manifest(spark, snapshot["manifest"])
-    viols, preps = profile_violations(build_row_profile(df, registry), registry, manifest)
+    viols, gviols, preps = profile_violations(
+        build_row_profile(df, registry), registry, manifest
+    )
     try:
-        plan = _plan(viols)
-        # dup-key set, dup-sha set, and the RI dimension all build broadcast sides
-        assert plan.count("BroadcastHashJoin") >= 3
-        assert "SortMergeJoin" not in plan
+        local_plan = _plan(viols)
+        global_plan = _plan(gviols)
+        # dup-key set + RI dimension (local) and dup-sha set (global) all
+        # build broadcast sides when measured-small
+        assert local_plan.count("BroadcastHashJoin") >= 2
+        assert global_plan.count("BroadcastHashJoin") >= 1
+        assert "SortMergeJoin" not in local_plan
+        assert "SortMergeJoin" not in global_plan
     finally:
         for p in preps:
             p.unpersist()
@@ -58,13 +64,15 @@ def test_dup_shuffles_carry_hashes_not_strings(spark, snapshot, registry):
     (materialize_prep=False) so the exchanges are visible in one plan."""
     df = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
     manifest = read_manifest(spark, snapshot["manifest"])
-    viols, _ = profile_violations(
+    viols, gviols, _ = profile_violations(
         build_row_profile(df, registry), registry, manifest, materialize_prep=False
     )
     plan = _plan(viols)
-    assert "xxhash64" in plan
+    gplan = _plan(gviols)
+    assert "xxhash64" in plan and "xxhash64" in gplan
     # hashpartitioning on the hash aliases, not on the raw composite keys
-    assert "hashpartitioning(__kh" in plan or "hashpartitioning(__sh" in plan
+    assert "hashpartitioning(__kh" in plan
+    assert "hashpartitioning(__sh" in gplan
 
 
 def test_resume_filter_prunes_partitions(spark, snapshot, registry):

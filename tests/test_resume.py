@@ -63,6 +63,12 @@ def test_resume_skips_completed_and_outputs_match(spark, snapshot, tmp_path):
         _read_sorted(full_out / "verdicts", ["pid", "rule_id"]),
         _read_sorted(res_out / "verdicts", ["pid", "rule_id"]),
     )
+    # Cross-partition (DUP_003/DUP_004) relation is recomputed globally each
+    # run — identical regardless of the interruption point.
+    pd.testing.assert_frame_equal(
+        _read_sorted(full_out / "violations_global", vcols),
+        _read_sorted(res_out / "violations_global", vcols),
+    )
     # Identical global decision; ledger covers all pids.
     assert res_rep["final_decision"] == full_rep["final_decision"]
     assert set(

@@ -211,12 +211,14 @@ def test_violation_broadcast_guard_falls_back(spark, snapshot, monkeypatch):
     manifest = read_manifest(spark, snapshot["manifest"])
     profile = build_row_profile(df, registry)
 
-    base, preps0 = V.profile_violations(profile, registry, manifest, materialize_prep=False)
+    l0, g0, preps0 = V.profile_violations(profile, registry, manifest, materialize_prep=False)
+    base = l0.unionByName(g0)
     want = sorted((r["rule_id"], r["repo"], r["path"]) for r in base.collect())
 
     with pytest.warns(UserWarning, match="too large to broadcast"):
         monkeypatch.setattr(V, "BROADCAST_MAX_ROWS", 0)
-        guarded, preps = V.profile_violations(profile, registry, manifest)
+        lv, gv, preps = V.profile_violations(profile, registry, manifest)
+        guarded = lv.unionByName(gv)
         try:
             got = sorted((r["rule_id"], r["repo"], r["path"]) for r in guarded.collect())
         finally:

@@ -47,3 +47,37 @@ def test_clean_snapshot_has_no_violations(spark, snapshot):
     df = with_pid(read_source(spark, snapshot["clean"]), registry.n_partitions)
     manifest = read_manifest(spark, snapshot["manifest"])
     assert violation_pass(df, registry, manifest).limit(1).count() == 0
+
+
+def test_dup_sets_work_without_any_broadcast(spark, snapshot):
+    """The intermediate duplicated-hash sets carry NO forced broadcast hint
+    (they are unbounded on a bulk-duplicated corpus — AQE gates on measured
+    size instead). With broadcasts disabled entirely the plan must fall back
+    to shuffle joins and produce identical violations."""
+    from bio_data_validation_spark.rules import load_registry
+    from bio_data_validation_spark.sources import read_manifest, read_source, with_pid
+
+    registry = load_registry()
+    df = with_pid(read_source(spark, snapshot["dirty"]), registry.n_partitions)
+    manifest = read_manifest(spark, snapshot["manifest"])
+
+    want = sorted(
+        (r["pid"], r["rule_id"], r["repo"], r["path"])
+        for r in violation_pass(df, registry, manifest).collect()
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        got = sorted(
+            (r["pid"], r["rule_id"], r["repo"], r["path"])
+            for r in violation_pass(df, registry, manifest).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+    assert got == want and len(got) > 0
