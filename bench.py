@@ -39,9 +39,22 @@ SCALING_SF = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "4.8"))
 # (see BENCH/BASELINE.md) measures this VM's own core-scaling ceiling at
 # 0.87 for 2→8 but only 0.74 for 8→32 (shared-hypervisor frequency/steal
 # effects above 8 active cores) — the engine cannot out-scale its host.
-SCALING_CORES = tuple(
-    int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
-)
+SCALING_CORES_RAW = os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8")
+
+
+def _parse_scaling_cores(raw: str) -> tuple[int, int]:
+    """Exactly two increasing positive ints — anything else is a user error
+    reported up front, not an unpacking crash mid-bench."""
+    try:
+        vals = tuple(int(c) for c in raw.split(","))
+    except ValueError:
+        vals = ()
+    if len(vals) != 2 or not (0 < vals[0] < vals[1]):
+        raise SystemExit(
+            f"SPARK_GRAFT_SCALING_CORES={raw!r}: expected 'LO,HI' with "
+            "0 < LO < HI (e.g. '2,8')"
+        )
+    return vals
 SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
 
 # Pair-OUTPUT operators: on this dup-heavy synthetic corpus the number of
@@ -196,7 +209,9 @@ def main() -> int:
     sf = _sf_from_dir(SF_DIR)
     if "--scaling" in sys.argv:
         sf = SCALING_SF
-        lo, hi = SCALING_CORES
+        lo, hi = _parse_scaling_cores(SCALING_CORES_RAW)
+        ratio = hi / lo
+        ratio_label = f"{hi // lo}N" if hi % lo == 0 else f"{ratio:.2g}N"
         results = {}
         for cores in (lo, hi):
             best = None
@@ -212,7 +227,7 @@ def main() -> int:
             results[cores] = best
             print(f"# local[{cores}]: {best['rows_per_sec']:.0f} rows/s "
                   f"({best['elapsed_sec']:.1f}s)", file=sys.stderr)
-        eff = (results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]) / (hi / lo)
+        eff = (results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]) / ratio
         md = REPO / "BENCH" / "BASELINE.md"
         md.parent.mkdir(exist_ok=True)
         md.write_text(
@@ -222,8 +237,8 @@ def main() -> int:
             "(PASS 1 stats + drift + PASS 2 violations + verdicts + ledger).\n\n"
             "| parallelism | elapsed (s) | rows/sec |\n|---|---|---|\n"
             f"| local[{lo}] (N) | {results[lo]['elapsed_sec']:.2f} | {results[lo]['rows_per_sec']:.0f} |\n"
-            f"| local[{hi}] (4N) | {results[hi]['elapsed_sec']:.2f} | {results[hi]['rows_per_sec']:.0f} |\n\n"
-            f"**Scaling efficiency (T_N/T_4N)/4 = {eff:.3f}** "
+            f"| local[{hi}] ({ratio_label}) | {results[hi]['elapsed_sec']:.2f} | {results[hi]['rows_per_sec']:.0f} |\n\n"
+            f"**Scaling efficiency (T_N/T_{ratio_label})/{ratio:g} = {eff:.3f}** "
             f"(BASELINE.json criterion: >= 0.8).\n\n"
             f"Protocol: per level, one warm-up run then best of {SCALING_RUNS}\n"
             "timed steady-state runs in the same JVM, fresh output dir each\n"

@@ -74,6 +74,11 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--status", default="completed",
                    choices=["pending", "in_progress", "completed", "escalated"])
     r.add_argument("--note", default="", help="resolution note")
+    r.add_argument(
+        "--decision", default=None,
+        help="record reviewer feedback (accept/reject/...) into the "
+        "learned-pattern store for future uncertainty scoring/auto-resolve",
+    )
     return p
 
 
@@ -96,7 +101,7 @@ def main(argv: list[str] | None = None) -> int:
         from .policy.review import pending, resolve
 
         if args.resolve:
-            q = resolve(args.out, args.resolve, args.status, args.note)
+            q = resolve(args.out, args.resolve, args.status, args.note, decision=args.decision)
             print(json.dumps(q.to_dict("records"), indent=2, default=str))
         else:
             print(json.dumps(pending(args.out).to_dict("records"), indent=2, default=str))

@@ -1435,6 +1435,37 @@ FROM banded a JOIN banded b
 """
 
 
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benchmarkable candidate-GENERATION stage of MinHash-LSH: per-band
+    bucket occupancy and implied candidate-pair count, WITHOUT emitting any
+    pair. On a dup-heavy corpus the pair output grows quadratically with SF
+    regardless of algorithm (why the pair emitters are correctness-gated at
+    sf0.01), but this stage — signatures + one rows×bands shuffle — is the
+    part that must stay linear at 100 TB, and this query carries its number
+    in the bench."""
+    from .functions.dedup import lsh_bucket_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return lsh_bucket_stats(
+        d, "text", "doc_id",
+        num_hashes=MINHASH_NUM_HASHES, bands=MINHASH_BANDS, hash_fn="md5_60",
+    )
+
+
+def _sql_lsh_bucket_stats() -> str:
+    return f"""
+WITH {_sql_minhash_banded()},
+per_bucket AS (
+  SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket)
+SELECT band,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+       CAST(sum(n * (n - 1)) / 2 AS BIGINT) AS candidate_pairs
+FROM per_bucket GROUP BY band ORDER BY band
+"""
+
+
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-safe near-dup operator: LSH candidates + exact Jaccard
     rescore on candidates only (linear shuffle; the quadratic term is
@@ -1862,6 +1893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "byte_stats": q_byte_stats,
     "embedding_near_dup": q_embedding_near_dup,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
     "near_dup_pairs": q_near_dup_pairs,
     "dup_clusters": q_dup_clusters,
     "levenshtein_near_dups": q_levenshtein_near_dups,
@@ -1925,6 +1957,7 @@ ORACLES: dict[str, str] = {
     "byte_stats": SQL_BYTE_STATS,
     "embedding_near_dup": _sql_embedding_near_dup(),
     "minhash_lsh_candidates": _sql_minhash_lsh_candidates(),
+    "lsh_bucket_stats": _sql_lsh_bucket_stats(),
     "near_dup_pairs": _sql_near_dup_pairs(),
     "dup_clusters": _sql_dup_clusters(),
     "levenshtein_near_dups": _sql_levenshtein_near_dups(),

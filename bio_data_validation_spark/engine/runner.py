@@ -503,14 +503,27 @@ def run_validation(
     # ---- human-review queue (reference human_review_coordinator.py:143-152:
     # a prioritized task per failed rule when the review triggers fire)
     if g["requires_review"]:
-        from ..policy.review import build_queue, write_queue
+        from ..policy.review import (
+            analyze_queue,
+            build_queue,
+            load_patterns,
+            save_patterns,
+            write_queue,
+        )
 
-        queue = build_queue(all_verdicts, snapshot_id)
+        patterns = load_patterns(out)
+        queue = build_queue(all_verdicts, snapshot_id, patterns)
         write_queue(queue, out)
+        save_patterns(patterns, out)  # seen-counts bumped by build_queue
+        analysis = analyze_queue(queue)
         report["review_queue"] = {
             "path": str(out / "review_queue.parquet"),
             "pending": int((queue["status"] == "pending").sum()),
+            "selected": int(queue["selected"].sum()),
+            "auto_resolved": int(queue["resolution"].str.startswith("auto:").sum()),
             "priorities": queue["priority"].value_counts().to_dict(),
+            "reviewer_id": (queue["reviewer"].iloc[0] if len(queue) else None),
+            **analysis,
         }
 
     (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
@@ -523,6 +536,13 @@ def run_validation(
     m = quality_metrics(out)
     (out / "metrics.json").write_text(json.dumps(m, indent=2, default=str))
     # metrics.prom: Prometheus text exposition (textfile-collector style),
-    # the batch twin of the reference's live registry (monitoring/metrics.py).
-    (out / "metrics.prom").write_text(render_openmetrics(m))
+    # the batch twin of the reference's live registry (monitoring/metrics.py)
+    # — plus this run's per-stage Spark task metrics from the driver's
+    # status store (stage_metrics.py), scoped to this run by start time.
+    from .stage_metrics import render_stage_openmetrics, stage_metrics
+
+    (out / "metrics.prom").write_text(
+        render_openmetrics(m)
+        + render_stage_openmetrics(stage_metrics(spark, since_epoch_sec=t0))
+    )
     return report

@@ -1,0 +1,147 @@
+"""Per-stage Spark task-metrics bridge → Prometheus exposition.
+
+The reference instruments every validator with live prometheus_client
+decorators (monitoring/metrics.py:147-241: durations, issue counters,
+records processed). A batch Spark job has no long-lived process to scrape,
+and per-task Python callbacks through py4j add measurable listener-bus
+overhead — so this bridge instead snapshots the driver's AppStatusStore
+(the store behind the Spark UI / REST status API) AFTER the run: zero
+hot-path cost, the numbers are the engine's own task metrics, and the
+output lands in the same ``metrics.prom`` textfile-collector exposition as
+the batch quality counters (policy/metrics.py).
+
+Everything here is defensive: the status store is reached through py4j
+internals, and a metrics bridge must never be able to fail a validation
+run — any error degrades to an empty stage list.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+_STAGE_FIELDS = [
+    # (python key, StageData accessor)
+    ("tasks", "numCompleteTasks"),
+    ("failed_tasks", "numFailedTasks"),
+    ("executor_run_ms", "executorRunTime"),
+    ("input_records", "inputRecords"),
+    ("input_bytes", "inputBytes"),
+    ("output_records", "outputRecords"),
+    ("output_bytes", "outputBytes"),
+    ("shuffle_read_bytes", "shuffleReadBytes"),
+    ("shuffle_write_bytes", "shuffleWriteBytes"),
+    ("memory_spilled_bytes", "memoryBytesSpilled"),
+    ("disk_spilled_bytes", "diskBytesSpilled"),
+]
+
+
+def _opt_millis(scala_opt: Any) -> float | None:
+    """Scala Option[java.util.Date] -> epoch millis (None when empty)."""
+    try:
+        if scala_opt is not None and scala_opt.isDefined():
+            return float(scala_opt.get().getTime())
+    except Exception:
+        pass
+    return None
+
+
+def stage_metrics(spark, since_epoch_sec: float | None = None) -> list[dict]:
+    """Rollup of completed stages from the driver's AppStatusStore.
+
+    ``since_epoch_sec`` scopes the snapshot to one run inside a long-lived
+    session (stages whose first task launched at or after that time).
+    Returns plain dicts sorted by executor run time descending; [] on any
+    py4j surprise — metrics must never break the engine."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        gw = sc._gateway
+        empty = gw.jvm.java.util.ArrayList()
+        quantiles = gw.new_array(gw.jvm.double, 0)
+        stages = store.stageList(empty, False, False, quantiles, empty)
+        out: list[dict] = []
+        for i in range(stages.size()):
+            st = stages.apply(i)
+            if str(st.status()) != "COMPLETE":
+                continue
+            launched = _opt_millis(st.firstTaskLaunchedTime())
+            completed = _opt_millis(st.completionTime())
+            if (
+                since_epoch_sec is not None
+                and launched is not None
+                and launched < since_epoch_sec * 1000.0
+            ):
+                continue
+            rec: dict = {"stage_id": int(st.stageId()), "name": str(st.name())}
+            for key, accessor in _STAGE_FIELDS:
+                rec[key] = int(getattr(st, accessor)())
+            wall_ms = (
+                (completed - launched)
+                if (completed is not None and launched is not None)
+                else None
+            )
+            rec["wall_ms"] = int(wall_ms) if wall_ms is not None else None
+            rec["rows_per_sec"] = (
+                round(rec["input_records"] / (wall_ms / 1000.0), 1)
+                if wall_ms and rec["input_records"]
+                else None
+            )
+            rec["spilled_bytes"] = rec["memory_spilled_bytes"] + rec["disk_spilled_bytes"]
+            out.append(rec)
+        out.sort(key=lambda r: r["executor_run_ms"], reverse=True)
+        return out
+    except Exception:
+        return []
+
+
+def render_stage_openmetrics(stages: list[dict], max_stages: int = 25) -> str:
+    """Prometheus text exposition for the per-stage rollup — appended to the
+    run's metrics.prom next to the batch quality counters. Capped at the
+    ``max_stages`` most expensive stages (the exposition is for dashboards,
+    not archival; the cap is stated in a comment line, never silent)."""
+    if not stages:
+        return ""
+    kept = stages[:max_stages]
+    lines = [
+        f"# spark stage metrics: {len(kept)} of {len(stages)} completed stages "
+        "(top by executor run time)"
+    ]
+
+    def emit(name: str, mtype: str, help_: str, key: str) -> None:
+        lines.append(f"# HELP {name} {help_}")
+        lines.append(f"# TYPE {name} {mtype}")
+        for s in kept:
+            v = s.get(key)
+            if v is None:
+                continue
+            label = f'{{stage_id="{s["stage_id"]}"}}'
+            lines.append(f"{name}{label} {v}")
+
+    emit("spark_stage_tasks_total", "counter", "Completed tasks per stage", "tasks")
+    emit(
+        "spark_stage_executor_run_milliseconds_total", "counter",
+        "Summed executor run time per stage", "executor_run_ms",
+    )
+    emit(
+        "spark_stage_input_records_total", "counter",
+        "Records read per stage", "input_records",
+    )
+    emit(
+        "spark_stage_shuffle_read_bytes_total", "counter",
+        "Shuffle bytes read per stage", "shuffle_read_bytes",
+    )
+    emit(
+        "spark_stage_shuffle_write_bytes_total", "counter",
+        "Shuffle bytes written per stage", "shuffle_write_bytes",
+    )
+    emit(
+        "spark_stage_spilled_bytes_total", "counter",
+        "Memory+disk spill bytes per stage (nonzero means partitions "
+        "outgrew executor memory — resize before scaling up)",
+        "spilled_bytes",
+    )
+    emit(
+        "spark_stage_rows_per_second", "gauge",
+        "Input records / stage wall time", "rows_per_sec",
+    )
+    return "\n".join(lines) + "\n"

@@ -154,7 +154,7 @@ def _band_bucket(cols: list[Column], hash_fn: str) -> Column:
     return F.md5(F.concat_ws(",", *cols))
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -162,14 +162,13 @@ def minhash_lsh_candidates(
     bands: int = 8,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket are candidate near-dups.
-
-    Shuffle is rows × bands (linear); the rows² comparison never happens.
-    Returns distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b.
-    """
+    """(doc_id, band, bucket) — the LSH banding relation: one row per doc
+    per band, bucket = hash of the band's signature slice. This is the
+    linear-shuffle candidate-generation stage every near-dup path shares;
+    rows × bands records, never pairs."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, hash_fn)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -186,6 +185,50 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-band occupancy of the LSH banding stage WITHOUT materializing any
+    pair: (band, n_rows, n_buckets, n_hot_buckets, candidate_pairs), where
+    candidate_pairs = Σ n·(n−1)/2 over buckets. Costs exactly the
+    signatures + one rows×bands shuffle — the number that proves the
+    candidate-generation stage is linear at scale, benchmarkable even when
+    the pair OUTPUT would be quadratic on a dup-heavy corpus."""
+    banded = minhash_banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+    per_bucket = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_hot_buckets"),
+            (F.sum(F.col("n") * (F.col("n") - 1)) / 2).cast("bigint").alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket are candidate near-dups.
+
+    Shuffle is rows × bands (linear); the rows² comparison never happens.
+    Returns distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b.
+    """
+    banded = minhash_banded(df, text_col, id_col, num_hashes, bands, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,4 +1,4 @@
-"""Human-review queue — the minimal Spark-native twin of the reference's
+"""Human-review queue — the Spark-native twin of the reference's
 HumanReviewCoordinator (human_review_coordinator.py:52-618).
 
 Semantics ported (not code):
@@ -6,16 +6,28 @@ Semantics ported (not code):
     critical — reference :340-362), warning→medium, else low;
   - statuses pending / in_progress / completed / escalated (:258-263);
   - a review task is created per failed rule from the verdict table when
-    the run's review triggers fire (:143-152).
+    the run's review triggers fire (:143-152);
+  - active-learning selection (:365-392): informativeness =
+    0.6·uncertainty + 0.4·novelty against a persisted learned-pattern
+    store, critical always selected, selection capped at 20 tasks;
+  - uncertainty tiers (:399-417) and novelty tiers (:419-436) exactly;
+  - auto-resolve (:176-199): consistency ≥ 0.8 with ≥ 5 feedbacks replays
+    the most common past decision;
+  - reviewer routing by predominant issue family (:519-532) and package
+    analysis → recommended_action / expert_notes (:483-517);
+  - feedback learning (:553-568): seen/feedback counts + decision
+    consistency per issue signature.
 
-The queue is a driver-sized parquet table next to the run output (the
-verdict table it derives from is O(P × rules) regardless of data scale),
-append-only with status transitions by rewrite — expert assignment /
-feedback learning are declared extension points, not stubbed logic.
+Everything here is driver-sized pandas: the verdict table the queue
+derives from is O(P × rules) regardless of data scale, and the pattern
+store grows with distinct (rule, severity) signatures, not data. Queue and
+patterns live as parquet/json next to the run output, with status
+transitions by rewrite.
 """
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 import pandas as pd
@@ -25,6 +37,22 @@ _PRIORITY_ORDER = {"critical": 3, "high": 2, "medium": 1, "low": 0}
 STATUSES = ("pending", "in_progress", "completed", "escalated")
 
 QUEUE_FILE = "review_queue.parquet"
+PATTERNS_FILE = "review_patterns.json"
+
+# reference HumanReviewCoordinator defaults (:48, :387-392)
+UNCERTAINTY_THRESHOLD = 0.6
+MAX_SELECTED = 20
+# reference try_auto_resolve (:176-199)
+AUTO_RESOLVE_MIN_CONFIDENCE = 0.8
+AUTO_RESOLVE_MIN_FEEDBACK = 5
+
+# rule-family → reviewer, the registry twin of the reference's stage-based
+# routing (bio_lookups→biologist_expert, schema→data_engineer,
+# rules→quality_specialist, :519-532)
+_REVIEWER_FAMILIES = {
+    "biologist_expert": ("LOOKUP",),
+    "data_engineer": ("CONS", "KEY_NULL", "CARD"),
+}
 
 
 def priority_for(severity: str) -> str:
@@ -32,17 +60,143 @@ def priority_for(severity: str) -> str:
     return PRIORITIES.get(str(severity).lower(), "low")
 
 
-def build_queue(verdicts: pd.DataFrame, snapshot_id: str) -> pd.DataFrame:
-    """One pending review task per failed (rule_id, severity), counting the
-    partitions and violation rows affected, sorted most-urgent first."""
+def _signature(rule_id: str, severity: str) -> str:
+    """Issue-pattern signature (reference _get_issue_signature :443-454:
+    rule:field:severity — verdicts are rule-granular here, so the field
+    slot is carried by the rule id)."""
+    return f"{rule_id}:{str(severity).lower()}"
+
+
+def load_patterns(out_dir: str | Path) -> dict:
+    p = Path(out_dir) / PATTERNS_FILE
+    return json.loads(p.read_text()) if p.exists() else {}
+
+
+def save_patterns(patterns: dict, out_dir: str | Path) -> Path:
+    p = Path(out_dir) / PATTERNS_FILE
+    p.write_text(json.dumps(patterns, indent=2, sort_keys=True))
+    return p
+
+
+def uncertainty_score(patterns: dict, sig: str) -> float:
+    """Reference _calculate_uncertainty tiers (:399-417)."""
+    if sig not in patterns:
+        return 1.0
+    pat = patterns[sig]
+    feedback_count = int(pat.get("feedback_count", 0))
+    consistency = float(pat.get("consistency", 0.5))
+    if feedback_count > 5 and consistency > 0.8:
+        return 0.2
+    if feedback_count > 2:
+        return 0.5
+    return 0.8
+
+
+def novelty_score(patterns: dict, sig: str) -> float:
+    """Reference _calculate_novelty tiers (:419-436)."""
+    if sig not in patterns:
+        return 1.0
+    seen = int(patterns[sig].get("seen_count", 0))
+    if seen > 100:
+        return 0.1
+    if seen > 50:
+        return 0.3
+    if seen > 10:
+        return 0.5
+    return 0.7
+
+
+def try_auto_resolve(patterns: dict, sig: str) -> str | None:
+    """Replay the most common past decision when the pattern is well-known
+    (reference try_auto_resolve :176-199): confidence (or consistency)
+    >= 0.8 with >= 5 feedbacks."""
+    pat = patterns.get(sig)
+    if not pat:
+        return None
+    confidence = float(pat.get("confidence", pat.get("consistency", 0.0)))
+    if confidence >= AUTO_RESOLVE_MIN_CONFIDENCE and int(
+        pat.get("feedback_count", 0)
+    ) >= AUTO_RESOLVE_MIN_FEEDBACK:
+        decisions = list(pat.get("decisions", []))
+        if decisions:
+            return str(max(set(decisions), key=decisions.count)).lower()
+    return None
+
+
+def route_reviewer(rule_ids: list[str]) -> str:
+    """Predominant-family routing (reference _route_to_reviewer :519-532)."""
+    counts = {"biologist_expert": 0, "data_engineer": 0, "quality_specialist": 0}
+    for rid in rule_ids:
+        for reviewer, prefixes in _REVIEWER_FAMILIES.items():
+            if any(str(rid).startswith(p) for p in prefixes):
+                counts[reviewer] += 1
+                break
+        else:
+            counts["quality_specialist"] += 1
+    if counts["biologist_expert"] > counts["data_engineer"] and counts[
+        "biologist_expert"
+    ] > counts["quality_specialist"]:
+        return "biologist_expert"
+    if counts["data_engineer"] > counts["quality_specialist"]:
+        return "data_engineer"
+    return "quality_specialist"
+
+
+def analyze_queue(queue: pd.DataFrame) -> dict:
+    """Recommendation WITHOUT a decision (reference _analyze_review_package
+    :483-517 — the policy engine's decision stands)."""
+    sel = queue[queue["selected"]] if "selected" in queue.columns else queue
+    n = {p: int((sel["priority"] == p).sum()) for p in ("critical", "high", "medium", "low")}
+    if n["critical"] > 0:
+        action, notes = "urgent_review_required", (
+            f"{n['critical']} critical-severity issues require immediate expert attention"
+        )
+    elif n["high"] > 5:
+        action, notes = "thorough_review_recommended", (
+            f"{n['high']} high-priority issues should be reviewed before production use"
+        )
+    elif n["high"] > 0:
+        action, notes = "review_recommended", (
+            f"{n['high']} high-priority issues noted - review before deployment"
+        )
+    elif n["medium"] > 0:
+        action, notes = "optional_review", (
+            f"{n['medium']} medium-priority warnings - review if time permits"
+        )
+    else:
+        action, notes = "no_action_required", "Only minor issues detected"
+    return {"priority_breakdown": n, "recommended_action": action, "expert_notes": notes}
+
+
+_QUEUE_COLUMNS = [
+    "review_id", "snapshot_id", "rule_id", "severity", "priority",
+    "failing_pids", "violation_rows", "uncertainty", "novelty",
+    "informativeness", "selected", "reviewer", "status", "resolution",
+]
+
+
+def build_queue(
+    verdicts: pd.DataFrame, snapshot_id: str, patterns: dict | None = None
+) -> pd.DataFrame:
+    """One review task per failed (rule_id, severity), scored against the
+    learned-pattern store, sorted most-urgent first.
+
+    Selection follows the reference's active-learning loop (:365-392):
+    critical always selected; otherwise selected when informativeness
+    (0.6·uncertainty + 0.4·novelty) exceeds the threshold OR the task is
+    high priority; at most MAX_SELECTED selected. Well-known patterns
+    auto-resolve (status completed, resolution auto:<decision>) instead of
+    landing on a human again. Every seen signature's seen_count is bumped
+    (the novelty decay of :419-436 needs the exposure counter)."""
+    patterns = {} if patterns is None else patterns
     failed = verdicts[~verdicts["passed"]]
     if failed.empty:
-        return pd.DataFrame(
-            columns=["review_id", "snapshot_id", "rule_id", "severity", "priority",
-                     "failing_pids", "violation_rows", "status", "resolution"]
-        )
+        return pd.DataFrame(columns=_QUEUE_COLUMNS)
     rows = []
     for (rule_id, severity), grp in failed.groupby(["rule_id", "severity"]):
+        sig = _signature(rule_id, severity)
+        u = uncertainty_score(patterns, sig)
+        nv = novelty_score(patterns, sig)
         rows.append(
             {
                 "review_id": f"{snapshot_id}:{rule_id}",
@@ -52,14 +206,47 @@ def build_queue(verdicts: pd.DataFrame, snapshot_id: str) -> pd.DataFrame:
                 "priority": priority_for(severity),
                 "failing_pids": int(len(grp)),
                 "violation_rows": int(grp["violation_count"].sum()),
+                "uncertainty": u,
+                "novelty": nv,
+                "informativeness": round(0.6 * u + 0.4 * nv, 6),
                 "status": "pending",
                 "resolution": "",
             }
         )
+        pat = patterns.setdefault(
+            sig, {"seen_count": 0, "feedback_count": 0, "decisions": [], "consistency": 0.0}
+        )
+        pat["seen_count"] = int(pat.get("seen_count", 0)) + 1
     out = pd.DataFrame(rows)
     out["__p"] = out["priority"].map(_PRIORITY_ORDER)
-    out = out.sort_values(["__p", "violation_rows"], ascending=False).drop(columns="__p")
-    return out.reset_index(drop=True)
+    out = (
+        out.sort_values(["__p", "informativeness", "violation_rows"], ascending=False)
+        .drop(columns="__p")
+        .reset_index(drop=True)
+    )
+    # active-learning selection in priority order, capped
+    selected = []
+    n_sel = 0
+    for rec in out.itertuples():
+        pick = n_sel < MAX_SELECTED and (
+            rec.priority == "critical"
+            or rec.informativeness > UNCERTAINTY_THRESHOLD
+            or rec.priority == "high"
+        )
+        selected.append(bool(pick))
+        n_sel += int(pick)
+    out["selected"] = selected
+    out["reviewer"] = route_reviewer(out.loc[out["selected"], "rule_id"].tolist())
+    # auto-resolve the well-known patterns (never critical ones)
+    for i, rec in enumerate(out.itertuples()):
+        if rec.priority == "critical":
+            continue
+        decision = try_auto_resolve(patterns, _signature(rec.rule_id, rec.severity))
+        if decision is not None:
+            out.loc[i, ["status", "resolution", "selected"]] = [
+                "completed", f"auto:{decision}", False,
+            ]
+    return out[_QUEUE_COLUMNS]
 
 
 def write_queue(queue: pd.DataFrame, out_dir: str | Path) -> Path:
@@ -77,8 +264,19 @@ def pending(out_dir: str | Path) -> pd.DataFrame:
     return q[q["status"] == "pending"].reset_index(drop=True)
 
 
-def resolve(out_dir: str | Path, review_id: str, status: str, resolution: str = "") -> pd.DataFrame:
-    """Transition one task (pending → in_progress/completed/escalated)."""
+def resolve(
+    out_dir: str | Path,
+    review_id: str,
+    status: str,
+    resolution: str = "",
+    decision: str | None = None,
+) -> pd.DataFrame:
+    """Transition one task (pending → in_progress/completed/escalated).
+
+    ``decision`` ('accept'/'reject'/...) additionally records RLHF-style
+    feedback into the pattern store (reference _learn_from_feedback
+    :553-568): feedback count, decision list, and decision consistency —
+    which future runs read for uncertainty scoring and auto-resolve."""
     if status not in STATUSES:
         raise ValueError(f"unknown status {status!r}; choose from {STATUSES}")
     q = load_queue(out_dir)
@@ -86,4 +284,19 @@ def resolve(out_dir: str | Path, review_id: str, status: str, resolution: str = 
         raise KeyError(f"no review task {review_id!r}")
     q.loc[q["review_id"] == review_id, ["status", "resolution"]] = [status, resolution]
     write_queue(q, out_dir)
+    if decision is not None:
+        row = q[q["review_id"] == review_id].iloc[0]
+        patterns = load_patterns(out_dir)
+        pat = patterns.setdefault(
+            _signature(row["rule_id"], row["severity"]),
+            {"seen_count": 0, "feedback_count": 0, "decisions": [], "consistency": 0.0},
+        )
+        pat["seen_count"] = int(pat.get("seen_count", 0)) + 1
+        pat["feedback_count"] = int(pat.get("feedback_count", 0)) + 1
+        decisions = list(pat.get("decisions", [])) + [str(decision).lower()]
+        pat["decisions"] = decisions
+        if len(decisions) > 1:
+            most_common = max(set(decisions), key=decisions.count)
+            pat["consistency"] = decisions.count(most_common) / len(decisions)
+        save_patterns(patterns, out_dir)
     return q

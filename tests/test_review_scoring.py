@@ -1,0 +1,140 @@
+"""Review-queue active-learning scoring vs the reference coordinator's
+semantics (human_review_coordinator.py:176-199 auto-resolve, :365-392
+selection, :399-436 uncertainty/novelty tiers, :519-532 routing,
+:553-568 feedback learning). Pure pandas — no Spark session needed."""
+
+import pandas as pd
+import pytest
+
+from bio_data_validation_spark.policy.review import (
+    analyze_queue,
+    build_queue,
+    load_patterns,
+    novelty_score,
+    resolve,
+    route_reviewer,
+    save_patterns,
+    try_auto_resolve,
+    uncertainty_score,
+    write_queue,
+)
+
+
+def _verdicts(rows):
+    return pd.DataFrame(
+        rows, columns=["pid", "rule_id", "severity", "violation_count", "passed"]
+    )
+
+
+FAILED = _verdicts(
+    [
+        (0, "LEN_001A", "error", 10, False),
+        (1, "LEN_001A", "error", 5, False),
+        (0, "DUP_003", "warning", 100, False),
+        (0, "CONS_001", "critical", 1, False),
+        (0, "FMT_COMMIT_001", "info", 2, False),
+        (0, "CARD_001", "warning", 3, True),  # passed: excluded
+    ]
+)
+
+
+def test_uncertainty_and_novelty_tiers_match_reference():
+    pats = {
+        "known:error": {"seen_count": 120, "feedback_count": 8, "consistency": 0.9},
+        "warm:error": {"seen_count": 20, "feedback_count": 3, "consistency": 0.5},
+        "cold:error": {"seen_count": 2, "feedback_count": 0, "consistency": 0.0},
+    }
+    assert uncertainty_score(pats, "never:error") == 1.0
+    assert uncertainty_score(pats, "known:error") == 0.2  # >5 fb, >0.8 cons
+    assert uncertainty_score(pats, "warm:error") == 0.5  # >2 fb
+    assert uncertainty_score(pats, "cold:error") == 0.8
+    assert novelty_score(pats, "never:error") == 1.0
+    assert novelty_score(pats, "known:error") == 0.1  # seen > 100
+    assert novelty_score(pats, "warm:error") == 0.5  # seen > 10
+    assert novelty_score(pats, "cold:error") == 0.7
+
+
+def test_queue_ordering_and_selection():
+    q = build_queue(FAILED, "snap")
+    # critical first, then priority-ordered
+    assert q["rule_id"].iloc[0] == "CONS_001" and q["priority"].iloc[0] == "critical"
+    order = {"critical": 3, "high": 2, "medium": 1, "low": 0}
+    pr = [order[p] for p in q["priority"]]
+    assert pr == sorted(pr, reverse=True)
+    # all patterns novel (informativeness 1.0 > 0.6): everything selected
+    assert q["selected"].all()
+    # grouped per (rule, severity): pid 0+1 LEN_001A collapse to one task
+    len_row = q[q["rule_id"] == "LEN_001A"].iloc[0]
+    assert len_row["failing_pids"] == 2 and len_row["violation_rows"] == 15
+    # info-severity task is low priority but still selected (novel pattern)
+    assert q[q["rule_id"] == "FMT_COMMIT_001"]["priority"].iloc[0] == "low"
+
+
+def test_known_consistent_pattern_deselects_and_auto_resolves():
+    pats = {
+        "DUP_003:warning": {
+            "seen_count": 200,
+            "feedback_count": 6,
+            "decisions": ["accept"] * 6,
+            "consistency": 1.0,
+        }
+    }
+    assert try_auto_resolve(pats, "DUP_003:warning") == "accept"
+    q = build_queue(FAILED, "snap", pats)
+    dup = q[q["rule_id"] == "DUP_003"].iloc[0]
+    # uncertainty 0.2, novelty 0.1 -> informativeness 0.16 <= 0.6, medium
+    # priority: not selected; and the well-known pattern auto-resolves
+    assert not dup["selected"]
+    assert dup["status"] == "completed" and dup["resolution"] == "auto:accept"
+    # critical is NEVER auto-resolved even when its pattern is known
+    pats["CONS_001:critical"] = dict(pats["DUP_003:warning"])
+    q2 = build_queue(FAILED, "snap", pats)
+    crit = q2[q2["rule_id"] == "CONS_001"].iloc[0]
+    assert crit["status"] == "pending" and crit["selected"]
+    # exposure counter bumped for every seen signature
+    assert pats["DUP_003:warning"]["seen_count"] >= 201
+
+
+def test_routing_by_predominant_family():
+    assert route_reviewer(["LOOKUP_001", "LOOKUP_002", "LEN_001A"]) == "biologist_expert"
+    assert route_reviewer(["CONS_001", "KEY_NULL_001", "LOOKUP_001"]) == "data_engineer"
+    assert route_reviewer(["LEN_001A", "FMT_COMMIT_001"]) == "quality_specialist"
+
+
+def test_analysis_recommended_action_tiers():
+    q = build_queue(FAILED, "snap")
+    a = analyze_queue(q)
+    assert a["recommended_action"] == "urgent_review_required"
+    assert "critical" in a["expert_notes"]
+    no_crit = build_queue(FAILED[FAILED["rule_id"] != "CONS_001"], "snap")
+    assert analyze_queue(no_crit)["recommended_action"] == "review_recommended"
+
+
+def test_feedback_learning_roundtrip(tmp_path):
+    q = build_queue(FAILED, "snap")
+    write_queue(q, tmp_path)
+    rid = q[q["rule_id"] == "DUP_003"]["review_id"].iloc[0]
+    for _ in range(5):
+        resolve(tmp_path, rid, "completed", "looks fine", decision="accept")
+    pats = load_patterns(tmp_path)
+    pat = pats["DUP_003:warning"]
+    assert pat["feedback_count"] == 5
+    assert pat["consistency"] == 1.0
+    assert pat["decisions"] == ["accept"] * 5
+    # next run: the learned pattern auto-resolves the same finding
+    q2 = build_queue(FAILED, "snap2", pats)
+    dup = q2[q2["rule_id"] == "DUP_003"].iloc[0]
+    assert dup["resolution"] == "auto:accept"
+    save_patterns(pats, tmp_path)
+    assert load_patterns(tmp_path)["DUP_003:warning"]["feedback_count"] == 5
+
+
+def test_selection_cap():
+    rows = [(0, f"R_{i:03d}", "error", i + 1, False) for i in range(30)]
+    q = build_queue(_verdicts(rows), "snap")
+    assert int(q["selected"].sum()) == 20  # MAX_SELECTED cap (reference :390)
+
+
+def test_empty_verdicts_empty_queue():
+    q = build_queue(_verdicts([(0, "X", "error", 1, True)]), "snap")
+    assert q.empty

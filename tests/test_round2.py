@@ -336,3 +336,39 @@ def test_ambiguous_manifest_keys_warn_lookup_002(spark, snapshot, tmp_path):
     )
     assert rep["final_decision"] == rep2["final_decision"]
     assert set(rep["failed_rules"]) == set(rep2["failed_rules"])
+
+
+# ---- per-stage task-metrics bridge ------------------------------------------
+
+def test_stage_metrics_bridge_in_prom(spark, snapshot, tmp_path):
+    """The run's metrics.prom must carry per-stage Spark task metrics from
+    the driver status store (the batch twin of the reference's live
+    prometheus decorators, monitoring/metrics.py:147-241) — including the
+    stage rows/sec gauge."""
+    from bio_data_validation_spark.engine import run_validation
+    from bio_data_validation_spark.engine.stage_metrics import stage_metrics
+
+    out = tmp_path / "out"
+    run_validation(
+        spark, snapshot["dirty"], str(out), manifest_path=snapshot["manifest"],
+        snapshot_id="sm", resume=False,
+    )
+    prom = (out / "metrics.prom").read_text()
+    for key in (
+        "spark_stage_tasks_total",
+        "spark_stage_executor_run_milliseconds_total",
+        "spark_stage_input_records_total",
+        "spark_stage_shuffle_write_bytes_total",
+        "spark_stage_rows_per_second",
+    ):
+        assert key in prom, f"missing {key}"
+    # batch counters still present alongside
+    assert "issues_detected_total" in prom
+
+    stages = stage_metrics(spark)
+    assert stages and all(s["tasks"] > 0 for s in stages[:5])
+    # sorted most-expensive-first
+    runms = [s["executor_run_ms"] for s in stages]
+    assert runms == sorted(runms, reverse=True)
+    # a failure in the bridge must never break anything: bogus session obj
+    assert stage_metrics(object()) == []
