@@ -1601,6 +1601,89 @@ FROM kept GROUP BY doc_id
 """
 
 
+SPAN_K = 16  # span shingle width (chars) — the char-level stand-in for the
+# ~50-token spans of substring-level training-data dedup
+
+
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate COVERAGE per document: the fraction of a doc's
+    k-char shingles whose hash also appears in at least one OTHER document
+    (the signal behind substring-level training-data dedup — Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022 —
+    where duplicated spans, not whole-doc dups, dominate memorization).
+
+    Scale shape: shingle explode (rows × prefix chars, bounded by the
+    KGRAM_PREFIX cap) → ONE hash-keyed groupBy to find cross-doc hashes →
+    join back; never a doc×doc comparison. Production uses xxhash64 and a
+    winnowed position subset; md5_60 here keeps the oracle value-exact."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = F.substring(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, KGRAM_PREFIX)
+    grams = (
+        d.select("doc_id", t.alias("__t"))
+        .filter(F.length("__t") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__t") - F.lit(SPAN_K - 1))
+            ).alias("pos"),
+            "__t",
+        )
+        .select(
+            "doc_id",
+            token_hash(F.expr(f"substr(__t, pos, {SPAN_K})"), 0, "md5_60").alias("h"),
+        )
+    )
+    # ONE pass over the (expensive) explode+hash: pre-aggregate to
+    # (doc_id, h, occurrences), tag each row with its hash's distinct-doc
+    # count via a window on h (same shuffle a groupBy(h) would cost — but
+    # no self-join, so the shingle hashing is never recomputed), then roll
+    # up per doc. Three linear shuffles total, zero joins.
+    from pyspark.sql import Window
+
+    gh = grams.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    gh = gh.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    return (
+        gh.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "__n_dup"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("__n_dup").cast("bigint").alias("n_dup_grams"),
+            F.round(F.col("__n_dup") / F.col("n_grams").cast("double"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+def _sql_duplicated_spans() -> str:
+    h = _sql_md5h(0, f"substr(__t, pos, {SPAN_K})")
+    return rf"""
+WITH norm AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, {KGRAM_PREFIX}) AS __t
+  FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT doc_id, {h} AS h
+  FROM norm, LATERAL (SELECT unnest(range(1, length(__t) - {SPAN_K} + 2)) AS pos)
+  WHERE length(__t) >= {SPAN_K}),
+cross_doc AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+dup_doc AS (SELECT g.doc_id, count(*) AS n_dup FROM grams g JOIN cross_doc c ON g.h = c.h
+            GROUP BY g.doc_id)
+SELECT p.doc_id,
+       CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       round(coalesce(d.n_dup, 0) / CAST(p.n_grams AS DOUBLE), 6) AS dup_fraction
+FROM per_doc p LEFT JOIN dup_doc d USING (doc_id)
+"""
+
+
 LEV_SIM_THRESHOLD = 0.95  # reference default sequence_similarity_threshold
 
 
@@ -1894,6 +1977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "lsh_bucket_stats": q_lsh_bucket_stats,
+    "duplicated_spans": q_duplicated_spans,
     "near_dup_pairs": q_near_dup_pairs,
     "dup_clusters": q_dup_clusters,
     "levenshtein_near_dups": q_levenshtein_near_dups,
@@ -1958,6 +2042,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": _sql_embedding_near_dup(),
     "minhash_lsh_candidates": _sql_minhash_lsh_candidates(),
     "lsh_bucket_stats": _sql_lsh_bucket_stats(),
+    "duplicated_spans": _sql_duplicated_spans(),
     "near_dup_pairs": _sql_near_dup_pairs(),
     "dup_clusters": _sql_dup_clusters(),
     "levenshtein_near_dups": _sql_levenshtein_near_dups(),

@@ -1,1 +1,2 @@
+from .ingest import validate_records  # noqa: F401
 from .runner import run_validation, structural_check  # noqa: F401

@@ -1,0 +1,140 @@
+"""In-memory ingestion: validate records/strings without a warehouse.
+
+Twin of the reference's API ingestion paths (api/routes.py:158-199: list or
+dict payloads → DataFrame, CSV strings parsed via pandas; :395-433 file
+upload → string ingest with the same pipeline) re-expressed on Spark: the
+payload becomes a (tiny) DataFrame, runs the SAME plan-time structural
+check and PASS-2 rule algebra as the warehouse path, and the caller gets
+the decision dict back — no output directory, no ledger, no resume.
+
+This is the ad-hoc/service entry point; datasets at scale go through
+:func:`run_validation`. The violation list returned is capped (the payload
+is API-sized by construction, but a hostile 'everything violates' payload
+must not round-trip rows × rules dicts through the driver unbounded).
+"""
+
+from __future__ import annotations
+
+from io import StringIO
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..policy import decide, generate_rationale, requires_review
+from ..rules import Registry, load_registry
+from ..sources import with_pid
+from .runner import structural_check
+from .violations import violation_pass
+
+MAX_VIOLATION_ROWS = 1_000
+
+
+def _fasta_to_records(text: str) -> list[dict]:
+    """Driver-side FASTA string → records, same framing as sources/bio.py
+    (reference schema_validator.py FASTA handling): '>' starts a record,
+    first token is the id, remaining lines concatenate into the sequence."""
+    records = []
+    for chunk in text.split(">"):
+        if not chunk.strip():
+            continue
+        lines = chunk.splitlines()
+        header = lines[0].strip()
+        seq = "".join(ln.strip() for ln in lines[1:])
+        records.append({"record_id": header.split()[0] if header else "", "sequence": seq})
+    return records
+
+
+def ingest_payload(
+    spark: SparkSession,
+    data: list | dict | str | DataFrame,
+    source_format: str = "records",
+) -> DataFrame:
+    """Payload → DataFrame, mirroring api/routes.py:169-180 dispatch."""
+    if isinstance(data, DataFrame):
+        return data
+    if isinstance(data, dict):
+        data = [data]
+    if isinstance(data, list):
+        return spark.createDataFrame(data)
+    if isinstance(data, str):
+        if source_format in ("csv", "tabular"):
+            import pandas as pd
+
+            return spark.createDataFrame(pd.read_csv(StringIO(data)))
+        if source_format == "fasta":
+            return spark.createDataFrame(_fasta_to_records(data))
+        raise ValueError(
+            f"string payloads need source_format in ('csv', 'fasta'), got {source_format!r}"
+        )
+    raise ValueError(f"unsupported payload type {type(data).__name__}")
+
+
+def validate_records(
+    spark: SparkSession,
+    data: list | dict | str | DataFrame,
+    registry: Registry | str | None = None,
+    manifest: DataFrame | None = None,
+    source_format: str = "records",
+) -> dict:
+    """Validate an in-memory payload; returns the decision dict.
+
+    Runs plan-time structural checks (critical short-circuit, same as
+    run_validation) then the full PASS-2 rule families (row rules,
+    uniqueness, duplicate content, near-dup when configured, referential
+    when a manifest is supplied). Aggregate/drift rules need a baseline
+    profile and partition statistics — out of scope for payload-sized
+    ad-hoc checks, as in the reference API which reports them only through
+    the orchestrated dataset path."""
+    if registry is None:
+        registry = load_registry()
+    elif isinstance(registry, str):
+        registry = load_registry(registry)
+
+    df = ingest_payload(spark, data, source_format)
+    n_records = df.count()
+    report: dict = {
+        "records_processed": int(n_records),
+        "ruleset_metadata": {
+            "rule_version": registry.version,
+            "ruleset_hash": registry.ruleset_hash,
+        },
+    }
+
+    structural = structural_check(df, registry)
+    if any(i["severity"] == "critical" for i in structural):
+        report.update(
+            {
+                "status": "completed",
+                "final_decision": "rejected",
+                "structural_issues": structural,
+                "severity_counts": {"info": 0, "warning": 0, "error": 0, "critical": 1},
+                "rationale": "REJECTED: structural (CRITICAL) schema issues — see structural_issues",
+                "violations": [],
+            }
+        )
+        return report
+
+    viols = violation_pass(with_pid(df, registry.n_partitions), registry, manifest)
+    rows = viols.limit(MAX_VIOLATION_ROWS + 1).collect()
+    truncated = len(rows) > MAX_VIOLATION_ROWS
+    rows = rows[:MAX_VIOLATION_ROWS]
+
+    failed = sorted({(r["rule_id"], str(r["severity"]).lower()) for r in rows})
+    counts = {"info": 0, "warning": 0, "error": 0, "critical": 0}
+    for _, sev in failed:
+        counts[sev] += 1
+    decision = decide(counts, registry.decision_matrix)
+    report.update(
+        {
+            "status": "completed",
+            "final_decision": decision.value,
+            "requires_human_review": requires_review(counts, registry.review_triggers),
+            "severity_counts": counts,
+            "failed_rules": sorted({r for r, _ in failed}),
+            "rationale": generate_rationale(
+                decision.value, counts, registry.decision_matrix
+            ),
+            "violations": [r.asDict() for r in rows],
+            "violations_truncated": truncated,
+        }
+    )
+    return report

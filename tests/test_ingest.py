@@ -1,0 +1,68 @@
+"""In-memory record/string ingestion — the Spark twin of the reference's
+API payload paths (api/routes.py:158-199, :395-433)."""
+
+import pytest
+
+from bio_data_validation_spark.engine import validate_records
+from bio_data_validation_spark.engine.ingest import _fasta_to_records, ingest_payload
+from bio_data_validation_spark.rules import load_registry
+
+
+def _rec(repo="r1", path="a.py", commit="a" * 40, lang="python", content="print(1)\n"):
+    return {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+
+
+def test_records_accepted(spark):
+    rep = validate_records(spark, [_rec(), _rec(path="b.py", content="print(2)\n")])
+    assert rep["final_decision"] == "accepted"
+    assert rep["records_processed"] == 2
+    assert rep["violations"] == [] and rep["failed_rules"] == []
+    assert rep["rationale"] == "All validation checks passed"
+
+
+def test_single_dict_and_violations(spark):
+    # empty content fires LEN_001A; bad commit fires FMT_COMMIT_001
+    rep = validate_records(spark, _rec(content="", commit="xyz"))
+    assert rep["records_processed"] == 1
+    assert {"LEN_001A", "FMT_COMMIT_001"} <= set(rep["failed_rules"])
+    assert rep["final_decision"] in ("rejected", "conditional_accept")
+    assert all(v["rule_id"] for v in rep["violations"])
+
+
+def test_structural_short_circuit(spark):
+    rep = validate_records(spark, [{"repo": "r", "path": "p"}])
+    assert rep["final_decision"] == "rejected"
+    assert any(i["rule_id"] == "CONS_001" for i in rep["structural_issues"])
+    assert rep["violations"] == []
+
+
+def test_csv_string_ingest(spark):
+    csv = "repo,path,commit,lang,content\nr1,a.py," + "a" * 40 + ",python,x\n"
+    rep = validate_records(spark, csv, source_format="csv")
+    assert rep["records_processed"] == 1
+    df = ingest_payload(spark, csv, "csv")
+    assert set(df.columns) == {"repo", "path", "commit", "lang", "content"}
+
+
+def test_fasta_string_parse_and_ingest(spark):
+    fa = ">seq1 desc\nACGT\nACGT\n>seq2\nTTTT\n"
+    recs = _fasta_to_records(fa)
+    assert recs == [
+        {"record_id": "seq1", "sequence": "ACGTACGT"},
+        {"record_id": "seq2", "sequence": "TTTT"},
+    ]
+    df = ingest_payload(spark, fa, "fasta")
+    assert df.count() == 2
+
+
+def test_duplicate_content_caught_in_memory(spark):
+    recs = [_rec(path=f"{i}.py", content="same") for i in range(3)]
+    rep = validate_records(spark, recs)
+    assert "DUP_003" in rep["failed_rules"]
+
+
+def test_bad_payloads(spark):
+    with pytest.raises(ValueError, match="source_format"):
+        validate_records(spark, "raw text", source_format="records")
+    with pytest.raises(ValueError, match="unsupported payload"):
+        validate_records(spark, 42)
