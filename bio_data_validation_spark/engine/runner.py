@@ -408,17 +408,27 @@ def run_validation(
     violations = violations.persist()
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            violations.repartition("pid")
-            .sortWithinPartitions("pid", "rule_id", "repo", "path", "commit")
-            .write.mode("overwrite")
-            .partitionBy("pid")
-            .parquet(str(out / "violations"))
-        )
-        viol_counts = violation_counts(violations).toPandas()
-        # Cross-partition rules: recomputed over the full profile, emitted
-        # for ALL pids, fully overwritten (see violations.py module doc).
-        gviol_counts = _write_global_violations(global_violations, out)
+
+        def _write_local() -> pd.DataFrame:
+            (
+                violations.repartition("pid")
+                .sortWithinPartitions("pid", "rule_id", "repo", "path", "commit")
+                .write.mode("overwrite")
+                .partitionBy("pid")
+                .parquet(str(out / "violations"))
+            )
+            return violation_counts(violations).toPandas()
+
+        # The partition-local and cross-partition relations are independent
+        # DAGs over the on-disk profile writing to different directories —
+        # overlap their jobs instead of running the two write+count pairs
+        # back-to-back (PASS 2 is the dominant phase; this overlaps its two
+        # halves' shuffles and output commits).
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_local = ex.submit(_write_local)
+            f_global = ex.submit(_write_global_violations, global_violations, out)
+            viol_counts = f_local.result()
+            gviol_counts = f_global.result()
     finally:
         violations.unpersist()
         for p in preps:
