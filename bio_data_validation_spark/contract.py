@@ -1601,6 +1601,39 @@ FROM kept GROUP BY doc_id
 """
 
 
+SAMPLE_RATES = {"en": 50, "zh": 30}  # percent; all other langs 10%
+SAMPLE_DEFAULT_RATE = 10
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC stratified sampling: keep a doc iff
+    hash(doc_id) % 100 < rate(lang). Training-data pipelines need sampling
+    that is (a) reproducible across runs AND cluster shapes — `rand()`-based
+    `sample()`/`sampleBy()` is neither (per-partition RNG streams change
+    with the split layout) — and (b) a pure column predicate, so it pushes
+    into the scan, shuffles nothing, and composes with any downstream op.
+    Hash-mod sampling (the content-addressed twin of the reference's
+    per-record processing caps) gives both; md5_60 keeps the oracle
+    value-exact (production uses xxhash64, same structure)."""
+    d = _t(spark, sf_dir, "documents")
+    h = token_hash(F.col("doc_id").cast("string"), 0, "md5_60") % 100
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return d.filter(h < rate).select("doc_id", "lang")
+
+
+def _sql_stratified_sample() -> str:
+    h = _sql_md5h(0, "CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {h} % 100 < (CASE {whens} ELSE {SAMPLE_DEFAULT_RATE} END)
+"""
+
+
 SPAN_K = 16  # span shingle width (chars) — the char-level stand-in for the
 # ~50-token spans of substring-level training-data dedup
 
@@ -1978,6 +2011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "duplicated_spans": q_duplicated_spans,
+    "stratified_sample": q_stratified_sample,
     "near_dup_pairs": q_near_dup_pairs,
     "dup_clusters": q_dup_clusters,
     "levenshtein_near_dups": q_levenshtein_near_dups,
@@ -2043,6 +2077,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_candidates": _sql_minhash_lsh_candidates(),
     "lsh_bucket_stats": _sql_lsh_bucket_stats(),
     "duplicated_spans": _sql_duplicated_spans(),
+    "stratified_sample": _sql_stratified_sample(),
     "near_dup_pairs": _sql_near_dup_pairs(),
     "dup_clusters": _sql_dup_clusters(),
     "levenshtein_near_dups": _sql_levenshtein_near_dups(),

@@ -1,2 +1,2 @@
-from .ingest import validate_records  # noqa: F401
+from .ingest import validate_batch, validate_records  # noqa: F401
 from .runner import run_validation, structural_check  # noqa: F401

@@ -138,3 +138,43 @@ def validate_records(
         }
     )
     return report
+
+
+def validate_batch(
+    spark: SparkSession,
+    payloads: list[dict],
+    registry: Registry | str | None = None,
+) -> dict:
+    """Validate several in-memory payloads in one call — the twin of the
+    reference's batch endpoint (api/routes.py:437-464), minus the HTTP
+    task queue: each payload is a dict with ``data`` (and optionally
+    ``source_format``, ``dataset_id``, ``registry``), validated through
+    :func:`validate_records`; the batch summary aggregates per-dataset
+    decisions. Payloads run sequentially on the shared SparkSession —
+    each is API-sized; datasets at scale use run_validation per snapshot."""
+    results = []
+    for i, p in enumerate(payloads):
+        dataset_id = str(p.get("dataset_id", i))
+        try:
+            rep = validate_records(
+                spark,
+                p["data"],
+                registry=p.get("registry", registry),
+                source_format=p.get("source_format", "records"),
+            )
+            rep["dataset_id"] = dataset_id
+        except (ValueError, KeyError) as e:
+            rep = {
+                "dataset_id": dataset_id,
+                "status": "failed",
+                "final_decision": "rejected",
+                "error": f"{type(e).__name__}: {e}",
+            }
+        results.append(rep)
+    decisions = [r.get("final_decision") for r in results]
+    return {
+        "total_datasets": len(results),
+        "results": results,
+        "decisions": {d: decisions.count(d) for d in sorted(set(decisions))},
+        "all_accepted": all(d == "accepted" for d in decisions),
+    }

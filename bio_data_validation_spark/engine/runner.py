@@ -83,9 +83,14 @@ def _write_global_violations(global_v: DataFrame, out: Path) -> pd.DataFrame:
 
     global_v = global_v.persist()
     try:
+        # No repartition: on the dup-heavy worst case this relation is
+        # rows-scale and a pid shuffle of it would rival the emission scan
+        # itself. The emission inherits the profile scan's pid-clustered
+        # layout (the profile is stored partitioned by pid), so the
+        # within-partition sort still gets its RLE compression win without
+        # an exchange.
         (
-            global_v.repartition("pid")
-            .sortWithinPartitions("pid", "rule_id", "repo", "path", "commit")
+            global_v.sortWithinPartitions("pid", "rule_id", "repo", "path", "commit")
             .write.mode("overwrite")
             .parquet(str(out / "violations_global"))
         )

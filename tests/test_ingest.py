@@ -66,3 +66,21 @@ def test_bad_payloads(spark):
         validate_records(spark, "raw text", source_format="records")
     with pytest.raises(ValueError, match="unsupported payload"):
         validate_records(spark, 42)
+
+
+def test_validate_batch(spark):
+    from bio_data_validation_spark.engine import validate_batch
+
+    batch = [
+        {"dataset_id": "good", "data": [_rec(), _rec(path="b.py", content="x2\n")]},
+        {"dataset_id": "bad-schema", "data": [{"repo": "r"}]},
+        {"dataset_id": "broken", "data": 42},
+    ]
+    rep = validate_batch(spark, batch)
+    assert rep["total_datasets"] == 3
+    by_id = {r["dataset_id"]: r for r in rep["results"]}
+    assert by_id["good"]["final_decision"] == "accepted"
+    assert by_id["bad-schema"]["final_decision"] == "rejected"
+    assert by_id["broken"]["status"] == "failed" and "error" in by_id["broken"]
+    assert not rep["all_accepted"]
+    assert rep["decisions"]["rejected"] == 2
