@@ -1634,6 +1634,125 @@ WHERE {h} % 100 < (CASE {whens} ELSE {SAMPLE_DEFAULT_RATE} END)
 """
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (the Gopher quality-filter
+    family — Rae et al. 2021 §A1.1: documents dominated by repeated
+    fragments are low-quality training data): per doc, the fraction of
+    duplicated words and of duplicated word bigrams. ALL pure column math —
+    the bigram list is built with transform(sequence) over the split array,
+    deduped with array_distinct; no explode, no shuffle beyond the scan."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(words)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    return (
+        d.select("doc_id", words.alias("__w"), bigrams.alias("__b"))
+        .filter(F.size("__w") >= 2)
+        .select(
+            "doc_id",
+            F.size("__w").alias("n_words"),
+            F.round(
+                1.0 - F.size(F.array_distinct("__w")) / F.size("__w").cast("double"), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                1.0 - F.size(F.array_distinct("__b")) / F.size("__b").cast("double"), 6
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def _sql_repetition_profile() -> str:
+    return r"""
+WITH w AS (
+  SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL),
+b AS (
+  SELECT doc_id, ws,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bs
+  FROM w WHERE len(ws) >= 2)
+SELECT doc_id,
+       CAST(len(ws) AS INTEGER) AS n_words,
+       round(1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6) AS dup_word_frac,
+       round(1.0 - len(list_distinct(bs)) / CAST(len(bs) AS DOUBLE), 6) AS dup_bigram_frac
+FROM b
+"""
+
+
+CONTAM_K = 8  # word n-gram width for decontamination overlap
+CONTAM_BENCH_SOURCE = "src0"  # held-out "benchmark" slice of documents
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with a held-out evaluation set (GPT-3 Appendix C / Brown et al.
+    2020 style 13-gram overlap scan, width scaled to this corpus). The
+    benchmark side here is the documents slice with source = 'src0'; every
+    other doc reports how many of its n-gram positions collide with the
+    benchmark n-gram set.
+
+    Scale shape: shingle both sides (explode ∝ rows × words), hash, ONE
+    distinct on the (small) benchmark gram set, ONE hash-keyed join — the
+    candidate corpus never self-joins, and the benchmark set broadcasts
+    when small (AQE decides from measured size)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+    def grams(src: DataFrame) -> DataFrame:
+        w = src.select("doc_id", words.alias("__w")).filter(F.size("__w") >= CONTAM_K)
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__w")) - (CONTAM_K - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__w"), i + j) for j in range(CONTAM_K)]
+            ),
+        )
+        return w.select(
+            "doc_id", F.explode(g).alias("__g")
+        ).select("doc_id", token_hash(F.col("__g"), 0, "md5_60").alias("h"))
+    bench_grams = (
+        grams(d.filter(F.col("source") == CONTAM_BENCH_SOURCE)).select("h").distinct()
+    )
+    cand = grams(d.filter(F.col("source") != CONTAM_BENCH_SOURCE))
+    per_doc = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        cand.join(bench_grams, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n_overlap"))
+    )
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("__n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        (F.coalesce("__n_overlap", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def _sql_contamination_check() -> str:
+    h = _sql_md5h(0, "g")
+    gram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(CONTAM_K))
+    return rf"""
+WITH w AS (
+  SELECT doc_id, source, str_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id, source, {h} AS h
+  FROM (SELECT doc_id, source, unnest(list_transform(
+              range(1, len(ws) - {CONTAM_K} + 2), i -> {gram})) AS g
+        FROM w WHERE len(ws) >= {CONTAM_K})),
+bench AS (SELECT DISTINCT h FROM g WHERE source = '{CONTAM_BENCH_SOURCE}'),
+cand AS (SELECT doc_id, h FROM g WHERE source <> '{CONTAM_BENCH_SOURCE}'),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY doc_id),
+hits AS (SELECT c.doc_id, count(*) AS n_overlap FROM cand c JOIN bench b USING (h)
+         GROUP BY c.doc_id)
+SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(t.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(t.n_overlap, 0) > 0 AS contaminated
+FROM per_doc p LEFT JOIN hits t USING (doc_id)
+"""
+
+
 SPAN_K = 16  # span shingle width (chars) — the char-level stand-in for the
 # ~50-token spans of substring-level training-data dedup
 
@@ -2012,6 +2131,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "duplicated_spans": q_duplicated_spans,
     "stratified_sample": q_stratified_sample,
+    "repetition_profile": q_repetition_profile,
+    "contamination_check": q_contamination_check,
     "near_dup_pairs": q_near_dup_pairs,
     "dup_clusters": q_dup_clusters,
     "levenshtein_near_dups": q_levenshtein_near_dups,
@@ -2078,6 +2199,8 @@ ORACLES: dict[str, str] = {
     "lsh_bucket_stats": _sql_lsh_bucket_stats(),
     "duplicated_spans": _sql_duplicated_spans(),
     "stratified_sample": _sql_stratified_sample(),
+    "repetition_profile": _sql_repetition_profile(),
+    "contamination_check": _sql_contamination_check(),
     "near_dup_pairs": _sql_near_dup_pairs(),
     "dup_clusters": _sql_dup_clusters(),
     "levenshtein_near_dups": _sql_levenshtein_near_dups(),
