@@ -1693,39 +1693,41 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     other doc reports how many of its n-gram positions collide with the
     benchmark n-gram set.
 
-    Scale shape: shingle both sides (explode ∝ rows × words), hash, ONE
-    distinct on the (small) benchmark gram set, ONE hash-keyed join — the
-    candidate corpus never self-joins, and the benchmark set broadcasts
-    when small (AQE decides from measured size)."""
+    Scale shape: shingle ONCE (explode ∝ rows × words, one scan of the
+    corpus — benchmark membership is just a flag on the gram row), then a
+    window over the gram hash marks candidate grams that share a hash with
+    any benchmark gram, and one groupBy(doc) rolls up. Two linear shuffles
+    (by hash, by doc), zero joins, no side scanned twice."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-
-    def grams(src: DataFrame) -> DataFrame:
-        w = src.select("doc_id", words.alias("__w")).filter(F.size("__w") >= CONTAM_K)
-        g = F.transform(
-            F.sequence(F.lit(1), F.size(F.col("__w")) - (CONTAM_K - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("__w"), i + j) for j in range(CONTAM_K)]
-            ),
-        )
-        return w.select(
-            "doc_id", F.explode(g).alias("__g")
-        ).select("doc_id", token_hash(F.col("__g"), 0, "md5_60").alias("h"))
-    bench_grams = (
-        grams(d.filter(F.col("source") == CONTAM_BENCH_SOURCE)).select("h").distinct()
-    )
-    cand = grams(d.filter(F.col("source") != CONTAM_BENCH_SOURCE))
-    per_doc = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        cand.join(bench_grams, "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("__n_overlap"))
-    )
-    return per_doc.join(hits, "doc_id", "left").select(
+    w = d.select(
         "doc_id",
-        "n_grams",
-        F.coalesce("__n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
-        (F.coalesce("__n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        (F.col("source") == CONTAM_BENCH_SOURCE).cast("int").alias("__bench"),
+        words.alias("__w"),
+    ).filter(F.size("__w") >= CONTAM_K)
+    g = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__w")) - (CONTAM_K - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("__w"), i + j) for j in range(CONTAM_K)]
+        ),
+    )
+    grams = w.select(
+        "doc_id", "__bench", F.explode(g).alias("__g")
+    ).select("doc_id", "__bench", token_hash(F.col("__g"), 0, "md5_60").alias("h"))
+    from pyspark.sql import Window
+
+    hit = F.max("__bench").over(Window.partitionBy("h")).alias("__hit")
+    return (
+        grams.select("doc_id", "__bench", "h", hit)
+        .filter(F.col("__bench") == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__hit").cast("bigint").alias("n_overlap"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_overlap", (F.col("n_overlap") > 0).alias("contaminated")
+        )
     )
 
 

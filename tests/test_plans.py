@@ -148,3 +148,38 @@ def test_dup_clusters_scan_prunes_to_id_and_text(spark):
     read_schema = plan[plan.index("ReadSchema"):].split("\n")[0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_round3_operator_plans_are_scale_shaped(spark):
+    """Round-3 operators: the plan shapes the docstrings promise.
+
+    - repetition_profile / stratified_sample: pure per-row column math —
+      zero Exchange, zero Join.
+    - duplicated_spans: ONE scan of documents (the explode+hash pass is
+      never recomputed — window over the pre-aggregated (doc, hash)
+      relation, not a self-join).
+    - contamination_check: zero Joins (benchmark membership is a window
+      flag on the single shingle pass), exactly one scan of documents.
+    """
+    import re
+
+    from bio_data_validation_spark.contract import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        return _plan(QUERIES[name](spark, sf))
+
+    p = plan_of("repetition_profile")
+    assert "Exchange" not in p and "Join" not in p
+
+    p = plan_of("stratified_sample")
+    assert "Exchange" not in p and "Join" not in p
+
+    p = plan_of("duplicated_spans")
+    assert len(re.findall(r"Scan parquet", p)) == 1
+    assert "Join" not in p
+
+    p = plan_of("contamination_check")
+    assert len(re.findall(r"Scan parquet", p)) == 1
+    assert "Join" not in p
