@@ -68,6 +68,29 @@ def _build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("metrics", help="aggregate quality metrics from a run dir")
     m.add_argument("--out", required=True, help="validation output directory")
 
+    c = sub.add_parser(
+        "curate",
+        help="training-data curation: quality filters, exact+near dedup, "
+        "decontamination, deterministic sampling — kept/decisions parquet",
+    )
+    c.add_argument("--source", required=True, help="documents parquet path")
+    c.add_argument("--out", required=True, help="curation output directory")
+    c.add_argument(
+        "--benchmark", default=None,
+        help="parquet path of the held-out benchmark docs (enables decontamination)",
+    )
+    c.add_argument(
+        "--sample-rates", default=None,
+        help="per-lang percent rates, e.g. 'en=50,zh=30' (others use --sample-default)",
+    )
+    c.add_argument("--sample-default", type=int, default=100)
+    c.add_argument("--min-words", type=int, default=None)
+    c.add_argument("--max-dup-word-frac", type=float, default=None)
+    c.add_argument("--max-dup-bigram-frac", type=float, default=None)
+    c.add_argument("--lsh-num-hashes", type=int, default=32)
+    c.add_argument("--lsh-bands", type=int, default=8)
+    c.add_argument("--master", dest="curate_master", default=None)
+
     r = sub.add_parser("review", help="list / resolve human-review queue tasks")
     r.add_argument("--out", required=True, help="validation output directory")
     r.add_argument("--resolve", default=None, metavar="REVIEW_ID")
@@ -95,6 +118,44 @@ def main(argv: list[str] | None = None) -> int:
         from .policy.metrics import quality_metrics
 
         print(json.dumps(quality_metrics(args.out), indent=2, default=str))
+        return 0
+
+    if args.cmd == "curate":
+        from .engine.curate import curate
+
+        spark = get_spark(
+            master=args.curate_master, app_name="bio_data_validation_spark.curate"
+        )
+        quality = {
+            k: v
+            for k, v in (
+                ("min_words", args.min_words),
+                ("max_dup_word_frac", args.max_dup_word_frac),
+                ("max_dup_bigram_frac", args.max_dup_bigram_frac),
+            )
+            if v is not None
+        }
+        rates = None
+        if args.sample_rates:
+            rates = {
+                part.split("=")[0].strip(): int(part.split("=")[1])
+                for part in args.sample_rates.split(",")
+                if part.strip()
+            }
+        stats = curate(
+            spark,
+            spark.read.parquet(args.source),
+            out_dir=args.out,
+            benchmark=(
+                spark.read.parquet(args.benchmark) if args.benchmark else None
+            ),
+            quality=quality or None,
+            sample_rates=rates,
+            sample_default=args.sample_default,
+            lsh_num_hashes=args.lsh_num_hashes,
+            lsh_bands=args.lsh_bands,
+        )
+        print(json.dumps(stats, default=str))
         return 0
 
     if args.cmd == "review":

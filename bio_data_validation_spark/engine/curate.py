@@ -1,0 +1,248 @@
+"""Training-data curation pipeline: compose the engine's dedup / quality /
+decontamination / sampling operators into one keep-or-drop decision per
+document and write the curated corpus.
+
+This is the end-to-end driver a data pipeline actually runs over a raw
+document table — the operator queries in ``contract.py`` are the verified
+building blocks; this module sequences them the way the published corpus
+pipelines do (C4/Gopher quality filters → exact dedup → MinHash near-dedup
+→ benchmark decontamination → sampling) and records WHY every dropped doc
+was dropped:
+
+    stage order (first matching reason wins, cheapest-first):
+      1. empty          — null/blank text (no signal to judge)
+      2. low_quality    — Gopher-family repetition/length screens
+                          (Rae et al. 2021 §A1.1)
+      3. exact_dup      — non-canonical member of a sha256 group
+      4. near_dup       — non-canonical member of a MinHash-LSH cluster
+                          (transitive closure, keep min doc_id)
+      5. contaminated   — shares a word n-gram with the benchmark slice
+                          (Brown et al. 2020 Appendix C)
+      6. not_sampled    — deterministic hash-mod downsampling miss
+      else: kept
+
+Scale shape: every signal is a column projection or a linear hash-keyed
+shuffle from the verified operators (no pairs, no self-joins except the
+bounded LSH banding); the decision join runs on doc_id. Hashing uses
+xxhash64 (the production default) — correctness of each stage is carried
+by the md5_60 oracle twins in contract.py, and this composition is tested
+against hand-built fixtures (tests/test_curate.py).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import dup_clusters
+
+DEFAULT_QUALITY = {
+    "min_words": 5,
+    "max_dup_word_frac": 0.9,
+    "max_dup_bigram_frac": 0.5,
+}
+
+CONTAM_K = 8
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, dup_word_frac, dup_bigram_frac) — lambda-free
+    array math, one projection (same formulation as
+    contract.q_repetition_profile, xxhash-free)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    bigrams = F.arrays_zip(F.slice(words, 1, n - 1), F.slice(words, 2, n - 1))
+    return df.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(words)) / n.cast("double")
+        ).alias("dup_word_frac"),
+        F.when(
+            n > 1,
+            1.0 - F.size(F.array_distinct(bigrams)) / (n - 1).cast("double"),
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def contamination_flags(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    k: int = CONTAM_K,
+) -> DataFrame:
+    """(doc_id, contaminated) for every df doc: true iff it shares any
+    word k-gram with ``bench`` (join-free: union + max() window over the
+    gram hash, single pass per side)."""
+    from pyspark.sql import Window
+
+    def grams(src: DataFrame, mark: int) -> DataFrame:
+        words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        w = src.select("doc_id", words.alias("__w")).filter(F.size("__w") >= k)
+        n_g = F.size(F.col("__w")) - (k - 1)
+        g = F.arrays_zip(
+            *[F.slice(F.col("__w"), 1 + j, n_g).alias(f"w{j}") for j in range(k)]
+        )
+        return (
+            w.select("doc_id", F.explode(g).alias("__g"))
+            .select(
+                "doc_id",
+                F.xxhash64(
+                    F.concat_ws(" ", *[F.col(f"__g.w{j}") for j in range(k)])
+                ).alias("h"),
+                F.lit(mark).alias("__bench"),
+            )
+        )
+
+    allg = grams(df, 0).unionByName(grams(bench, 1))
+    hit = F.max("__bench").over(Window.partitionBy("h"))
+    return (
+        allg.select("doc_id", "__bench", hit.alias("__hit"))
+        .filter(F.col("__bench") == 0)
+        .groupBy("doc_id")
+        .agg((F.sum("__hit") > 0).alias("contaminated"))
+    )
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str | None = None,
+    benchmark: DataFrame | None = None,
+    quality: dict | None = None,
+    sample_rates: dict[str, int] | None = None,
+    sample_default: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lsh_num_hashes: int = 32,
+    lsh_bands: int = 8,
+) -> dict:
+    """Run the curation pipeline; returns the stats dict (and, when
+    ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
+    ``curation_stats.json``).
+
+    ``decisions``: one row per input doc — (doc_id, keep, drop_reason,
+    n_words, dup_word_frac, dup_bigram_frac, cluster_id, cluster_size).
+    ``kept``: the surviving documents with their original columns.
+    """
+    q = {**DEFAULT_QUALITY, **(quality or {})}
+    sample_rates = sample_rates or {}
+
+    base = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
+    nonnull = base.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+
+    sig = quality_signals(nonnull, text_col)
+
+    # exact dup: canonical = min doc_id per sha (one hash-keyed shuffle)
+    sha = nonnull.select(
+        "doc_id", F.sha2(F.col(text_col), 256).alias("__sha")
+    )
+    canon = sha.groupBy("__sha").agg(F.min("doc_id").alias("__canon_id"))
+    exact = sha.join(canon, "__sha").select(
+        "doc_id", (F.col("doc_id") != F.col("__canon_id")).alias("exact_dup")
+    )
+
+    # near-dup clusters over the full corpus (exact-dup collapse inside).
+    # bands/num_hashes set the similarity threshold ~ (1/bands)^(bands/num):
+    # more bands = looser (higher recall); fewer = stricter.
+    clusters = dup_clusters(
+        nonnull, text_col, "doc_id", num_hashes=lsh_num_hashes, bands=lsh_bands
+    ).select(
+        "doc_id", "cluster_id", "cluster_size", "is_canonical"
+    )
+
+    # contamination (optional)
+    contam = (
+        contamination_flags(nonnull, benchmark, text_col)
+        if benchmark is not None
+        else None
+    )
+
+    # deterministic sampling decision (pure predicate)
+    hmod = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(100))
+    rate = F.lit(int(sample_default))
+    for lang, r in sample_rates.items():
+        rate = F.when(F.col(lang_col) == lang, int(r)).otherwise(rate)
+    sampled = base.select("doc_id", (hmod < rate).alias("sampled"))
+
+    d = (
+        base.select("doc_id", lang_col)
+        .join(sig, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .join(clusters, "doc_id", "left")
+        .join(sampled, "doc_id", "left")
+    )
+    if contam is not None:
+        d = d.join(contam, "doc_id", "left")
+    else:
+        d = d.withColumn("contaminated", F.lit(False))
+
+    low_quality = (
+        (F.col("n_words") < q["min_words"])
+        | (F.col("dup_word_frac") > q["max_dup_word_frac"])
+        | (F.col("dup_bigram_frac") > q["max_dup_bigram_frac"])
+    )
+    near_dup = F.col("cluster_id").isNotNull() & ~F.coalesce(
+        F.col("is_canonical"), F.lit(True)
+    )
+    drop_reason = (
+        F.when(F.col("n_words").isNull(), "empty")
+        .when(low_quality, "low_quality")
+        .when(F.coalesce(F.col("exact_dup"), F.lit(False)), "exact_dup")
+        .when(near_dup, "near_dup")
+        .when(F.coalesce(F.col("contaminated"), F.lit(False)), "contaminated")
+        .when(~F.coalesce(F.col("sampled"), F.lit(True)), "not_sampled")
+    )
+    decisions = d.select(
+        "doc_id",
+        lang_col,
+        "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+        "cluster_id",
+        "cluster_size",
+        drop_reason.alias("drop_reason"),
+        drop_reason.isNull().alias("keep"),
+    )
+
+    decisions = decisions.persist()
+    try:
+        reason_counts = {
+            (r["drop_reason"] or "kept"): int(r["n"])
+            for r in decisions.groupBy("drop_reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_total = sum(reason_counts.values())
+        n_kept = reason_counts.get("kept", 0)
+        stats = {
+            "n_docs": n_total,
+            "n_kept": n_kept,
+            "kept_fraction": round(n_kept / n_total, 6) if n_total else None,
+            "dropped_by_reason": {
+                k: v for k, v in sorted(reason_counts.items()) if k != "kept"
+            },
+            "quality_thresholds": q,
+            "sample_rates": sample_rates,
+            "sample_default": sample_default,
+            "lsh": {"num_hashes": lsh_num_hashes, "bands": lsh_bands},
+            "benchmark_decontamination": benchmark is not None,
+        }
+        if out_dir is not None:
+            out = Path(out_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            decisions.write.mode("overwrite").parquet(str(out / "decisions"))
+            kept = base.join(
+                decisions.filter("keep").select("doc_id"), "doc_id"
+            )
+            kept.write.mode("overwrite").parquet(str(out / "kept"))
+            (out / "curation_stats.json").write_text(
+                json.dumps(stats, indent=2, sort_keys=True)
+            )
+        return stats
+    finally:
+        decisions.unpersist()

@@ -1,0 +1,109 @@
+"""Curation pipeline: keep/drop decisions with reasons, against a
+hand-built fixture where every stage's verdict is known in advance."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.engine.curate import (
+    contamination_flags,
+    curate,
+    quality_signals,
+)
+
+GOOD = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # doc_id, text, lang
+        (0, GOOD, "en"),                                  # kept
+        (1, GOOD, "en"),                                  # exact dup of 0
+        (2, GOOD.replace("kappa", "lambda"), "en"),       # near dup of 0 (1 token)
+        (3, "tiny", "en"),                                # low_quality: < 5 words
+        (4, "spam " * 40, "en"),                          # low_quality: dup words
+        (5, None, "en"),                                  # empty
+        (6, "  ", "en"),                                  # empty (blank)
+        (7, "one two three four five six seven eight nine ten", "en"),  # kept
+        (8, "completely different honest unique sentence about spark engines", "de"),  # kept
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_quality_signals_math(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a a a a"), (1, "a b c d e f")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in quality_signals(df).collect()}
+    assert got[0]["n_words"] == 6
+    assert abs(got[0]["dup_word_frac"] - 5 / 6) < 1e-9
+    assert abs(got[0]["dup_bigram_frac"] - 4 / 5) < 1e-9  # 'a a' x5 -> 1 distinct
+    assert got[1]["dup_word_frac"] == 0.0 and got[1]["dup_bigram_frac"] == 0.0
+
+
+def test_contamination_flags(spark):
+    k = 4
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            (0, "prefix words then the quick brown fox appears here"),  # shares a 4-gram
+            (1, "no overlap with anything in that benchmark sentence zz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["contaminated"] for r in
+           contamination_flags(cand, bench, k=k).collect()}
+    assert got[0] is True and got[1] is False
+
+
+def test_curate_end_to_end_reasons(spark, corpus, tmp_path):
+    stats = curate(spark, corpus, out_dir=str(tmp_path / "cur"))
+    assert stats["n_docs"] == 9
+    dropped = stats["dropped_by_reason"]
+    assert dropped["empty"] == 2          # docs 5, 6
+    assert dropped["low_quality"] == 2    # docs 3, 4
+    assert dropped["exact_dup"] == 1      # doc 1 (doc 0 canonical)
+    assert dropped["near_dup"] == 1       # doc 2 clusters with 0, 0 is canonical
+    assert stats["n_kept"] == 3           # docs 0, 7, 8
+
+    import pandas as pd
+
+    d = pd.read_parquet(tmp_path / "cur" / "decisions").set_index("doc_id")
+    assert bool(d.loc[0, "keep"]) and d.loc[1, "drop_reason"] == "exact_dup"
+    assert d.loc[2, "drop_reason"] == "near_dup"
+    assert set(d[d["keep"]].index) == {0, 7, 8}
+    kept = pd.read_parquet(tmp_path / "cur" / "kept")
+    assert set(kept["doc_id"]) == {0, 7, 8}
+    js = json.loads((tmp_path / "cur" / "curation_stats.json").read_text())
+    assert js["n_kept"] == 3 and js["benchmark_decontamination"] is False
+
+
+def test_curate_with_benchmark_and_sampling(spark, corpus):
+    bench = corpus.filter(F.col("doc_id") == 7).select("doc_id", "text")
+    stats = curate(spark, corpus, benchmark=bench)
+    # doc 7 itself is in the candidate set AND shares all its grams with the
+    # benchmark copy -> contaminated; 0 and 8 survive
+    assert stats["dropped_by_reason"]["contaminated"] == 1
+    assert stats["n_kept"] == 2
+
+    # sampling: rate 0 for 'de' drops doc 8 deterministically
+    stats2 = curate(spark, corpus, sample_rates={"de": 0}, sample_default=100)
+    assert stats2["dropped_by_reason"]["not_sampled"] == 1
+    assert stats2["n_kept"] == 2
+    # deterministic: same input, same result
+    stats3 = curate(spark, corpus, sample_rates={"de": 0}, sample_default=100)
+    assert stats2 == stats3
+
+
+def test_curate_custom_id_column(spark):
+    df = spark.createDataFrame(
+        [(10, GOOD, "en"), (11, GOOD, "en")], "uid long, text string, lang string"
+    )
+    stats = curate(spark, df, id_col="uid")
+    assert stats["n_docs"] == 2 and stats["n_kept"] == 1
+    assert stats["dropped_by_reason"]["exact_dup"] == 1
