@@ -107,3 +107,22 @@ def test_curate_custom_id_column(spark):
     stats = curate(spark, df, id_col="uid")
     assert stats["n_docs"] == 2 and stats["n_kept"] == 1
     assert stats["dropped_by_reason"]["exact_dup"] == 1
+
+
+def test_cli_curate_smoke(spark, tmp_path):
+    import json as _json
+
+    from bio_data_validation_spark.cli import main
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(0, GOOD, "en"), (1, GOOD, "en"), (2, "unique short doc about engines words", "de")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(str(src))
+    rc = main([
+        "curate", "--source", str(src), "--out", str(tmp_path / "cur"),
+        "--lsh-bands", "2",
+    ])
+    assert rc == 0
+    stats = _json.loads((tmp_path / "cur" / "curation_stats.json").read_text())
+    assert stats["n_docs"] == 3 and stats["dropped_by_reason"]["exact_dup"] == 1
