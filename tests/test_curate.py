@@ -126,3 +126,46 @@ def test_cli_curate_smoke(spark, tmp_path):
     assert rc == 0
     stats = _json.loads((tmp_path / "cur" / "curation_stats.json").read_text())
     assert stats["n_docs"] == 3 and stats["dropped_by_reason"]["exact_dup"] == 1
+
+
+def test_sample_membership_matches_python_md5_twin(spark):
+    """stratified_sample determinism, property-based: Spark's md5_60-mod
+    membership decision is bit-identical to a pure-Python hashlib twin for
+    arbitrary doc ids — the reproducibility claim is exact, not
+    statistical."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bio_data_validation_spark.contract import (
+        SAMPLE_DEFAULT_RATE,
+        SAMPLE_RATES,
+    )
+
+    def py_keep(doc_id: int, lang: str) -> bool:
+        h = int(hashlib.md5(f"0:{doc_id}".encode()).hexdigest()[:15], 16) % 100
+        return h < SAMPLE_RATES.get(lang, SAMPLE_DEFAULT_RATE)
+
+    from pyspark.sql import functions as F
+
+    from bio_data_validation_spark.functions.dedup import token_hash
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 2**40), st.sampled_from(["en", "zh", "fr"])),
+            min_size=1, max_size=25, unique_by=lambda t: t[0],
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        h = token_hash(F.col("doc_id").cast("string"), 0, "md5_60") % 100
+        rate = F.lit(SAMPLE_DEFAULT_RATE)
+        for lang, r in SAMPLE_RATES.items():
+            rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+        got = {r["doc_id"] for r in df.filter(h < rate).collect()}
+        want = {i for i, lang in rows if py_keep(i, lang)}
+        assert got == want
+
+    check()

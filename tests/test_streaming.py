@@ -200,3 +200,35 @@ def test_stream_lang_drift_statistic_matches_batch(spark, tmp_path):
     # critical value really is the alpha quantile
     crit = _chi2_critical(dof1, 0.01)
     assert abs(chi2_sf(crit, dof1) - 0.01) < 1e-9
+
+
+def test_stream_quality_signals_are_streaming_safe(spark, tmp_path):
+    """The curation quality signals (lambda-free array math) are pure
+    per-row projections, so they must run unchanged inside Structured
+    Streaming — same values as the batch path on the same rows."""
+    from bio_data_validation_spark.engine.curate import quality_signals
+
+    d = tmp_path / "qs_in"
+    rows = [(0, "a a a a a a"), (1, "w x y z u v"), (2, "p q p q p q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(str(d))
+
+    batch = {r["doc_id"]: r.asDict() for r in quality_signals(df).collect()}
+
+    src = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    q = (
+        quality_signals(src)
+        .writeStream.format("memory")
+        .queryName("qs_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in spark.sql("select * from qs_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
