@@ -105,8 +105,34 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_sample_rates(
+    parser: argparse.ArgumentParser, raw: str | None
+) -> dict[str, int] | None:
+    """'en=50,zh=30' → {'en': 50, 'zh': 30}; malformed input is a usage
+    error reported before any SparkSession is created, not a traceback."""
+    if not raw:
+        return None
+    rates: dict[str, int] = {}
+    for part in raw.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        lang, sep, pct = part.partition("=")
+        lang = lang.strip()
+        try:
+            if not sep or not lang:
+                raise ValueError
+            rates[lang] = int(pct)
+        except ValueError:
+            parser.error(
+                f"--sample-rates: expected LANG=PCT[,LANG=PCT...], got {part!r}"
+            )
+    return rates or None
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    parser = _build_parser()
+    args = parser.parse_args(argv)
     if args.cmd == "datagen":
         from .datagen import generate_snapshot
 
@@ -123,6 +149,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "curate":
         from .engine.curate import curate
 
+        rates = _parse_sample_rates(parser, args.sample_rates)
         spark = get_spark(
             master=args.curate_master, app_name="bio_data_validation_spark.curate"
         )
@@ -135,13 +162,6 @@ def main(argv: list[str] | None = None) -> int:
             )
             if v is not None
         }
-        rates = None
-        if args.sample_rates:
-            rates = {
-                part.split("=")[0].strip(): int(part.split("=")[1])
-                for part in args.sample_rates.split(",")
-                if part.strip()
-            }
         stats = curate(
             spark,
             spark.read.parquet(args.source),

@@ -236,6 +236,11 @@ def incremental_validation(
     )
     report["carried_forward_pids"] = carried
     report["vanished_pids_dropped"] = dropped
+    if registry.referential and manifest_path:
+        # Stamp the fingerprint this run validated against (already computed
+        # above) so the next incremental run can prove the manifest unchanged
+        # even when run_validation took the no-op resume path.
+        report["manifest_fingerprint"] = new_fp
     # re-persist so the on-disk report.json carries the incremental lineage
     (Path(out_dir) / "report.json").write_text(json.dumps(report, indent=2, default=str))
     return report

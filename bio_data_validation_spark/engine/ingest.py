@@ -114,11 +114,21 @@ def validate_records(
         return report
 
     viols = violation_pass(with_pid(df, registry.n_partitions), registry, manifest)
-    rows = viols.limit(MAX_VIOLATION_ROWS + 1).collect()
+    viols.persist()
+    try:
+        # Decision inputs come from a FULL aggregation (bounded by rule count,
+        # not row count) so a rule whose rows fall past the echo cap — including
+        # a critical one — still drives the verdict. MAX_VIOLATION_ROWS only
+        # truncates the echoed `violations` list below.
+        failed = sorted(
+            (r["rule_id"], str(r["severity"]).lower())
+            for r in viols.select("rule_id", "severity").distinct().collect()
+        )
+        rows = viols.limit(MAX_VIOLATION_ROWS + 1).collect()
+    finally:
+        viols.unpersist()
     truncated = len(rows) > MAX_VIOLATION_ROWS
     rows = rows[:MAX_VIOLATION_ROWS]
-
-    failed = sorted({(r["rule_id"], str(r["severity"]).lower()) for r in rows})
     counts = {"info": 0, "warning": 0, "error": 0, "critical": 0}
     for _, sev in failed:
         counts[sev] += 1

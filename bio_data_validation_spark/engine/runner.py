@@ -107,11 +107,16 @@ def _patch_global_verdicts(
     run can be stale (a changed partition flips an unchanged partition's
     dup status); the recompute is authoritative. Driver-sized: the verdict
     table is O(P × rules) regardless of data scale."""
-    global_ids = [
-        r["id"]
-        for r in (registry.content_duplicates, registry.near_duplicates)
-        if r
-    ]
+    # Same id defaulting as the emitter (violations.py:311): a registry that
+    # configures near_duplicates without an explicit id still gets DUP_004
+    # rows, and the patcher must agree or verdict patching KeyErrors.
+    global_ids = []
+    if registry.content_duplicates:
+        cid = registry.content_duplicates.get("id")
+        if cid:
+            global_ids.append(cid)
+    if registry.near_duplicates:
+        global_ids.append(registry.near_duplicates.get("id", "DUP_004"))
     if not global_ids or all_verdicts.empty:
         return all_verdicts, False
     gmap = {
@@ -316,6 +321,18 @@ def run_validation(
         # on-disk verdict table, or a no-op resume would mask a rejection
         # (check_status.py:39-45 semantics require the gate to stay red).
         report.update({"note": "no partitions to process", "elapsed_sec": time.time() - t0})
+        # The rebuilt report must keep the prior run's manifest fingerprint:
+        # incremental_validation reads it from report.json next run to prove
+        # the manifest unchanged — dropping it here would void the carry set
+        # and force a full revalidation in the steady unchanged-snapshot case.
+        prior_report = out / "report.json"
+        if prior_report.exists():
+            try:
+                old_fp = json.loads(prior_report.read_text()).get("manifest_fingerprint")
+            except (json.JSONDecodeError, OSError):
+                old_fp = None
+            if old_fp is not None:
+                report["manifest_fingerprint"] = old_fp
         verdicts_path = out / "verdicts"
         all_verdicts = None
         if verdicts_path.exists():

@@ -1,0 +1,130 @@
+"""Round-4 hardening regressions (ADVICE r3):
+
+1. validate_records decides from a FULL rule aggregation — a critical rule
+   whose rows fall past the MAX_VIOLATION_ROWS echo cap still rejects.
+2. A no-op incremental run (no partitions changed) preserves
+   manifest_fingerprint in report.json so the NEXT incremental run keeps
+   its carry set instead of fully revalidating.
+3. A registry configuring near_duplicates without an explicit id gets the
+   same DUP_004 defaulting in verdict patching as in row emission.
+4. CLI --sample-rates rejects malformed input with a usage error before
+   any SparkSession is created.
+"""
+
+import json
+import warnings
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from bio_data_validation_spark.engine import validate_records
+from bio_data_validation_spark.engine.ingest import MAX_VIOLATION_ROWS
+from bio_data_validation_spark.engine.incremental import incremental_validation
+from bio_data_validation_spark.engine.runner import _patch_global_verdicts, run_validation
+from bio_data_validation_spark.rules import load_registry
+
+
+def test_decision_sees_rules_past_echo_cap(spark):
+    """1201 LEN_001A rows swamp the cap; the single critical KEY_NULL_001
+    row must still reject the payload (ADVICE: unordered limit() used to
+    truncate the decision inputs, not just the echoed rows)."""
+    good_commit = "a" * 40
+    recs = [
+        {"repo": "r1", "path": f"f{i}.py", "commit": good_commit,
+         "lang": "python", "content": ""}
+        for i in range(MAX_VIOLATION_ROWS + 201)
+    ]
+    recs.append(
+        {"repo": "r1", "path": "poison.py", "commit": None,
+         "lang": "python", "content": "ok"}
+    )
+    rep = validate_records(spark, recs)
+    assert rep["violations_truncated"] is True
+    assert len(rep["violations"]) == MAX_VIOLATION_ROWS
+    assert "KEY_NULL_001" in rep["failed_rules"]
+    assert rep["severity_counts"]["critical"] == 1
+    assert rep["final_decision"] == "rejected"
+
+
+def test_noop_incremental_keeps_manifest_fingerprint(spark, snapshot, tmp_path):
+    """Same snapshot twice: run 2 is a no-op resume; its rewritten
+    report.json must keep manifest_fingerprint, and run 3 must not emit the
+    'manifest changed' warning that voids the carry set."""
+    out = tmp_path / "out"
+    run_validation(
+        spark, snapshot["clean"], str(out),
+        manifest_path=snapshot["manifest"], snapshot_id="s1", resume=False,
+    )
+    fp1 = json.loads((out / "report.json").read_text())["manifest_fingerprint"]
+    assert fp1
+
+    rep2 = incremental_validation(
+        spark, snapshot["clean"], snapshot["clean"], str(out),
+        "s1", "s2", manifest_path=snapshot["manifest"],
+    )
+    assert rep2.get("note") == "no partitions to process"
+    fp2 = json.loads((out / "report.json").read_text())["manifest_fingerprint"]
+    assert fp2 == fp1
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        rep3 = incremental_validation(
+            spark, snapshot["clean"], snapshot["clean"], str(out),
+            "s2", "s3", manifest_path=snapshot["manifest"],
+        )
+    assert rep3.get("note") == "no partitions to process"
+
+
+def test_patch_global_verdicts_defaults_near_dup_id():
+    import copy
+
+    from bio_data_validation_spark.rules import Registry
+
+    base = load_registry()
+    # simulate a user registry: near_duplicates configured without an id
+    raw = copy.deepcopy(base.raw)
+    raw["near_duplicates"] = {
+        "severity": "warning",
+        "message": "near-duplicate content",
+        "threshold": 0.9,
+    }
+    reg = Registry(
+        version=base.version, ruleset_hash=base.ruleset_hash,
+        path=base.path, raw=raw, row_rules=base.row_rules,
+    )
+    assert reg.near_duplicates.get("id") is None
+    verdicts = pd.DataFrame(
+        {
+            "pid": [0, 0],
+            "rule_id": ["DUP_004", "LEN_001A"],
+            "violation_count": [5, 2],
+            "severity": ["warning", "error"],
+            "passed": [False, False],
+        }
+    )
+    gcounts = pd.DataFrame({"pid": [0], "rule_id": ["DUP_004"], "violation_count": [0]})
+    patched, changed = _patch_global_verdicts(verdicts, gcounts, reg)
+    assert changed
+    assert int(patched.loc[patched["rule_id"] == "DUP_004", "violation_count"].iloc[0]) == 0
+
+
+@pytest.mark.parametrize("bad", ["en:50", "en", "en=fifty", "=50", "en=50,zh"])
+def test_cli_sample_rates_usage_error(bad, capsys):
+    from bio_data_validation_spark.cli import main
+
+    with pytest.raises(SystemExit) as ei:
+        main(["curate", "--source", "x", "--out", "y", "--sample-rates", bad])
+    assert ei.value.code == 2
+    assert "LANG=PCT" in capsys.readouterr().err
+
+
+def test_cli_sample_rates_parses_good_input():
+    import argparse
+
+    from bio_data_validation_spark.cli import _parse_sample_rates
+
+    p = argparse.ArgumentParser()
+    assert _parse_sample_rates(p, "en=50, zh=30") == {"en": 50, "zh": 30}
+    assert _parse_sample_rates(p, None) is None
+    assert _parse_sample_rates(p, "") is None
