@@ -1543,19 +1543,20 @@ FROM comp
 
 KGRAM_K = 5       # fingerprint shingle width (chars)
 KGRAM_MOD = 8     # keep hashes with h % 8 == 0 (Manber-style 0-mod-p selection)
-KGRAM_PREFIX = 256  # fingerprint the first N normalized chars (bounded cost)
 
 
 def q_kgram_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character k-gram rolling fingerprints with 0-mod-p selection (Manber,
     "Finding Similar Files in a Large File System", USENIX 1994 — the
-    scheme winnowing refines): hash every k-char shingle of the normalized
-    text prefix, keep the deterministic 1/p subset (h % p == 0), summarize
-    per doc. The shingle explode is rows x prefix_len, bounded by the
-    KGRAM_PREFIX cap — the standard fingerprint trade (position-robust,
-    unlike whole-doc sha)."""
+    scheme winnowing refines): hash every k-char shingle of the FULL
+    normalized text, keep the deterministic 1/p subset (h % p == 0),
+    summarize per doc. The per-position hash is the linear scan-time cost
+    (the same order as reading the text); the 0-mod-p selection bounds
+    every downstream shuffle and the fingerprint state to ~len/p per doc —
+    position-robust, unlike whole-doc sha, and with no prefix cap blinding
+    the fingerprint to content past char 256."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    t = F.substring(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, KGRAM_PREFIX)
+    t = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     grams = (
         d.select("doc_id", t.alias("__t"))
         .filter(F.length("__t") >= KGRAM_K)
@@ -1587,7 +1588,7 @@ def _sql_kgram_fingerprints() -> str:
     return rf"""
 WITH norm AS (
   SELECT doc_id,
-         substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, {KGRAM_PREFIX}) AS __t
+         regexp_replace(lower(text), '\s+', ' ', 'g') AS __t
   FROM documents WHERE text IS NOT NULL),
 grams AS (
   SELECT doc_id, {h} AS h
@@ -1695,9 +1696,14 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: shingle ONCE (explode ∝ rows × words, one scan of the
     corpus — benchmark membership is just a flag on the gram row), then a
-    window over the gram hash marks candidate grams that share a hash with
-    any benchmark gram, and one groupBy(doc) rolls up. Two linear shuffles
-    (by hash, by doc), zero joins, no side scanned twice."""
+    pre-aggregation keyed by (doc, bench, h) — no hot key, map-side
+    combinable — feeds BOTH a combiner-compressed groupBy(h) that marks
+    hashes any benchmark gram carries AND the join back on h (Spark reuses
+    the pre-agg exchange, so the explode runs once). The h-join is AQE
+    skew-splittable, unlike the window-partitionBy(h) this replaces: a hot
+    gram (license boilerplate in 10^7 docs) no longer pins every occurrence
+    to one task, because the reduce side of groupBy(h) receives at most one
+    combined row per map partition per hash."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     w = d.select(
@@ -1723,16 +1729,15 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "__bench", token_hash(F.col("__gs"), 0, "md5_60").alias("h"))
     )
-    from pyspark.sql import Window
-
-    hit = F.max("__bench").over(Window.partitionBy("h")).alias("__hit")
+    gh = grams.groupBy("doc_id", "__bench", "h").agg(F.count(F.lit(1)).alias("c"))
+    hits = gh.groupBy("h").agg(F.max("__bench").alias("__hit"))
     return (
-        grams.select("doc_id", "__bench", "h", hit)
-        .filter(F.col("__bench") == 0)
+        gh.filter(F.col("__bench") == 0)
+        .join(hits, "h")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("__hit").cast("bigint").alias("n_overlap"),
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("__hit") * F.col("c")).cast("bigint").alias("n_overlap"),
         )
         .select(
             "doc_id", "n_grams", "n_overlap", (F.col("n_overlap") > 0).alias("contaminated")
@@ -1766,6 +1771,7 @@ FROM per_doc p LEFT JOIN hits t USING (doc_id)
 
 SPAN_K = 16  # span shingle width (chars) — the char-level stand-in for the
 # ~50-token spans of substring-level training-data dedup
+SPAN_MOD = 4  # 0-mod-p winnowing: keep h % SPAN_MOD == 0 span positions
 
 
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1775,12 +1781,19 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Deduplicating Training Data Makes Language Models Better", ACL 2022 —
     where duplicated spans, not whole-doc dups, dominate memorization).
 
-    Scale shape: shingle explode (rows × prefix chars, bounded by the
-    KGRAM_PREFIX cap) → ONE hash-keyed groupBy to find cross-doc hashes →
-    join back; never a doc×doc comparison. Production uses xxhash64 and a
-    winnowed position subset; md5_60 here keeps the oracle value-exact."""
+    Covers the FULL document via a 0-mod-p winnowed position subset
+    (h % SPAN_MOD == 0 — content-deterministic, so a shared span selects
+    identically in every doc that contains it): n_grams / n_dup_grams /
+    dup_fraction are computed over the deterministic 1/SPAN_MOD sample of
+    span positions, an unbiased estimate of whole-doc coverage. This
+    replaces the earlier 256-char-prefix cap, which silently blinded the
+    signal to spans past the prefix. Scale shape: the per-position hash is
+    the linear scan-time cost; winnowing bounds every downstream shuffle;
+    cross-doc membership via pre-agg + groupBy(h) + h-join (skew-safe, see
+    below) — never a doc×doc comparison. Production uses xxhash64; md5_60
+    here keeps the oracle value-exact."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    t = F.substring(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, KGRAM_PREFIX)
+    t = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     grams = (
         d.select("doc_id", t.alias("__t"))
         .filter(F.length("__t") >= SPAN_K)
@@ -1795,18 +1808,24 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             token_hash(F.expr(f"substr(__t, pos, {SPAN_K})"), 0, "md5_60").alias("h"),
         )
+        .filter(F.col("h") % SPAN_MOD == 0)
     )
-    # ONE pass over the (expensive) explode+hash: pre-aggregate to
-    # (doc_id, h, occurrences), tag each row with its hash's distinct-doc
-    # count via a window on h (same shuffle a groupBy(h) would cost — but
-    # no self-join, so the shingle hashing is never recomputed), then roll
-    # up per doc. Three linear shuffles total, zero joins.
-    from pyspark.sql import Window
-
+    # Pre-aggregate to (doc_id, h, occurrences) — keyed by (doc, h), so a
+    # hot hash is spread across docs and map-side combine applies — then a
+    # combiner-compressed groupBy(h) counts distinct docs per hash and joins
+    # back on h. Spark reuses the pre-agg exchange for both consumers, so
+    # the shingle explode+hash is computed once; the h-join (unlike a
+    # window partitioned by h, which pins every occurrence of a hot gram to
+    # one task and cannot be skew-split) is AQE skew-splittable.
     gh = grams.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
-    gh = gh.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    # count("c") not count(*): c is never null so the result is identical,
+    # but referencing c stops column pruning from specializing this branch's
+    # copy of the gh exchange — both consumers share one canonical subtree,
+    # Spark's ReuseExchange fires, and the shingle explode is computed once.
+    hd = gh.groupBy("h").agg(F.count("c").alias("nd"))
     return (
-        gh.groupBy("doc_id")
+        gh.join(hd, "h")
+        .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_grams"),
             F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(F.lit(0))).alias(
@@ -1829,12 +1848,14 @@ def _sql_duplicated_spans() -> str:
     return rf"""
 WITH norm AS (
   SELECT doc_id,
-         substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, {KGRAM_PREFIX}) AS __t
+         regexp_replace(lower(text), '\s+', ' ', 'g') AS __t
   FROM documents WHERE text IS NOT NULL),
 grams AS (
-  SELECT doc_id, {h} AS h
-  FROM norm, LATERAL (SELECT unnest(range(1, length(__t) - {SPAN_K} + 2)) AS pos)
-  WHERE length(__t) >= {SPAN_K}),
+  SELECT doc_id, h FROM (
+    SELECT doc_id, {h} AS h
+    FROM norm, LATERAL (SELECT unnest(range(1, length(__t) - {SPAN_K} + 2)) AS pos)
+    WHERE length(__t) >= {SPAN_K})
+  WHERE h % {SPAN_MOD} = 0),
 cross_doc AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1),
 per_doc AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
 dup_doc AS (SELECT g.doc_id, count(*) AS n_dup FROM grams g JOIN cross_doc c ON g.h = c.h

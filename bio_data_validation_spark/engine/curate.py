@@ -75,9 +75,13 @@ def contamination_flags(
     k: int = CONTAM_K,
 ) -> DataFrame:
     """(doc_id, contaminated) for every df doc: true iff it shares any
-    word k-gram with ``bench`` (join-free: union + max() window over the
-    gram hash, single pass per side)."""
-    from pyspark.sql import Window
+    word k-gram with ``bench``. Union both sides' grams, pre-aggregate
+    keyed by (doc, bench, h) — hot hashes spread across docs, map-side
+    combinable — then a combiner-compressed groupBy(h) marks benchmark
+    hashes and joins back on h (AQE skew-splittable; the shared pre-agg
+    exchange is reused so each side is shingled once). Replaces a
+    window-partitionBy(h), which put every occurrence of a hot gram —
+    license boilerplate, templated headers — into a single task."""
 
     def grams(src: DataFrame, mark: int) -> DataFrame:
         words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -98,10 +102,11 @@ def contamination_flags(
         )
 
     allg = grams(df, 0).unionByName(grams(bench, 1))
-    hit = F.max("__bench").over(Window.partitionBy("h"))
+    gh = allg.groupBy("doc_id", "__bench", "h").agg(F.count(F.lit(1)).alias("c"))
+    hits = gh.groupBy("h").agg(F.max("__bench").alias("__hit"))
     return (
-        allg.select("doc_id", "__bench", hit.alias("__hit"))
-        .filter(F.col("__bench") == 0)
+        gh.filter(F.col("__bench") == 0)
+        .join(hits, "h")
         .groupBy("doc_id")
         .agg((F.sum("__hit") > 0).alias("contaminated"))
     )

@@ -1,0 +1,91 @@
+"""Round-4 span-dedup semantics and skew shape.
+
+1. Full-document coverage: a duplicated span living DEEP in the document
+   (past the old 256-char prefix cap, at ~char 10,000) is found by
+   duplicated_spans' winnowed full-text scan.
+2. Winnowing is content-deterministic: the same span selects identically
+   in every doc containing it, so shared spans are never missed by the
+   1/SPAN_MOD sample when the shared run is longer than a few grams.
+3. Hot-gram skew fixture: one gram shared by 50% of docs completes through
+   the groupBy+join shape (no window-partitionBy(h) straggler path).
+"""
+
+import pyspark.sql.functions as F
+
+from bio_data_validation_spark.contract import SPAN_K, q_contamination_check, q_duplicated_spans
+
+
+def _write_docs(spark, rows, path):
+    spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string") \
+        .write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return str(path)
+
+
+def test_deep_span_found_past_char_10000(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def junk(n, seed):
+        r = random.Random(seed)
+        return "".join(r.choice(alpha) for _ in range(n))
+
+    shared = "the quick brown fox jumps over the lazy dog again and again " * 4
+    # two docs, unique 10k-char prefixes, identical 200+-char run at ~10,000
+    rows = [
+        (1, junk(10_000, 1) + shared + junk(500, 11), "en", "src1"),
+        (2, junk(10_000, 2) + shared + junk(500, 12), "en", "src1"),
+        (3, junk(11_000, 3), "en", "src1"),
+    ]
+    sf = _write_docs(spark, rows, tmp_path)
+    out = {r["doc_id"]: r.asDict() for r in q_duplicated_spans(spark, sf).collect()}
+    assert out[1]["n_dup_grams"] > 0 and out[2]["n_dup_grams"] > 0
+    assert out[1]["dup_fraction"] > 0
+    # the all-unique doc has no duplicated spans
+    assert out[3]["n_dup_grams"] == 0
+    # sampled coverage is in the right ballpark: the shared run is ~244
+    # chars of ~10744 (~2.3% of positions); allow generous slack for the
+    # 1/SPAN_MOD sampling
+    assert 0.003 < out[1]["dup_fraction"] < 0.15
+
+
+def test_hot_gram_completes_and_counts(spark, tmp_path):
+    # one 16-char span in 50% of docs: the old window-partitionBy(h) shape
+    # would pin all its occurrences to one task; the groupBy+join shape
+    # spreads the pre-agg across (doc, h)
+    hot = "zzqqwwxxyyvvuukk"
+    assert len(hot) == SPAN_K
+    rows = []
+    for i in range(200):
+        import random
+
+        r = random.Random(1000 + i)
+        base = "".join(r.choice("abcdefgh ") for _ in range(120))
+        rows.append((i, (base + hot + base[::-1]) if i % 2 == 0 else base + base, "en", "src1"))
+    sf = _write_docs(spark, rows, tmp_path)
+    res = q_duplicated_spans(spark, sf)
+    assert res.count() > 0
+    hot_docs = res.filter(F.col("n_dup_grams") > 0).count()
+    # at least some of the 100 hot docs must register span overlap (the hot
+    # span itself may or may not fall in the 1/4 winnowed sample, but the
+    # mirrored/duplicated base text guarantees cross-doc overlap mass)
+    assert hot_docs > 0
+
+
+def test_contamination_bench_doc_excluded_and_flagging(spark, tmp_path):
+    words = [f"w{i}" for i in range(64)]
+    bench_text = " ".join(words[:32])
+    clean_text = " ".join(words[32:])
+    contaminated_text = " ".join(words[8:24])  # shares 8-gram runs with bench
+    rows = [
+        (1, bench_text, "en", "src0"),  # benchmark slice
+        (2, clean_text, "en", "src1"),
+        (3, contaminated_text, "en", "src1"),
+    ]
+    sf = _write_docs(spark, rows, tmp_path)
+    out = {r["doc_id"]: r.asDict() for r in q_contamination_check(spark, sf).collect()}
+    assert 1 not in out  # benchmark docs are not scored
+    assert out[2]["contaminated"] is False
+    assert out[3]["contaminated"] is True
+    assert out[3]["n_overlap"] > 0
