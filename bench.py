@@ -74,6 +74,10 @@ SKIP_AT_BENCH = {
     "dup_clusters",
     # levenshtein rescore over the same pair-output candidate set
     "levenshtein_near_dups",
+    # end-to-end curation composition: contains dup_clusters (above) with
+    # the md5_60 oracle hash — correctness-gated at sf0.01; the production
+    # xxhash64 path is benched stage-by-stage via its components
+    "curate_decisions",
 }
 
 

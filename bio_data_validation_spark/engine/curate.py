@@ -37,7 +37,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.dedup import dup_clusters
+from ..functions.dedup import dup_clusters, token_hash
 
 DEFAULT_QUALITY = {
     "min_words": 5,
@@ -73,6 +73,7 @@ def contamination_flags(
     bench: DataFrame,
     text_col: str = "text",
     k: int = CONTAM_K,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, contaminated) for every df doc: true iff it shares any
     word k-gram with ``bench``. Union both sides' grams, pre-aggregate
@@ -94,8 +95,10 @@ def contamination_flags(
             w.select("doc_id", F.explode(g).alias("__g"))
             .select(
                 "doc_id",
-                F.xxhash64(
-                    F.concat_ws(" ", *[F.col(f"__g.w{j}") for j in range(k)])
+                token_hash(
+                    F.concat_ws(" ", *[F.col(f"__g.w{j}") for j in range(k)]),
+                    0,
+                    hash_fn,
                 ).alias("h"),
                 F.lit(mark).alias("__bench"),
             )
@@ -112,32 +115,27 @@ def contamination_flags(
     )
 
 
-def curate(
-    spark: SparkSession,
-    docs: DataFrame,
-    out_dir: str | None = None,
+def curation_decisions(
+    base: DataFrame,
     benchmark: DataFrame | None = None,
     quality: dict | None = None,
     sample_rates: dict[str, int] | None = None,
     sample_default: int = 100,
-    id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
     lsh_num_hashes: int = 32,
     lsh_bands: int = 8,
-) -> dict:
-    """Run the curation pipeline; returns the stats dict (and, when
-    ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
-    ``curation_stats.json``).
-
-    ``decisions``: one row per input doc — (doc_id, keep, drop_reason,
-    n_words, dup_word_frac, dup_bigram_frac, cluster_id, cluster_size).
-    ``kept``: the surviving documents with their original columns.
-    """
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The declarative core of :func:`curate`: one decision row per input
+    doc — (doc_id, lang, n_words, dup_word_frac, dup_bigram_frac,
+    cluster_id, cluster_size, drop_reason, keep). ``hash_fn`` selects the
+    token hash for the LSH / contamination / sampling stages: xxhash64 is
+    the production default; md5_60 is bit-reproducible in ANSI SQL and is
+    what contract.q_curate_decisions uses so the whole composed pipeline is
+    verifiable against the DuckDB oracle."""
     q = {**DEFAULT_QUALITY, **(quality or {})}
     sample_rates = sample_rates or {}
-
-    base = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
     nonnull = base.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
 
     sig = quality_signals(nonnull, text_col)
@@ -155,20 +153,21 @@ def curate(
     # bands/num_hashes set the similarity threshold ~ (1/bands)^(bands/num):
     # more bands = looser (higher recall); fewer = stricter.
     clusters = dup_clusters(
-        nonnull, text_col, "doc_id", num_hashes=lsh_num_hashes, bands=lsh_bands
+        nonnull, text_col, "doc_id",
+        num_hashes=lsh_num_hashes, bands=lsh_bands, hash_fn=hash_fn,
     ).select(
         "doc_id", "cluster_id", "cluster_size", "is_canonical"
     )
 
     # contamination (optional)
     contam = (
-        contamination_flags(nonnull, benchmark, text_col)
+        contamination_flags(nonnull, benchmark, text_col, hash_fn=hash_fn)
         if benchmark is not None
         else None
     )
 
     # deterministic sampling decision (pure predicate)
-    hmod = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(100))
+    hmod = F.pmod(token_hash(F.col("doc_id").cast("string"), 0, hash_fn), F.lit(100))
     rate = F.lit(int(sample_default))
     for lang, r in sample_rates.items():
         rate = F.when(F.col(lang_col) == lang, int(r)).otherwise(rate)
@@ -202,7 +201,7 @@ def curate(
         .when(F.coalesce(F.col("contaminated"), F.lit(False)), "contaminated")
         .when(~F.coalesce(F.col("sampled"), F.lit(True)), "not_sampled")
     )
-    decisions = d.select(
+    return d.select(
         "doc_id",
         lang_col,
         "n_words",
@@ -212,6 +211,45 @@ def curate(
         "cluster_size",
         drop_reason.alias("drop_reason"),
         drop_reason.isNull().alias("keep"),
+    )
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str | None = None,
+    benchmark: DataFrame | None = None,
+    quality: dict | None = None,
+    sample_rates: dict[str, int] | None = None,
+    sample_default: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lsh_num_hashes: int = 32,
+    lsh_bands: int = 8,
+) -> dict:
+    """Run the curation pipeline; returns the stats dict (and, when
+    ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
+    ``curation_stats.json``).
+
+    ``decisions``: one row per input doc — (doc_id, keep, drop_reason,
+    n_words, dup_word_frac, dup_bigram_frac, cluster_id, cluster_size).
+    ``kept``: the surviving documents with their original columns.
+    """
+    q = {**DEFAULT_QUALITY, **(quality or {})}
+    sample_rates = sample_rates or {}
+
+    base = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
+    decisions = curation_decisions(
+        base,
+        benchmark=benchmark,
+        quality=q,
+        sample_rates=sample_rates,
+        sample_default=sample_default,
+        text_col=text_col,
+        lang_col=lang_col,
+        lsh_num_hashes=lsh_num_hashes,
+        lsh_bands=lsh_bands,
     )
 
     decisions = decisions.persist()
