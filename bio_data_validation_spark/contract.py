@@ -2157,6 +2157,69 @@ SELECT * FROM t3 WHERE (SELECT count(*) FROM cand2) < 10
 """
 
 
+LSH_BATCH_NQ = 100  # batch ANN: first NQ vectors double as the query set
+
+
+def q_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-k for {LSH_BATCH_NQ} query vectors in ONE scoring
+    job (broadcast probe table + broadcast query matrix + per-query top-k
+    window), instead of a driver loop of O(q) single-query jobs. Tier
+    choice per query (exact bucket / Hamming<=1 / brute) replicates
+    lsh_topk from one collected bucket histogram."""
+    from .functions.similarity import lsh_topk_batch
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < LSH_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk_batch(e, queries, k=10, n_planes=LSH_TOPK_PLANES)
+
+
+def _sql_lsh_topk_batch() -> str:
+    planes = _lsh_topk_planes()
+    vb = _sql_lsh_bucket(planes, "embedding")
+    qb = _sql_lsh_bucket(planes, "qvec")
+    flip_arms = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, xor(qbucket, {1 << i}) AS bucket FROM qball"
+        for i in range(LSH_TOPK_PLANES)
+    )
+    cos = "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < {LSH_BATCH_NQ}),
+b AS (SELECT vec_id, embedding, {vb} AS bucket FROM embeddings),
+qball AS (SELECT query_id, {qb} AS qbucket FROM q),
+probes AS (
+  SELECT query_id, qbucket AS bucket FROM qball
+  UNION ALL
+{flip_arms}
+),
+n1 AS (SELECT qball.query_id, count(b.vec_id) AS n
+       FROM qball LEFT JOIN b ON b.bucket = qball.qbucket GROUP BY 1),
+n2 AS (SELECT p.query_id, count(b.vec_id) AS n
+       FROM probes p LEFT JOIN b ON b.bucket = p.bucket GROUP BY 1),
+tier AS (SELECT n1.query_id,
+                CASE WHEN n1.n >= 10 THEN 1 WHEN n2.n >= 10 THEN 2 ELSE 3 END AS t
+         FROM n1 JOIN n2 USING (query_id)),
+cand AS (
+  SELECT tier.query_id, b.vec_id, b.embedding
+  FROM tier JOIN qball USING (query_id) JOIN b ON b.bucket = qball.qbucket
+  WHERE tier.t = 1
+  UNION ALL
+  SELECT tier.query_id, b.vec_id, b.embedding
+  FROM tier JOIN probes p USING (query_id) JOIN b ON b.bucket = p.bucket
+  WHERE tier.t = 2
+  UNION ALL
+  SELECT tier.query_id, b.vec_id, b.embedding FROM tier CROSS JOIN b WHERE tier.t = 3
+),
+ranked AS (
+  SELECT c.query_id, c.vec_id, {cos} AS cos,
+         row_number() OVER (PARTITION BY c.query_id ORDER BY {cos} DESC, c.vec_id) AS rn
+  FROM cand c JOIN q ON q.query_id = c.query_id)
+SELECT query_id, vec_id, round(cos, 4) AS cos FROM ranked WHERE rn <= 10
+"""
+
+
 IVF_CELLS = 8
 IVF_PROBE = 2
 
@@ -2303,6 +2366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_freq_topk": q_word_freq_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "bpe_token_stats": q_bpe_token_stats,
+    "lsh_topk_batch": q_lsh_topk_batch,
     "ivf_topk": q_ivf_topk,
     "levenshtein_near_dups": q_levenshtein_near_dups,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2372,6 +2436,7 @@ ORACLES: dict[str, str] = {
     "word_freq_topk": SQL_WORD_FREQ_TOPK,
     "embedding_near_dup": _sql_embedding_near_dup(),
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
+    "lsh_topk_batch": _sql_lsh_topk_batch(),
     "ivf_topk": _sql_ivf_topk(),
     "levenshtein_near_dups": _sql_levenshtein_near_dups(),
     "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -353,6 +353,17 @@ def connected_components(
     ``localCheckpoint`` truncates the per-round lineage so plans stay flat
     (on a real cluster use a reliable checkpoint dir for fault tolerance).
     Deterministic for any partitioning/parallelism: min is order-independent.
+
+    SKEW (mega-cluster corpora): on a star-shaped component the neighbor
+    join's key ``u`` and the jump join's key ``label`` are hot (one node /
+    one label carries the whole component). AQE's OptimizeSkewedJoin only
+    splits a join whose BOTH inputs are plain shuffle reads —
+    SMJ(Sort(ShuffleStage), Sort(ShuffleStage)); an aggregate living inside
+    the stage (co-partitioned groupBy feeding the join key) blocks it.
+    Every join below therefore reads MATERIALIZED scans: the initial labels
+    and the per-round combined-min labels are localCheckpointed BEFORE the
+    joins that consume them, so each join side gets a fresh Exchange and the
+    hot partition is AQE-splittable (asserted in tests/test_cc_skew.py).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -361,32 +372,48 @@ def connected_components(
         .persist()
     )
     labels = (
-        sym.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)  # round-1 neighbor join must see a scan
     )
     prev_sum = None
+    prev_cache = None
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["u"] == labels["node"]).select(
             F.col("v").alias("node"), "label"
         )
-        new = (
+        # checkpoint BEFORE the jump: both jump-join inputs become scans of
+        # this materialization (fresh exchanges → skew-splittable), and the
+        # round's lineage is truncated here
+        combined = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        )
-        # pointer jumping: label := label(label) (labels are node ids)
-        a, b = new.alias("a"), new.alias("b")
-        new = (
-            a.join(b, F.col("a.label") == F.col("b.node"), "left")
-            .select(
-                F.col("a.node").alias("node"),
-                F.least(
-                    F.col("a.label"), F.coalesce(F.col("b.label"), F.col("a.label"))
-                ).alias("label"),
-            )
             .localCheckpoint(eager=True)
         )
+        # pointer jumping: label := label(label) (labels are node ids).
+        # The lookup side is a RENAMED projection, not a DataFrame alias —
+        # alias-based self-joins of this plan hit a Spark 4.1 resolution
+        # bug (NoSuchElementException on checkpoint) for some lineages
+        # (e.g. range-derived edges).
+        lk = combined.select(
+            F.col("node").alias("__jnode"), F.col("label").alias("__jlabel")
+        )
+        new = (
+            combined.join(lk, F.col("label") == F.col("__jnode"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__jlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()  # reused by the convergence agg AND the next round
+        )
         s = new.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        labels = new
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        labels, prev_cache = new, new
         if s == prev_sum:  # labels are monotone non-increasing → fixpoint
             break
         prev_sum = s

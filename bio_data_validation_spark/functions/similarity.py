@@ -302,6 +302,104 @@ def ivf_topk(
     )
 
 
+def lsh_topk_batch(
+    df: DataFrame,
+    queries: "list[tuple] | DataFrame",
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched ANN top-k: ONE Spark scoring job for ALL queries, not a
+    driver loop of O(q) jobs (a retrieval/dedup pass scores thousands).
+
+    ``queries`` is a driver-sized list of (query_id, vector) or a DataFrame
+    with (query_id, vector) columns (collected — q × dims floats is
+    broadcast-sized by assumption). Per-query tier choice replicates
+    :func:`lsh_topk` exactly — exact bucket if it holds >= k vectors, else
+    Hamming<=1 multi-probe, else brute force — but the decision comes from
+    ONE collected bucket histogram (<= 2^n_planes rows, a scalar-sized
+    agg), so the whole batch costs two jobs total: the histogram and the
+    scoring pass (probe-join ∪ brute cross, broadcast query matrix, window
+    top-k per query). Returns (query_id, id_col, cos), bit-identical to q
+    independent lsh_topk calls.
+
+    Scale shape: the corpus is scanned once with its bucket as a column
+    expression; candidates attach via a broadcast join on bucket (probe
+    table is q × probes rows); the only wide exchange is the per-query
+    top-k window, keyed by query_id (q >> executors → no hot partition;
+    each query's candidate count is bucket-bounded)."""
+    from pyspark.sql import Window
+
+    if isinstance(queries, DataFrame):
+        cols = queries.columns
+        qv = vec_col if vec_col in cols else cols[1]
+        qrows = [
+            (r[query_id_col], [float(x) for x in r[qv]])
+            for r in queries.select(query_id_col, qv).collect()
+        ]
+    else:
+        qrows = [(qid, [float(x) for x in v]) for qid, v in queries]
+    if not qrows:
+        raise ValueError("lsh_topk_batch: empty query set")
+    dims = len(qrows[0][1])
+    planes = _lsh_planes(dims, n_planes)
+    spark = df.sparkSession
+
+    b = df.select(
+        F.col(id_col), F.col(vec_col), sign_lsh_bucket_col(planes, vec_col).alias("bucket")
+    )
+    counts = {
+        int(r["bucket"]): int(r["n"])
+        for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    probe_rows: list[tuple] = []
+    brute: list[tuple] = []
+    for qid, vec in qrows:
+        qb = _python_bucket(vec, planes)
+        if counts.get(qb, 0) >= k:
+            probe_rows.append((qid, qb))
+            continue
+        probes = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
+        if sum(counts.get(p, 0) for p in probes) >= k:
+            probe_rows.extend((qid, p) for p in probes)
+        else:
+            brute.append((qid, vec))
+
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in qrows], [query_id_col, "__qvec"]
+    )
+    scored = None
+    if probe_rows:
+        probe_df = spark.createDataFrame(probe_rows, [query_id_col, "bucket"])
+        scored = b.join(F.broadcast(probe_df), "bucket").select(
+            query_id_col, id_col, vec_col
+        )
+    if brute:
+        brute_pairs = df.crossJoin(
+            F.broadcast(
+                qdf.join(
+                    spark.createDataFrame([(qid,) for qid, _ in brute], [query_id_col]),
+                    query_id_col,
+                ).select(query_id_col)
+            )
+        ).select(query_id_col, id_col, vec_col)
+        scored = brute_pairs if scored is None else scored.unionByName(brute_pairs)
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.col(id_col))
+    return (
+        scored.join(F.broadcast(qdf), query_id_col)
+        .select(
+            query_id_col, F.col(id_col), cosine(F.col(vec_col), F.col("__qvec")).alias("__cos")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, F.round("__cos", 4).alias("cos"))
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

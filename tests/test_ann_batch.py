@@ -1,0 +1,50 @@
+"""Batched ANN: lsh_topk_batch must return exactly what q independent
+lsh_topk calls return, while costing two jobs total (bucket histogram +
+one scoring pass) instead of O(q) jobs."""
+
+import re
+
+import pyspark.sql.functions as F
+
+from bio_data_validation_spark.functions.similarity import lsh_topk, lsh_topk_batch
+
+SF = "/root/testdata/sf0.001"
+N_PLANES = 6
+K = 10
+NQ = 100
+
+
+def test_batch_matches_singles(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in lsh_topk_batch(e, queries, k=K, n_planes=N_PLANES).collect()
+    }
+    qrows = queries.collect()
+    assert len(qrows) == NQ
+    singles = {}
+    for qr in qrows:
+        for r in lsh_topk(e, list(qr["embedding"]), k=K, n_planes=N_PLANES).collect():
+            singles[(qr["query_id"], r["vec_id"])] = r["cos"]
+    assert batch == singles
+
+
+def test_batch_is_one_scoring_scan(spark):
+    """With no brute-force tier needed, the scoring plan reads the corpus
+    once: broadcast probe join + broadcast query join + one top-k window."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = lsh_topk_batch(e, queries, k=2, n_planes=N_PLANES)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # count physical nodes via the numbered details section (each node
+    # appears once there; the tree section would double-count)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
+    assert "Window" in plan

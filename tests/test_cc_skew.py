@@ -1,0 +1,70 @@
+"""Connected-components on a skewed star graph: the neighbor join's hot key
+(the star center, a mega-cluster's canonical doc) must be handled by AQE —
+either broadcast (small label side) or a skew-split sort-merge join — and
+the iteration must converge in O(log diameter) rounds regardless.
+
+The production session enables spark.sql.adaptive.skewJoin; this test
+forces the SMJ path with test-sized skew thresholds and asserts Spark
+actually marks the join skew-split, then checks the full algorithm on the
+star fixture for correctness."""
+
+import pyspark.sql.functions as F
+
+from bio_data_validation_spark.functions.dedup import connected_components
+
+
+def test_star_graph_converges_and_is_correct(spark):
+    n = 100_000
+    edges = spark.range(1, n + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert len(labels) == n + 1
+    assert set(labels.values()) == {0}
+
+
+def test_neighbor_join_skew_split_fires(spark):
+    """One round of the neighbor join in the shape connected_components
+    actually runs it — the labels side MATERIALIZED (localCheckpoint), so
+    both join inputs are plain shuffle reads — under forced-SMJ, test-sized
+    skew thresholds: AQE must mark the hot partition skew-split
+    (SortMergeJoin ... skew=true). With labels co-partitioned agg output
+    instead (the naive formulation), OptimizeSkewedJoin cannot match and
+    the hot partition becomes a straggler; that is why the implementation
+    checkpoints before every join. Production thresholds fire at 256 MB."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n = 200_000
+        sym = (
+            spark.range(1, n + 1)
+            .select(F.lit(0).alias("u"), F.col("id").alias("v"))
+            .union(spark.range(1, n + 1).select(F.col("id").alias("u"), F.lit(0).alias("v")))
+        )
+        labels = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        joined = sym.join(labels, sym["u"] == labels["node"]).select(
+            F.col("v").alias("node"), "label"
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
