@@ -145,3 +145,106 @@ def render_stage_openmetrics(stages: list[dict], max_stages: int = 25) -> str:
         "Input records / stage wall time", "rows_per_sec",
     )
     return "\n".join(lines) + "\n"
+
+
+class LiveStageMetrics:
+    """OPT-IN live metrics for long runs: a daemon poller that re-snapshots
+    the AppStatusStore every ``interval_sec`` and atomically rewrites a
+    Prometheus textfile exposition, so an external scraper (node_exporter
+    textfile collector) sees per-stage numbers GROW while the job runs —
+    the batch twin of the reference's live per-validator decorators
+    (reference monitoring/metrics.py:147-241).
+
+    Deliberately a PULL loop, not a SparkListener: per-event Python
+    callbacks through the py4j callback server add listener-bus overhead to
+    every task completion (the cost the module docstring rules out), while
+    a 5-second snapshot of the status store costs the same as one /stages
+    REST call and leaves the hot path untouched. Default OFF — construct it
+    (or pass ``live_metrics_dir`` to session.get_spark) to enable.
+
+    Use as a context manager::
+
+        with LiveStageMetrics(spark, out_dir, interval_sec=5):
+            run_validation(...)
+
+    The final snapshot is always written on exit, so the file ends
+    consistent with the post-run stage_metrics() bridge.
+    """
+
+    def __init__(
+        self,
+        spark,
+        out_dir: str,
+        interval_sec: float = 5.0,
+        since_epoch_sec: float | None = None,
+    ) -> None:
+        import time
+
+        self._spark = spark
+        self._dir = out_dir
+        self._interval = float(interval_sec)
+        self._since = time.time() if since_epoch_sec is None else since_epoch_sec
+        self._stop = None
+        self._thread = None
+
+    @property
+    def path(self) -> str:
+        import os
+
+        return os.path.join(self._dir, "metrics_live.prom")
+
+    def _write_once(self) -> None:
+        import os
+        import tempfile
+
+        stages = stage_metrics(self._spark, since_epoch_sec=self._since)
+        body = render_stage_openmetrics(stages) or "# no completed stages yet\n"
+        os.makedirs(self._dir, exist_ok=True)
+        # atomic replace: a scraper never reads a torn file
+        fd, tmp = tempfile.mkstemp(dir=self._dir, suffix=".prom.tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(body)
+            os.replace(tmp, self.path)
+        except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def start(self) -> "LiveStageMetrics":
+        import threading
+
+        if self._thread is not None:
+            return self
+        self._stop = threading.Event()
+
+        def loop() -> None:
+            while not self._stop.wait(self._interval):
+                try:
+                    self._write_once()
+                except Exception:
+                    pass  # metrics must never break the engine
+
+        self._write_once()
+        self._thread = threading.Thread(
+            target=loop, name="live-stage-metrics", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join(timeout=self._interval + 2)
+            self._thread = None
+        try:
+            self._write_once()  # final consistent snapshot
+        except Exception:
+            pass
+
+    def __enter__(self) -> "LiveStageMetrics":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

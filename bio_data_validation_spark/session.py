@@ -16,12 +16,15 @@ def get_spark(
     app_name: str = "bio_data_validation_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    live_metrics_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
     ``shuffle_partitions`` defaults to the local core count — at cluster
     scale this is governed by AQE coalescing instead.
+    ``live_metrics_dir`` (or env ``SPARK_GRAFT_LIVE_METRICS``) opts into the
+    live per-stage metrics poller for long runs; default off.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -69,4 +72,16 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    # OPT-IN live per-stage metrics for long runs (default off): poller
+    # snapshotting the AppStatusStore into <dir>/metrics_live.prom — see
+    # engine.stage_metrics.LiveStageMetrics for why this is a pull loop and
+    # not a SparkListener. One poller per session, idempotent across
+    # repeated get_spark() calls.
+    if live_metrics_dir is None:
+        live_metrics_dir = os.environ.get("SPARK_GRAFT_LIVE_METRICS")
+    if live_metrics_dir and not getattr(spark, "_live_stage_metrics", None):
+        from .engine.stage_metrics import LiveStageMetrics
+
+        spark._live_stage_metrics = LiveStageMetrics(spark, live_metrics_dir).start()
     return spark

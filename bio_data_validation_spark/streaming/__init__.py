@@ -142,6 +142,74 @@ def stream_dedup(
     return out.drop("__sha") if content_col is not None else out
 
 
+def curate_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    quality: dict | None = None,
+    sample_rates: dict[str, int] | None = None,
+    sample_default: int = 100,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    content_dedup: bool = True,
+    watermark: str = "10 minutes",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Streaming curation: the streaming-expressible subset of
+    engine.curate with IDENTICAL thresholds and semantics — per-record
+    quality screens (empty + Gopher repetition, pure column math),
+    deterministic hash-mod sampling (pure predicate), and bounded-state
+    exact content dedup via ``dropDuplicatesWithinWatermark`` on
+    sha256(text). Returns the KEPT stream: original columns plus the
+    quality-signal diagnostics (n_words, dup_word_frac, dup_bigram_frac).
+
+    Near-dup clustering and benchmark decontamination stay batch-only:
+    LSH closure needs the full candidate graph and the batch engine remains
+    the exactness backstop for duplicates arriving past the watermark (the
+    stream keeps the FIRST record per sha within the horizon; the batch
+    canonical is min doc_id — the kept CONTENT set agrees, the chosen
+    representative may differ, as documented in stream_dedup)."""
+    from ..engine.curate import DEFAULT_QUALITY
+    from ..functions.dedup import token_hash
+
+    q = {**DEFAULT_QUALITY, **(quality or {})}
+    sample_rates = sample_rates or {}
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    bigrams = F.arrays_zip(F.slice(words, 1, n - 1), F.slice(words, 2, n - 1))
+    dwf = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(words)) / n.cast("double")
+    )
+    dbf = F.when(
+        n > 1, 1.0 - F.size(F.array_distinct(bigrams)) / (n - 1).cast("double")
+    )
+    empty = F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+    low_quality = (
+        (n < q["min_words"])
+        | (dwf > q["max_dup_word_frac"])
+        | (dbf > q["max_dup_bigram_frac"])
+    )
+    hmod = F.pmod(token_hash(F.col(id_col).cast("string"), 0, hash_fn), F.lit(100))
+    rate = F.lit(int(sample_default))
+    for lang, r in sample_rates.items():
+        rate = F.when(F.col(lang_col) == lang, int(r)).otherwise(rate)
+
+    kept = (
+        stream_df.withColumn("n_words", n)
+        .withColumn("dup_word_frac", F.round(dwf, 6))
+        .withColumn("dup_bigram_frac", F.round(dbf, 6))
+        # same three-valued logic as the batch when()-chain: a null quality
+        # comparison (e.g. dbf undefined at n==1) does NOT drop the row
+        .filter(~empty)
+        .filter(~F.coalesce(low_quality, F.lit(False)))
+        .filter(hmod < rate)
+    )
+    if content_dedup:
+        kept = stream_dedup(kept, ts_col, content_col=text_col, watermark=watermark)
+    return kept
+
+
 def _chi2_critical(dof: int, alpha: float) -> float:
     """Critical value x with chi2_sf(x, dof) = alpha, by bisection — computed
     once on the driver so the stream itself stays pure column math."""

@@ -128,3 +128,27 @@ def test_cli_sample_rates_parses_good_input():
     assert _parse_sample_rates(p, "en=50, zh=30") == {"en": 50, "zh": 30}
     assert _parse_sample_rates(p, None) is None
     assert _parse_sample_rates(p, "") is None
+
+
+def test_live_stage_metrics_grows_during_multi_job_run(spark, tmp_path):
+    """Opt-in live metrics poller: the exposition must be written while the
+    run is still going (not only after), and grow as more jobs complete."""
+    import time
+
+    from bio_data_validation_spark.engine.stage_metrics import LiveStageMetrics
+
+    out = tmp_path / "live"
+    with LiveStageMetrics(spark, str(out), interval_sec=0.3) as lm:
+        sizes = []
+        for i in range(3):
+            spark.range(0, 2_000_000).selectExpr("sum(id % 97)").collect()
+            time.sleep(0.8)  # let the poller snapshot between jobs
+            sizes.append(
+                Path(lm.path).stat().st_size if Path(lm.path).exists() else 0
+            )
+    final = Path(lm.path).read_text()
+    assert Path(lm.path).exists()
+    assert sizes[-1] > sizes[0]  # exposition grew DURING the run
+    assert "spark_stage_tasks_total" in final
+    # stop() leaves a final consistent snapshot
+    assert final.strip().splitlines()[-1]

@@ -232,3 +232,91 @@ def test_stream_quality_signals_are_streaming_safe(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_curate_stream_agrees_with_batch_decisions(spark, tmp_path):
+    """Batch/stream curation agreement on the overlap window: for the
+    streaming-expressible stages (empty, low_quality, not_sampled) the kept
+    doc_id set must MATCH engine.curate.curation_decisions exactly (all
+    texts distinct so no dedup-representative ambiguity, near-dup/contam
+    off on both sides); with duplicate content added, the stream keeps
+    exactly one record per sha within the watermark."""
+    from bio_data_validation_spark.engine.curate import curation_decisions
+    from bio_data_validation_spark.streaming import curate_stream
+
+    rows = []
+    for i in range(60):
+        # high-quality texts with fully disjoint vocabularies so the batch
+        # near-dup stage cannot cluster them
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(8)), "en",
+                     datetime.fromisoformat("2024-01-01 00:00:10")))
+    rows.append((100, "", "en", datetime.fromisoformat("2024-01-01 00:00:11")))  # empty
+    rows.append((101, "tiny", "en", datetime.fromisoformat("2024-01-01 00:00:12")))  # <5 words
+    rows.append((102, "a a a a a a a a a a a a", "en",
+                 datetime.fromisoformat("2024-01-01 00:00:13")))  # repetition
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    d = tmp_path / "cs_in"
+    df.write.parquet(str(d))
+
+    sample_rates = {"en": 60}
+    batch_kept = {
+        r["doc_id"]
+        for r in curation_decisions(
+            df, sample_rates=sample_rates, lsh_bands=1, lsh_num_hashes=4
+        )
+        .filter("keep")
+        .collect()
+    }
+
+    src = spark.readStream.schema(schema).parquet(str(d))
+    out = curate_stream(src, "ts", sample_rates=sample_rates)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cs_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = spark.sql("select * from cs_stream").collect()
+    finally:
+        q.stop()
+    stream_kept = {r["doc_id"] for r in stream_rows}
+    assert stream_kept == batch_kept
+    assert 100 not in stream_kept and 101 not in stream_kept and 102 not in stream_kept
+    # diagnostics present on the kept stream
+    assert {"n_words", "dup_word_frac", "dup_bigram_frac"} <= set(stream_rows[0].asDict())
+
+
+def test_curate_stream_dedups_content_within_watermark(spark, tmp_path):
+    from bio_data_validation_spark.streaming import curate_stream
+
+    rows = [
+        (i, "the same exact content words here now", "en",
+         datetime.fromisoformat(f"2024-01-01 00:00:{10 + i:02d}"))
+        for i in range(5)
+    ] + [
+        (10 + i, f"unique text number {i} with many distinct words", "en",
+         datetime.fromisoformat("2024-01-01 00:01:00"))
+        for i in range(3)
+    ]
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    d = tmp_path / "cs_dup_in"
+    spark.createDataFrame(rows, schema).write.parquet(str(d))
+    src = spark.readStream.schema(schema).parquet(str(d))
+    out = curate_stream(src, "ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cs_dup_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from cs_dup_stream").collect()
+    finally:
+        q.stop()
+    texts = [r["text"] for r in got]
+    assert len([t for t in texts if t.startswith("the same")]) == 1
+    assert len(got) == 4  # 1 survivor of the dup group + 3 uniques
