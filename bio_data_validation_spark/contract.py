@@ -2280,6 +2280,52 @@ LIMIT 10
 """
 
 
+def q_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched seeded-IVF ANN: top-k for {LSH_BATCH_NQ} query vectors in
+    ONE scoring job (broadcast probe-cell table + broadcast query matrix +
+    per-query top-k window) — the IVF sibling of lsh_topk_batch."""
+    from .functions.similarity import ivf_seeded_topk_batch
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < LSH_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_seeded_topk_batch(
+        e, queries, k=10, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+    )
+
+
+def _sql_ivf_topk_batch() -> str:
+    d_assign = _sql_dist2("e.embedding", "c.cvec")
+    d_query = _sql_dist2("q.qvec", "c.cvec")
+    cos = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
+    return f"""
+WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec
+               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS})),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY ({d_assign}), c.cell) AS rn
+             FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < {LSH_BATCH_NQ}),
+probe AS (SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY ({d_query}), c.cell) AS rn
+            FROM cents c CROSS JOIN q) WHERE rn <= {IVF_PROBE}),
+ranked AS (
+  SELECT p.query_id, e.vec_id, {cos} AS cos,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY {cos} DESC, e.vec_id) AS rn
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id)
+SELECT query_id, vec_id, round(cos, 4) AS cos FROM ranked WHERE rn <= 10
+"""
+
+
 def q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode→featurize over binary payloads (Arrow-batched
     mapInPandas, deterministic stub decoders). The media table derives from
@@ -2412,6 +2458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_k_longest": q_top_k_longest,
     "set_ops": q_set_ops,
     "byte_stats": q_byte_stats,
+    "ivf_topk_batch": q_ivf_topk_batch,
     # production-hash twins: bench-only (no SQL oracle; rows-only check)
     "duplicated_spans_prod": q_duplicated_spans_prod,
     "contamination_check_prod": q_contamination_check_prod,
@@ -2486,4 +2533,5 @@ ORACLES: dict[str, str] = {
     "top_k_longest": SQL_TOP_K_LONGEST,
     "set_ops": SQL_SET_OPS,
     "byte_stats": SQL_BYTE_STATS,
+    "ivf_topk_batch": _sql_ivf_topk_batch(),
 }

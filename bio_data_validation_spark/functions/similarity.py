@@ -207,6 +207,17 @@ def ivf_seeded_index(
     assignment is one codegen'd projection — no shuffle, no training job."""
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in rows]
+    assigned = df.select(
+        F.col(id_col), seeded_cell_col(centroids, vec_col).alias("__cell")
+    )
+    if balance_check:
+        warn_on_cell_imbalance(assigned, n_cells)
+    return assigned, centroids
+
+
+def seeded_cell_col(centroids: list[list[float]], vec_col: str = "embedding") -> Column:
+    """Seeded-IVF cell assignment as a plain Column expression (composable
+    into any projection — no join needed to attach cells to a scan)."""
 
     def dist2(c: list[float]) -> Column:
         w = F.array(*[F.lit(v) for v in c])
@@ -224,13 +235,7 @@ def ivf_seeded_index(
     # against itself is exact, and ties resolve to the LOWEST cell index
     # (array_position returns the first occurrence).
     darr = F.array(*[dist2(c) for c in centroids])
-    assigned = df.select(
-        F.col(id_col),
-        (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias("__cell"),
-    )
-    if balance_check:
-        warn_on_cell_imbalance(assigned, n_cells)
-    return assigned, centroids
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
 def _python_dist2(vec: list[float], c: list[float]) -> float:
@@ -267,6 +272,66 @@ def ivf_seeded_topk(
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)
         .select(id_col, F.round("cos", 4).alias("cos"))
+    )
+
+
+def ivf_seeded_topk_batch(
+    df: DataFrame,
+    queries: "list[tuple] | DataFrame",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched seeded-IVF ANN: ONE scoring job for ALL queries (the IVF
+    sibling of :func:`lsh_topk_batch`). Probe-cell choice per query runs
+    driver-side with the same distance fold order as the executor
+    assignment (bit-identical, see ivf_seeded_index); candidates attach via
+    a broadcast (query, cell) probe table against one scan of the corpus
+    carrying its cell as a column expression, scored against the broadcast
+    query matrix, per-query top-k window. Returns (query_id, id_col, cos),
+    bit-identical to q independent ivf_seeded_topk calls."""
+    from pyspark.sql import Window
+
+    if isinstance(queries, DataFrame):
+        cols = queries.columns
+        qv = vec_col if vec_col in cols else cols[1]
+        qrows = [
+            (r[query_id_col], [float(x) for x in r[qv]])
+            for r in queries.select(query_id_col, qv).collect()
+        ]
+    else:
+        qrows = [(qid, [float(x) for x in v]) for qid, v in queries]
+    if not qrows:
+        raise ValueError("ivf_seeded_topk_batch: empty query set")
+    spark = df.sparkSession
+
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in rows]
+
+    probe_rows = []
+    for qid, vec in qrows:
+        dists = [_python_dist2(vec, c) for c in centroids]
+        probe = sorted(range(len(dists)), key=lambda i: (dists[i], i))[:n_probe]
+        probe_rows.extend((qid, int(c)) for c in probe)
+
+    b = df.select(
+        F.col(id_col), F.col(vec_col), seeded_cell_col(centroids, vec_col).alias("__cell")
+    )
+    probe_df = spark.createDataFrame(probe_rows, [query_id_col, "__cell"])
+    qdf = spark.createDataFrame(qrows, [query_id_col, "__qvec"])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.col(id_col))
+    return (
+        b.join(F.broadcast(probe_df), "__cell")
+        .join(F.broadcast(qdf), query_id_col)
+        .select(
+            query_id_col, F.col(id_col), cosine(F.col(vec_col), F.col("__qvec")).alias("__cos")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, F.round("__cos", 4).alias("cos"))
     )
 
 

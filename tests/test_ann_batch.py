@@ -48,3 +48,44 @@ def test_batch_is_one_scoring_scan(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
     assert "Window" in plan
+
+
+def test_ivf_batch_matches_singles(spark):
+    from bio_data_validation_spark.functions.similarity import (
+        ivf_seeded_topk,
+        ivf_seeded_topk_batch,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in ivf_seeded_topk_batch(
+            e, queries, k=5, n_cells=8, n_probe=2
+        ).collect()
+    }
+    singles = {}
+    for qr in queries.collect():
+        for r in ivf_seeded_topk(
+            e, list(qr["embedding"]), k=5, n_cells=8, n_probe=2
+        ).collect():
+            singles[(qr["query_id"], r["vec_id"])] = r["cos"]
+    assert batch == singles
+
+
+def test_ivf_batch_is_one_scoring_scan(spark):
+    from bio_data_validation_spark.functions.similarity import ivf_seeded_topk_batch
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = ivf_seeded_topk_batch(e, queries, k=3, n_cells=8, n_probe=2)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
+    assert "Window" in plan

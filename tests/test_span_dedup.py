@@ -89,3 +89,41 @@ def test_contamination_bench_doc_excluded_and_flagging(spark, tmp_path):
     assert out[2]["contaminated"] is False
     assert out[3]["contaminated"] is True
     assert out[3]["n_overlap"] > 0
+
+
+def test_hot_gram_has_no_straggler_stage(spark, tmp_path):
+    """VERDICT-r3 done criterion: with one gram in 50% of docs, the
+    de-skewed groupBy+join shape must not leave a straggler task dominating
+    any heavy stage. Evidence via the engine's own stage-metrics bridge:
+    achieved parallelism (executor_run_ms / wall_ms) of the dominant stage
+    must be a healthy fraction of the 4 local cores — a hot-key window
+    would collapse it toward 1 (one task does all gram-hash work)."""
+    import random
+    import time
+
+    from bio_data_validation_spark.engine.stage_metrics import stage_metrics
+
+    hot = "zzqqwwxxyyvvuukk"
+    rows = []
+    for i in range(10_000):
+        r = random.Random(i)
+        base = "".join(r.choice("abcdefgh ") for _ in range(150))
+        rows.append((i, (base + hot + base) if i % 2 == 0 else base + base, "en", "s1"))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    t0 = time.time()
+    assert q_duplicated_spans(spark, str(tmp_path), hash_fn="xxhash64").count() > 0
+    stages = [
+        s
+        for s in stage_metrics(spark, since_epoch_sec=t0)
+        if s["wall_ms"] and s["executor_run_ms"] > 500
+    ]
+    assert stages, "no heavy stages recorded"
+    dominant = stages[0]  # sorted by executor_run_ms desc
+    parallelism = dominant["executor_run_ms"] / dominant["wall_ms"]
+    assert parallelism > 2.0, (
+        f"straggler suspected: dominant stage ran at {parallelism:.2f}x "
+        f"parallelism on 4 cores ({dominant})"
+    )
