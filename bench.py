@@ -180,15 +180,24 @@ def run_fused_steady_state(spark, sf: float) -> dict:
 
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Best-of-2 per query: the first execution of a query in a JVM pays
+    codegen compile + broadcast build + parquet footer reads that later
+    executions don't, so a single-shot timing silently penalizes whichever
+    queries happen to run first (observed 2x on the bench-order change in
+    round 4). Two runs, keep the min — steady-state cost, order-independent."""
     from bio_data_validation_spark.contract import QUERIES
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if name in SKIP_AT_BENCH:
             continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     return timings
 
 
