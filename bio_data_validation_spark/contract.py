@@ -2326,6 +2326,57 @@ SELECT query_id, vec_id, round(cos, 4) AS cos FROM ranked WHERE rn <= 10
 """
 
 
+SQ8_RESCORE = 4  # exact-rescore pool = SQ8_RESCORE * k
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via int8 scalar quantization + exact rescore: the 100-TB
+    memory-bandwidth play (the int8 code column is 1/4 the bytes of the
+    float column, and the int prescore is exact integer math — deterministic
+    at any parallelism); float cosine runs only on the rescore*k pool.
+    Codebook (per-dim min/max) from one aggregation; the quantization op
+    order is fixed so the SQL oracle reproduces every code bit-for-bit."""
+    from .functions.similarity import sq8_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return sq8_topk(e, list(qvec), k=10, rescore=SQ8_RESCORE)
+
+
+def _sql_sq8_topk() -> str:
+    dims = EMBED_DIMS
+    cb = ", ".join(
+        f"min(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i}, "
+        f"max(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}"
+        for i in range(dims)
+    )
+    sc = ", ".join(
+        f"mn{i}, CASE WHEN mx{i} > mn{i} THEN mx{i} - mn{i} ELSE 1.0 END AS sc{i}"
+        for i in range(dims)
+    )
+
+    def qz(src: str, i: int) -> str:
+        return (
+            f"(CAST(floor((CAST({src}[{i + 1}] AS DOUBLE) - mn{i}) / sc{i} "
+            f"* 254.0 + 0.5) AS INT) - 127)"
+        )
+
+    pre = " + ".join(f"{qz('e.embedding', i)} * {qz('q.qvec', i)}" for i in range(dims))
+    cos = "list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
+    return f"""
+WITH cb AS (SELECT {cb} FROM embeddings),
+s AS (SELECT {sc} FROM cb),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+pre AS (SELECT e.vec_id, e.embedding, ({pre}) AS pre
+        FROM embeddings e CROSS JOIN q CROSS JOIN s),
+top AS (SELECT vec_id, embedding FROM pre ORDER BY pre DESC, vec_id LIMIT {SQ8_RESCORE * 10})
+SELECT t.vec_id, round({cos}, 4) AS cos
+FROM top t CROSS JOIN q
+ORDER BY {cos} DESC, t.vec_id
+LIMIT 10
+"""
+
+
 def q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode→featurize over binary payloads (Arrow-batched
     mapInPandas, deterministic stub decoders). The media table derives from
@@ -2459,6 +2510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "byte_stats": q_byte_stats,
     "ivf_topk_batch": q_ivf_topk_batch,
+    "sq8_topk": q_sq8_topk,
     # production-hash twins: bench-only (no SQL oracle; rows-only check)
     "duplicated_spans_prod": q_duplicated_spans_prod,
     "contamination_check_prod": q_contamination_check_prod,
@@ -2534,4 +2586,5 @@ ORACLES: dict[str, str] = {
     "set_ops": SQL_SET_OPS,
     "byte_stats": SQL_BYTE_STATS,
     "ivf_topk_batch": _sql_ivf_topk_batch(),
+    "sq8_topk": _sql_sq8_topk(),
 }

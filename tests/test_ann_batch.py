@@ -89,3 +89,22 @@ def test_ivf_batch_is_one_scoring_scan(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
     assert "Window" in plan
+
+
+def test_sq8_topk_recall_vs_brute_force(spark):
+    """int8-prescore + exact-rescore must recover most of the true top-k
+    (the prescore orders by quantized dot product, the rescore pool is
+    4x k): assert recall@10 >= 0.8 against brute force, and that returned
+    cosines are the EXACT float values (they come from the rescore)."""
+    from bio_data_validation_spark.functions.similarity import brute_force_topk, sq8_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = list(e.filter(F.col("vec_id") == 7).first()["embedding"])
+    truth = brute_force_topk(e, qvec, k=10)
+    got = sq8_topk(e, qvec, k=10)
+    truth_rows = {r["vec_id"]: r["cos"] for r in truth.collect()}
+    got_rows = {r["vec_id"]: r["cos"] for r in got.collect()}
+    hit = set(truth_rows) & set(got_rows)
+    assert len(hit) >= 8, (truth_rows, got_rows)
+    for vid in hit:
+        assert got_rows[vid] == truth_rows[vid]
