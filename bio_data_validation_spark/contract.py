@@ -2377,6 +2377,59 @@ LIMIT 10
 """
 
 
+def q_sq8_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched SQ8 ANN: one scoring job for all {LSH_BATCH_NQ} queries —
+    int8 codes as a column expression on one corpus scan, broadcast
+    quantized query matrix, per-query prescore window (rescore pool) +
+    per-query exact-cosine top-k window."""
+    from .functions.similarity import sq8_topk_batch
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < LSH_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq8_topk_batch(e, queries, k=10, rescore=SQ8_RESCORE)
+
+
+def _sql_sq8_topk_batch() -> str:
+    dims = EMBED_DIMS
+    cb = ", ".join(
+        f"min(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i}, "
+        f"max(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}"
+        for i in range(dims)
+    )
+    sc = ", ".join(
+        f"mn{i}, CASE WHEN mx{i} > mn{i} THEN mx{i} - mn{i} ELSE 1.0 END AS sc{i}"
+        for i in range(dims)
+    )
+
+    def qz(src: str, i: int) -> str:
+        return (
+            f"(CAST(floor((CAST({src}[{i + 1}] AS DOUBLE) - mn{i}) / sc{i} "
+            f"* 254.0 + 0.5) AS INT) - 127)"
+        )
+
+    pre = " + ".join(f"{qz('e.embedding', i)} * {qz('q.qvec', i)}" for i in range(dims))
+    cos = "list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[]))"
+    return f"""
+WITH cb AS (SELECT {cb} FROM embeddings),
+s AS (SELECT {sc} FROM cb),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < {LSH_BATCH_NQ}),
+pre AS (SELECT q.query_id, e.vec_id, e.embedding, q.qvec, ({pre}) AS pre
+        FROM embeddings e CROSS JOIN q CROSS JOIN s),
+pool AS (SELECT query_id, vec_id, embedding, qvec FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY pre DESC, vec_id) AS prn
+           FROM pre) WHERE prn <= {SQ8_RESCORE * 10}),
+ranked AS (SELECT query_id, vec_id, {cos} AS cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY {cos} DESC, vec_id) AS rn
+           FROM pool)
+SELECT query_id, vec_id, round(cos, 4) AS cos FROM ranked WHERE rn <= 10
+"""
+
+
 def q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode→featurize over binary payloads (Arrow-batched
     mapInPandas, deterministic stub decoders). The media table derives from
@@ -2511,6 +2564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "byte_stats": q_byte_stats,
     "ivf_topk_batch": q_ivf_topk_batch,
     "sq8_topk": q_sq8_topk,
+    "sq8_topk_batch": q_sq8_topk_batch,
     # production-hash twins: bench-only (no SQL oracle; rows-only check)
     "duplicated_spans_prod": q_duplicated_spans_prod,
     "contamination_check_prod": q_contamination_check_prod,
@@ -2587,4 +2641,5 @@ ORACLES: dict[str, str] = {
     "byte_stats": SQL_BYTE_STATS,
     "ivf_topk_batch": _sql_ivf_topk_batch(),
     "sq8_topk": _sql_sq8_topk(),
+    "sq8_topk_batch": _sql_sq8_topk_batch(),
 }

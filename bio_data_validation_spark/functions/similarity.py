@@ -586,3 +586,74 @@ def sq8_topk(
         .limit(k)
         .select(id_col, F.round("cos", 4).alias("cos"))
     )
+
+
+def sq8_topk_batch(
+    df,
+    queries: "list[tuple] | DataFrame",
+    k: int = 10,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+):
+    """Batched SQ8 ANN: ONE scoring job for all queries. The corpus is
+    scanned once with its int8 code array as a column expression; the
+    quantized query matrix broadcasts; the integer prescore ranks
+    (query, vector) pairs and a per-query window keeps the rescore*k pool,
+    then float cosine rescores the pool and a second window keeps top-k.
+    Bit-identical to q independent sq8_topk calls (same codebook, same
+    integer ranking, same tie-breaks)."""
+    from pyspark.sql import Window
+
+    if isinstance(queries, DataFrame):
+        cols = queries.columns
+        qv = vec_col if vec_col in cols else cols[1]
+        qrows = [
+            (r[query_id_col], [float(x) for x in r[qv]])
+            for r in queries.select(query_id_col, qv).collect()
+        ]
+    else:
+        qrows = [(qid, [float(x) for x in v]) for qid, v in queries]
+    if not qrows:
+        raise ValueError("sq8_topk_batch: empty query set")
+    spark = df.sparkSession
+
+    mins, scales = sq8_codebook(df, id_col, vec_col)
+    qdf = spark.createDataFrame(
+        [
+            (qid, _python_sq8(vec, mins, scales), vec)
+            for qid, vec in qrows
+        ],
+        [query_id_col, "__qq", "__qvec"],
+    )
+    qvec = sq8_quantize_col(mins, scales, vec_col)
+    pre_w = Window.partitionBy(query_id_col).orderBy(F.desc("__pre"), F.col(id_col))
+    cos_w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.col(id_col))
+    return (
+        df.select(F.col(id_col), F.col(vec_col), qvec.alias("__q"))
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            query_id_col,
+            id_col,
+            vec_col,
+            "__qvec",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"), F.col("__qq").cast("array<int>"), lambda a, b: a * b
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("__pre"),
+        )
+        .withColumn("__prn", F.row_number().over(pre_w))
+        .filter(F.col("__prn") <= int(rescore) * k)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qvec")).alias("__cos"),
+        )
+        .withColumn("__rn", F.row_number().over(cos_w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, F.round("__cos", 4).alias("cos"))
+    )

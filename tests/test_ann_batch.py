@@ -108,3 +108,21 @@ def test_sq8_topk_recall_vs_brute_force(spark):
     assert len(hit) >= 8, (truth_rows, got_rows)
     for vid in hit:
         assert got_rows[vid] == truth_rows[vid]
+
+
+def test_sq8_batch_matches_singles(spark):
+    from bio_data_validation_spark.functions.similarity import sq8_topk, sq8_topk_batch
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in sq8_topk_batch(e, queries, k=5).collect()
+    }
+    singles = {}
+    for qr in queries.collect():
+        for r in sq8_topk(e, list(qr["embedding"]), k=5).collect():
+            singles[(qr["query_id"], r["vec_id"])] = r["cos"]
+    assert batch == singles
