@@ -78,6 +78,13 @@ def main() -> int:
         t0 = time.time()
         try:
             spdf = fn(spark, SF_DIR).toPandas()
+            if name not in ORACLES:
+                # Deliberately oracle-less query (e.g. production-hash twins):
+                # the driver applies a rows-only check; mirror that here.
+                print(
+                    f"PASS {name:32s} rows={len(spdf):6d} {time.time() - t0:6.2f}s  (rows-only: no oracle)"
+                )
+                continue
             odf = con.sql(ORACLES[name]).df()
             ok, why = compare(spdf, odf)
         except Exception as e:  # noqa: BLE001
