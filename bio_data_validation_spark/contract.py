@@ -2463,6 +2463,111 @@ GROUP BY 1
 """
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure profile (emails / IPv4 / phone numbers) —
+    the C4/Dolma-style pre-redaction audit a training-data pipeline runs
+    before release. Pure regexp_count projections fused into one scan-side
+    aggregation: zero shuffle beyond the per-source partial agg, linear in
+    corpus bytes, no Python. The redaction itself is
+    ``functions.text.redact_pii`` (same patterns, one codegen'd map).
+
+    Reference precedent for regex field screens: rule_validator.py FMT_*
+    rules; the PII surface itself is part of this engine's LLM-curation
+    extension (no reference twin)."""
+    from .functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    e = T.pii_count(F.col("text"), "email")
+    i = T.pii_count(F.col("text"), "ipv4")
+    p = T.pii_count(F.col("text"), "phone")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(e).cast("long").alias("n_emails"),
+        F.sum(i).cast("long").alias("n_ipv4"),
+        F.sum(p).cast("long").alias("n_phones"),
+        F.sum(((e + i + p) > 0).cast("long")).cast("long").alias("docs_with_pii"),
+    )
+
+
+# Keep the three pattern literals in sync with functions/text.py
+# PII_PATTERNS (written in the Java-regex ∩ RE2 common subset).
+SQL_PII_SCAN = r"""
+WITH c AS (
+  SELECT source,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) END AS e,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) END AS i,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(text, '\+\d{1,3}[ -]?\d{3}[ -]?\d{3}[ -]?\d{2,4}\b')) END AS p
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(i) AS BIGINT) AS n_ipv4,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+FROM c GROUP BY source
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality signal: per-document mean
+    log-probability under the corpus's own unigram distribution, bucketed
+    (width 0.1 in log space) into a per-source histogram. Low-logprob
+    buckets are the rare-token / boilerplate tails a curation pass drops.
+
+    Scale shape: one token explode (linear in corpus tokens), a map-side
+    combinable vocab count, a vocab join left to AQE (broadcast when the
+    vocab is small — here ~40 words; sort-merge with skew-split when a real
+    web vocab exceeds the threshold), and two partial aggregations. No
+    driver-side data movement at all. Bucketing (floor) rather than raw
+    doubles keeps the oracle comparison robust to summation order.
+
+    Reference precedent for distributional quality screens:
+    statistical_heuristics.py (imbalance/outlier screens); the LM scoring
+    itself is LLM-curation surface (CCNet, Wenzek et al. 2020)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "w", F.log(F.col("n").cast("double") / F.col("t").cast("double")).alias("lp")
+    )
+    # Vocab join: unhinted on purpose — AQE broadcasts it at this vocab size
+    # and falls back to a skew-splittable sort-merge join on a real web-scale
+    # vocabulary (cf. the violations.py dup-set rationale).
+    doc = (
+        toks.join(lp, "w")
+        .groupBy("doc_id", "source")
+        .agg(F.avg("lp").alias("alp"))
+    )
+    return doc.groupBy(
+        "source", F.floor(F.col("alp") * 10).cast("long").alias("lp_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+cnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+tot AS (SELECT sum(n) AS t FROM cnt),
+lp AS (SELECT w, ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) AS lp FROM cnt, tot),
+doc AS (SELECT doc_id, source, avg(lp) AS alp
+        FROM toks JOIN lp USING (w) GROUP BY doc_id, source)
+SELECT source, CAST(floor(alp * 10) AS BIGINT) AS lp_bucket, count(*) AS n_docs
+FROM doc GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2565,6 +2670,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_batch": q_ivf_topk_batch,
     "sq8_topk": q_sq8_topk,
     "sq8_topk_batch": q_sq8_topk_batch,
+    "pii_scan": q_pii_scan,
+    "unigram_logprob": q_unigram_logprob,
     # production-hash twins: bench-only (no SQL oracle; rows-only check)
     "duplicated_spans_prod": q_duplicated_spans_prod,
     "contamination_check_prod": q_contamination_check_prod,
@@ -2642,4 +2749,6 @@ ORACLES: dict[str, str] = {
     "ivf_topk_batch": _sql_ivf_topk_batch(),
     "sq8_topk": _sql_sq8_topk(),
     "sq8_topk_batch": _sql_sq8_topk_batch(),
+    "pii_scan": SQL_PII_SCAN,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
 }

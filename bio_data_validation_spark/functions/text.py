@@ -81,3 +81,46 @@ def fingerprint(text: Column, prefix_len: int = 12) -> Column:
     bit-identical across engines."""
     normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     return F.substring(F.sha2(normalized, 256), 1, prefix_len)
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction (C4 / Dolma-style curation stage)
+# --------------------------------------------------------------------------
+# Patterns are written in the common subset of Java regex (Spark) and RE2
+# (DuckDB oracle) — only \d, \b, char classes, and bounded repetition — so
+# the oracle SQL (SQL_PII_SCAN in contract.py) can embed the SAME strings.
+# Reference precedent for per-record regex screens: the reference's
+# pattern-based field rules (rule_validator.py FMT_* checks); PII itself has
+# no reference twin — it is part of the LLM-training-data surface this
+# engine adds.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — deliberately loose (curation recall beats precision)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted quad; \b keeps version strings like 1.2.3 from half-matching
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # +CC then 7-12 digits with optional single space/dash separators
+    "phone": r"\+\d{1,3}[ -]?\d{3}[ -]?\d{3}[ -]?\d{2,4}\b",
+}
+
+# Redaction order matters: emails contain dots and digits that the ipv4 /
+# phone patterns could otherwise bite into; redact the most specific first.
+_PII_REDACT_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern; 0 for null text (a null doc
+    leaks nothing). Pure regexp_count — JVM codegen, no Python."""
+    return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
+        F.regexp_count(text, F.lit(PII_PATTERNS[kind])).cast("long")
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder ([EMAIL]/[IPV4]/
+    [PHONE]). Chained regexp_replace — one codegen'd projection, no shuffle,
+    linear in bytes; the shape that survives 100 TB is exactly this
+    (embarrassingly parallel map over the scan)."""
+    out = text
+    for kind in _PII_REDACT_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out

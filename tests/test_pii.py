@@ -1,0 +1,93 @@
+"""PII scan/redaction and unigram-LM quality signal on constructed fixtures
+(the synthetic corpus contains no PII, so positives are proven here; the
+cross-engine dialect parity of the same patterns is proven by the
+pii_scan/unigram_logprob rows in test_contract.py / check_oracles.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.functions.text import (
+    PII_PATTERNS,
+    pii_count,
+    redact_pii,
+)
+
+FIXTURE = [
+    (1, "mail me at john.doe+x@example.co.uk or ping 10.0.255.1 now"),
+    (2, "call +1-555-123-4567 or +44 207 946 0958 ok; v1.2.3 is out"),
+    (3, None),
+    (4, "nothing here 999.999.999.999kk and a@b"),  # no TLD, no boundary-clean IP
+    (5, "two mails: a@x.io b@y.dev and ip 192.168.0.1."),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(FIXTURE, "doc_id long, text string")
+
+
+def test_pii_counts(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in _df(spark)
+        .select(
+            "doc_id",
+            pii_count(F.col("text"), "email").alias("e"),
+            pii_count(F.col("text"), "ipv4").alias("i"),
+            pii_count(F.col("text"), "phone").alias("p"),
+        )
+        .collect()
+    }
+    assert (rows[1]["e"], rows[1]["i"], rows[1]["p"]) == (1, 1, 0)
+    assert (rows[2]["e"], rows[2]["i"], rows[2]["p"]) == (0, 0, 2)
+    assert (rows[3]["e"], rows[3]["i"], rows[3]["p"]) == (0, 0, 0)  # null → 0
+    assert (rows[4]["e"], rows[4]["i"], rows[4]["p"]) == (0, 0, 0)
+    assert (rows[5]["e"], rows[5]["i"], rows[5]["p"]) == (2, 1, 0)
+
+
+def test_redaction_removes_all_pii(spark):
+    red = _df(spark).select(
+        "doc_id", redact_pii(F.col("text")).alias("text")
+    )
+    # After redaction every pattern must count zero on every doc.
+    counts = red.select(
+        *[
+            F.sum(pii_count(F.col("text"), k)).alias(k)
+            for k in PII_PATTERNS
+        ]
+    ).collect()[0]
+    assert all(counts[k] == 0 for k in PII_PATTERNS)
+    texts = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert "[EMAIL]" in texts[1] and "[IPV4]" in texts[1]
+    assert texts[2].count("[PHONE]") == 2 and "v1.2.3" in texts[2]
+    assert texts[3] is None
+    assert texts[4] == FIXTURE[3][1]  # untouched when nothing matches
+
+
+def test_redaction_idempotent(spark):
+    once = _df(spark).select(redact_pii(F.col("text")).alias("text"))
+    twice = once.select(redact_pii(F.col("text")).alias("text"))
+    assert [r["text"] for r in once.collect()] == [
+        r["text"] for r in twice.collect()
+    ]
+
+
+def test_unigram_logprob_hand_computed(spark, tmp_path):
+    # Corpus: 4 tokens total — 'a' x3 (p=3/4), 'b' x1 (p=1/4).
+    # doc 1 = 'a a a'  → alp = ln(3/4)        ≈ -0.2877 → bucket -3
+    # doc 2 = 'b'      → alp = ln(1/4)        ≈ -1.3863 → bucket -14
+    docs = spark.createDataFrame(
+        [(1, "a a a", "en", "s1", 5), (2, "b", "en", "s1", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from bio_data_validation_spark.contract import q_unigram_logprob
+
+    out = {
+        (r["source"], r["lp_bucket"]): r["n_docs"]
+        for r in q_unigram_logprob(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("s1", math.floor(math.log(3 / 4) * 10)): 1,
+        ("s1", math.floor(math.log(1 / 4) * 10)): 1,
+    }
