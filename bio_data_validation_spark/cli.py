@@ -89,6 +89,11 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--max-dup-bigram-frac", type=float, default=None)
     c.add_argument("--lsh-num-hashes", type=int, default=32)
     c.add_argument("--lsh-bands", type=int, default=8)
+    c.add_argument(
+        "--redact-pii", action="store_true",
+        help="rewrite kept-corpus text through PII redaction "
+        "(email/IPv4/phone -> typed placeholders)",
+    )
     c.add_argument("--master", dest="curate_master", default=None)
 
     r = sub.add_parser("review", help="list / resolve human-review queue tasks")
@@ -174,6 +179,7 @@ def main(argv: list[str] | None = None) -> int:
             sample_default=args.sample_default,
             lsh_num_hashes=args.lsh_num_hashes,
             lsh_bands=args.lsh_bands,
+            redact_pii=args.redact_pii,
         )
         print(json.dumps(stats, default=str))
         return 0

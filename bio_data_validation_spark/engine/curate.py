@@ -227,10 +227,17 @@ def curate(
     lang_col: str = "lang",
     lsh_num_hashes: int = 32,
     lsh_bands: int = 8,
+    redact_pii: bool = False,
 ) -> dict:
     """Run the curation pipeline; returns the stats dict (and, when
     ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
     ``curation_stats.json``).
+
+    ``redact_pii=True`` rewrites ``text_col`` of the KEPT corpus through
+    :func:`functions.text.redact_pii` (email/IPv4/phone → typed
+    placeholders) — a pure projection folded into the kept-corpus write,
+    no extra job. Decisions are always computed on the original text so
+    dedup/contamination signatures are unaffected.
 
     ``decisions``: one row per input doc — (doc_id, keep, drop_reason,
     n_words, dup_word_frac, dup_bigram_frac, cluster_id, cluster_size).
@@ -274,6 +281,7 @@ def curate(
             "sample_default": sample_default,
             "lsh": {"num_hashes": lsh_num_hashes, "bands": lsh_bands},
             "benchmark_decontamination": benchmark is not None,
+            "pii_redaction": redact_pii,
         }
         if out_dir is not None:
             out = Path(out_dir)
@@ -282,6 +290,10 @@ def curate(
             kept = base.join(
                 decisions.filter("keep").select("doc_id"), "doc_id"
             )
+            if redact_pii:
+                from ..functions.text import redact_pii as _redact
+
+                kept = kept.withColumn(text_col, _redact(F.col(text_col)))
             kept.write.mode("overwrite").parquet(str(out / "kept"))
             (out / "curation_stats.json").write_text(
                 json.dumps(stats, indent=2, sort_keys=True)

@@ -91,3 +91,27 @@ def test_unigram_logprob_hand_computed(spark, tmp_path):
         ("s1", math.floor(math.log(3 / 4) * 10)): 1,
         ("s1", math.floor(math.log(1 / 4) * 10)): 1,
     }
+
+
+def test_curate_redacts_kept_corpus(spark, tmp_path):
+    from bio_data_validation_spark.engine.curate import curate
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc {i} reach me at user{i}@mail.example plus filler "
+                + "unique words %d %s" % (i, "x" * (i % 5)), "en", "s1", 50)
+            for i in range(1, 9)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    stats = curate(
+        spark, docs, out_dir=str(tmp_path / "cur"),
+        quality={"min_words": 1}, lsh_bands=1, redact_pii=True,
+    )
+    assert stats["pii_redaction"] is True and stats["n_kept"] > 0
+    kept = spark.read.parquet(str(tmp_path / "cur" / "kept"))
+    n_pii = kept.select(
+        F.sum(pii_count(F.col("text"), "email")).alias("n")
+    ).collect()[0]["n"]
+    assert n_pii == 0
+    assert kept.filter(F.col("text").contains("[EMAIL]")).count() == kept.count()
