@@ -2516,12 +2516,17 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (width 0.1 in log space) into a per-source histogram. Low-logprob
     buckets are the rare-token / boilerplate tails a curation pass drops.
 
-    Scale shape: one token explode (linear in corpus tokens), a map-side
-    combinable vocab count, a vocab join left to AQE (broadcast when the
-    vocab is small — here ~40 words; sort-merge with skew-split when a real
-    web vocab exceeds the threshold), and two partial aggregations. No
-    driver-side data movement at all. Bucketing (floor) rather than raw
-    doubles keeps the oracle comparison robust to summation order.
+    Scale shape — the corpus is exploded ONCE: tokens are first reduced to
+    per-doc (doc, word) counts (map-side combinable), and every downstream
+    branch (vocab counts, the corpus total, the per-doc score) hangs off
+    that one shuffle, so Spark's ReuseExchange runs the scan + explode a
+    single time and the fan-out reads the exchange output. The per-doc
+    mean is the exact weighted form sum(c·lp)/sum(c). The vocab join is
+    unhinted on purpose — AQE broadcasts it at this vocab size and falls
+    back to a skew-splittable sort-merge join on a real web-scale
+    vocabulary (cf. the violations.py dup-set rationale). Bucketing
+    (floor, width 0.1 in log space) rather than raw doubles keeps the
+    oracle comparison robust to summation order.
 
     Reference precedent for distributional quality screens:
     statistical_heuristics.py (imbalance/outlier screens); the LM scoring
@@ -2534,18 +2539,24 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
     )
-    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # One corpus-side shuffle; all three consumers below share its subtree.
+    dtc = toks.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cnt = dtc.groupBy("w").agg(F.sum("c").alias("n"))
     tot = cnt.agg(F.sum("n").alias("t"))
     lp = cnt.crossJoin(F.broadcast(tot)).select(
         "w", F.log(F.col("n").cast("double") / F.col("t").cast("double")).alias("lp")
     )
-    # Vocab join: unhinted on purpose — AQE broadcasts it at this vocab size
-    # and falls back to a skew-splittable sort-merge join on a real web-scale
-    # vocabulary (cf. the violations.py dup-set rationale).
     doc = (
-        toks.join(lp, "w")
+        dtc.join(lp, "w")
         .groupBy("doc_id", "source")
-        .agg(F.avg("lp").alias("alp"))
+        .agg(
+            (
+                F.sum(F.col("c").cast("double") * F.col("lp"))
+                / F.sum(F.col("c")).cast("double")
+            ).alias("alp")
+        )
     )
     return doc.groupBy(
         "source", F.floor(F.col("alp") * 10).cast("long").alias("lp_bucket")

@@ -25,6 +25,13 @@ def formatted(df) -> str:
     )
 
 
+def runtime_formatted(df) -> str:
+    """Execute first so AdaptiveSparkPlan is final — exchange/stage reuse
+    only appears in the runtime plan."""
+    df.collect()
+    return formatted(df)
+
+
 def main() -> int:
     from bio_data_validation_spark.datagen import generate_snapshot
     from bio_data_validation_spark.engine.incremental import pid_fingerprints
@@ -104,6 +111,23 @@ def main() -> int:
             formatted(QUERIES["repetition_profile"](spark, SF_DIR))
             + "\n\n"
             + formatted(QUERIES["stratified_sample"](spark, SF_DIR)),
+        ),
+        (
+            "pii_scan — fused regexp_count audit (one scan, one exchange)",
+            "Email/IPv4/phone counts as codegen'd regexp_count expressions "
+            "folded into a single partial-aggregated groupBy(source); no "
+            "joins, no Python, no second pass over text.",
+            formatted(QUERIES["pii_scan"](spark, SF_DIR)),
+        ),
+        (
+            "unigram_logprob — scan-once LM quality signal (runtime plan)",
+            "Final ADAPTIVE plan (after execution): all three consumers of "
+            "the per-doc (doc, word) counts — vocab counts, corpus total, "
+            "per-doc score — read ReusedExchange over the SAME shuffle, so "
+            "the corpus scan + explode run exactly once; the vocab join is "
+            "AQE-decided (broadcast here, skew-splittable sort-merge at "
+            "web-scale vocab).",
+            runtime_formatted(QUERIES["unigram_logprob"](spark, SF_DIR)),
         ),
     ]
 

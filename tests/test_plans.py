@@ -190,3 +190,28 @@ def test_round3_operator_plans_are_scale_shaped(spark):
         # (doc_id, ..., h) — the hot hash is spread across docs
         assert "partial_count" in p, name
         assert re.search(r"hashpartitioning\(doc_id#\d+", p), name
+
+
+def test_round4_pii_and_unigram_plans_are_scale_shaped(spark):
+    """pii_scan: one fused regexp_count aggregation — a single partial-agg
+    exchange on source, no joins, no Python. unigram_logprob: every branch
+    hangs off ONE per-doc (doc, word) count shuffle, so the corpus scan +
+    explode run once and AQE's exchange reuse feeds the vocab-count, total
+    and per-doc-score consumers (ReusedExchange in the final adaptive
+    plan); no Window anywhere."""
+    from bio_data_validation_spark.contract import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    df = QUERIES["pii_scan"](spark, sf)
+    p = _plan(df)
+    assert "Join" not in p and "Window" not in p
+    assert "partial_count" in p or "partial" in p  # map-side combine
+    assert p.count("Scan parquet") == 1
+
+    df = QUERIES["unigram_logprob"](spark, sf)
+    df.collect()  # materialize so the ADAPTIVE (runtime) plan is final
+    p = _plan(df)
+    assert "Window" not in p
+    # the (doc_id, source, w) pre-agg exchange is computed once and reused
+    assert "ReusedExchange" in p
