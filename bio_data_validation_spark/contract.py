@@ -2463,6 +2463,98 @@ GROUP BY 1
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family document quality screens (Rae et al. 2021 §A1.1)
+    beyond the repetition screens of ``repetition_profile``: word-count
+    bounds, mean word length bounds, symbol-to-word ratio (# and ...),
+    alphabetic-word fraction, and minimum stopword hits. Per-source counts
+    of failing docs plus the pass-all count.
+
+    All pure column math over ONE scan: a whitespace-normalized projection
+    feeds every screen, the only exchange is the final partial-aggregated
+    groupBy(source). The non-alpha token count uses the double-space trick
+    (every token gets its own leading AND trailing delimiter) so a plain
+    character-class regex counts it exactly — identical semantics in Java
+    regex and RE2, no lookarounds (RE2 has none), no interpreted
+    higher-order-function lambdas in the hot path.
+
+    Reference precedent for threshold screens: statistical_heuristics.py
+    length/imbalance checks; the screen set itself is LLM-curation surface."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    n_words = F.size(F.split(norm, " ")).cast("long")
+    # chars excluding separators / words
+    mean_wlen = (F.length(norm) - (n_words - 1)).cast("double") / n_words.cast("double")
+    # every token delimited on both sides: ' a  bb  12 ' — exact count of
+    # tokens with no ASCII letter via one non-overlapping regex pass
+    spaced = F.concat(F.lit(" "), F.regexp_replace(norm, " ", "  "), F.lit(" "))
+    n_nonalpha = F.regexp_count(spaced, F.lit(" [^a-zA-Z ]+ ")).cast("long")
+    alpha_frac = (n_words - n_nonalpha).cast("double") / n_words.cast("double")
+    n_symbols = (
+        F.regexp_count(F.col("text"), F.lit("#"))
+        + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    ).cast("long")
+    stop_hits = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"\b(the|be|to|of|and|that|have|with)\b")
+    ).cast("long")
+
+    fail_wc = (n_words < 50) | (n_words > 100000)
+    fail_mwl = (mean_wlen < 3.0) | (mean_wlen > 10.0)
+    fail_sym = n_symbols.cast("double") / n_words.cast("double") > 0.1
+    fail_alpha = alpha_frac < 0.8
+    fail_stop = stop_hits < 2
+    passes = ~(fail_wc | fail_mwl | fail_sym | fail_alpha | fail_stop)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(fail_wc.cast("long")).cast("long").alias("fail_word_count"),
+        F.sum(fail_mwl.cast("long")).cast("long").alias("fail_mean_word_len"),
+        F.sum(fail_sym.cast("long")).cast("long").alias("fail_symbol_ratio"),
+        F.sum(fail_alpha.cast("long")).cast("long").alias("fail_alpha_frac"),
+        F.sum(fail_stop.cast("long")).cast("long").alias("fail_stopwords"),
+        F.sum(passes.cast("long")).cast("long").alias("n_pass_all"),
+    )
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH t AS (
+  SELECT source,
+         regexp_replace(trim(text), '\s+', ' ', 'g') AS norm,
+         text
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+m AS (
+  SELECT source,
+         len(string_split(norm, ' ')) AS nw,
+         CAST(length(norm) - (len(string_split(norm, ' ')) - 1) AS DOUBLE)
+           / len(string_split(norm, ' ')) AS mwl,
+         len(regexp_extract_all(' ' || replace(norm, ' ', '  ') || ' ',
+                                ' [^a-zA-Z ]+ ')) AS n_nonalpha,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+         len(regexp_extract_all(lower(text),
+             '\b(the|be|to|of|and|that|have|with)\b')) AS stop_hits
+  FROM t),
+f AS (
+  SELECT source,
+         (nw < 50 OR nw > 100000) AS fail_wc,
+         (mwl < 3.0 OR mwl > 10.0) AS fail_mwl,
+         (CAST(n_sym AS DOUBLE) / nw > 0.1) AS fail_sym,
+         (CAST(nw - n_nonalpha AS DOUBLE) / nw < 0.8) AS fail_alpha,
+         (stop_hits < 2) AS fail_stop
+  FROM m)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(fail_wc::int) AS BIGINT) AS fail_word_count,
+       CAST(sum(fail_mwl::int) AS BIGINT) AS fail_mean_word_len,
+       CAST(sum(fail_sym::int) AS BIGINT) AS fail_symbol_ratio,
+       CAST(sum(fail_alpha::int) AS BIGINT) AS fail_alpha_frac,
+       CAST(sum(fail_stop::int) AS BIGINT) AS fail_stopwords,
+       CAST(sum((NOT (fail_wc OR fail_mwl OR fail_sym OR fail_alpha OR fail_stop))::int) AS BIGINT)
+         AS n_pass_all
+FROM f GROUP BY source
+"""
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII exposure profile (emails / IPv4 / phone numbers) —
     the C4/Dolma-style pre-redaction audit a training-data pipeline runs
@@ -2682,6 +2774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_topk": q_sq8_topk,
     "sq8_topk_batch": q_sq8_topk_batch,
     "pii_scan": q_pii_scan,
+    "gopher_quality": q_gopher_quality,
     "unigram_logprob": q_unigram_logprob,
     # production-hash twins: bench-only (no SQL oracle; rows-only check)
     "duplicated_spans_prod": q_duplicated_spans_prod,
@@ -2761,5 +2854,6 @@ ORACLES: dict[str, str] = {
     "sq8_topk": _sql_sq8_topk(),
     "sq8_topk_batch": _sql_sq8_topk_batch(),
     "pii_scan": SQL_PII_SCAN,
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
 }

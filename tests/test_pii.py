@@ -115,3 +115,28 @@ def test_curate_redacts_kept_corpus(spark, tmp_path):
     ).collect()[0]["n"]
     assert n_pii == 0
     assert kept.filter(F.col("text").contains("[EMAIL]")).count() == kept.count()
+
+
+def test_gopher_quality_hand_computed(spark, tmp_path):
+    from bio_data_validation_spark.contract import q_gopher_quality
+
+    long_pass = "the cat sat with the dog " * 10  # 60 words, stopword-rich
+    docs = [
+        (1, long_pass, "en", "s1", 1),                  # passes all
+        (2, "the of short text here", "en", "s1", 1),   # fails word count only
+        (3, "12 34 %% " * 20 + "the of", "en", "s1", 1),  # fails alpha frac (60/62 non-alpha)
+        (4, ("## " * 30) + "the of " + "w " * 30, "en", "s1", 1),  # fails symbol ratio
+        (5, "the of " + "supercalifragilistic " * 60, "en", "s1", 1),  # fails mean word len (>10)
+        (6, "alpha beta gamma delta " * 15, "en", "s1", 1),  # fails stopwords only
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = q_gopher_quality(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 6
+    assert r["fail_word_count"] == 1      # doc 2 (5 words)
+    assert r["fail_alpha_frac"] == 2      # docs 3 (2/62), 4 (32/62)
+    assert r["fail_symbol_ratio"] == 1    # doc 4 (60 '#' / 62 words)
+    assert r["fail_mean_word_len"] == 3   # docs 3 (2.02), 4 (1.53), 5 (19.4)
+    assert r["fail_stopwords"] == 1       # doc 6 (0 hits)
+    assert r["n_pass_all"] == 1           # doc 1
