@@ -2463,6 +2463,43 @@ GROUP BY 1
 """
 
 
+SEMDEDUP_TAU = 0.4  # tuned to the synthetic corpus's cosine density so the
+# oracle exercises BOTH branches (max within-cell cos there is ~0.49; real
+# deployments use ~0.95 — semantic_dedup's default)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: seeded-IVF
+    cells + within-cell rounded-cosine threshold, min-id canonical. One row
+    per vector (vec_id, cell, is_dup). See functions.similarity.semantic_dedup
+    for the scale rationale (cells scale with corpus; AQE splits hot cells)."""
+    from .functions.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_cells=IVF_CELLS, tau=SEMDEDUP_TAU)
+
+
+def _sql_semantic_dedup() -> str:
+    d_assign = _sql_dist2("e.embedding", "c.cvec")
+    return f"""
+WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec
+               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS})),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY ({d_assign}), c.cell) AS rn
+             FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+b AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN assign a USING (vec_id)),
+dups AS (SELECT DISTINCT x.vec_id FROM b x JOIN b y
+           ON x.cell = y.cell AND y.vec_id < x.vec_id
+         WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                            CAST(y.embedding AS DOUBLE[])), 4) >= {SEMDEDUP_TAU})
+SELECT b.vec_id, CAST(b.cell AS INT) AS cell,
+       (b.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+FROM b
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family document quality screens (Rae et al. 2021 §A1.1)
     beyond the repetition screens of ``repetition_profile``: word-count
@@ -2775,6 +2812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_topk_batch": q_sq8_topk_batch,
     "pii_scan": q_pii_scan,
     "gopher_quality": q_gopher_quality,
+    "semantic_dedup": q_semantic_dedup,
     "unigram_logprob": q_unigram_logprob,
     # production-hash twins: bench-only (no SQL oracle; rows-only check)
     "duplicated_spans_prod": q_duplicated_spans_prod,
@@ -2855,5 +2893,6 @@ ORACLES: dict[str, str] = {
     "sq8_topk_batch": _sql_sq8_topk_batch(),
     "pii_scan": SQL_PII_SCAN,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "semantic_dedup": _sql_semantic_dedup(),
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
 }

@@ -657,3 +657,54 @@ def sq8_topk_batch(
         .filter(F.col("__rn") <= k)
         .select(query_id_col, id_col, F.round("__cos", 4).alias("cos"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_cells: int = 16,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate removal.
+    Cluster with the deterministic seeded-IVF quantizer, then inside each
+    cell mark every vector that has a SMALLER-id neighbor with rounded
+    cosine >= ``tau`` as a duplicate (min-id canonical — the same greedy
+    keep-one rule the exact-dedup stage uses). Returns one row per vector:
+    (id, cell, is_dup).
+
+    Scale shape: cell assignment is a pure projection (no training job);
+    the quadratic term is confined to within-cell pairs, so ``n_cells``
+    scales with the corpus (SemDeDup uses ~50k clusters at 10^8 docs) and
+    AQE skew-splits any hot cell of the blocked self-join. The rounded-cos
+    threshold makes the keep/drop decision reproducible against a SQL
+    oracle (round-then-compare on both sides)."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    cents = [[float(x) for x in r[vec_col]] for r in rows]
+    cell = seeded_cell_col(cents, vec_col)
+    a = df.select(
+        cell.alias("cell"), F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"), l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        cell.alias("cell"), F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"), l2_norm(F.col(vec_col)).alias("__nb"),
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .filter(
+            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 4)
+            >= F.lit(tau)
+        )
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        df.select(F.col(id_col), cell.alias("cell"))
+        .join(dups, id_col, "left")
+        .select(
+            id_col, "cell", F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup")
+        )
+    )

@@ -126,3 +126,25 @@ def test_sq8_batch_matches_singles(spark):
         for r in sq8_topk(e, list(qr["embedding"]), k=5).collect():
             singles[(qr["query_id"], r["vec_id"])] = r["cos"]
     assert batch == singles
+
+
+def test_semantic_dedup_min_id_canonical(spark):
+    """Three near-identical vectors (cos > 0.999) plus orthogonal fillers:
+    the two higher ids are dropped, the min id survives, fillers keep."""
+    from bio_data_validation_spark.functions.similarity import semantic_dedup
+
+    dim = 8
+    base = [1.0] * dim
+    # perturb only the LAST coordinate so the trio's distances to the two
+    # one-hot centroids tie and all three land in cell 0 (ties -> lowest)
+    near1 = [1.0] * (dim - 1) + [1.01]
+    near2 = [1.0] * (dim - 1) + [0.99]
+    rows = [(10, base), (11, near1), (12, near2)] + [
+        # one-hot fillers: mutually orthogonal, cos 0 with each other and
+        # ~0.35 with the all-ones trio
+        (i, [0.0] * i + [1.0] + [0.0] * (dim - 1 - i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["is_dup"] for r in semantic_dedup(df, n_cells=2, tau=0.95).collect()}
+    assert out[10] is False and out[11] is True and out[12] is True
+    assert all(out[i] is False for i in range(4))
