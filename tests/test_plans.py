@@ -215,3 +215,22 @@ def test_round4_pii_and_unigram_plans_are_scale_shaped(spark):
     assert "Window" not in p
     # the (doc_id, source, w) pre-agg exchange is computed once and reused
     assert "ReusedExchange" in p
+
+
+def test_gopher_and_semantic_dedup_plans_are_scale_shaped(spark):
+    """gopher_quality: one scan, one partial-agg exchange, no joins — all
+    screens fused into the scan-side projection. semantic_dedup: the cell
+    assignment is a projection (no training job, no assignment join); the
+    only joins are the within-cell blocked self-join and the tiny dup-set
+    join back; no Window."""
+    from bio_data_validation_spark.contract import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(QUERIES["gopher_quality"](spark, sf))
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Scan parquet") == 1
+
+    p = _plan(QUERIES["semantic_dedup"](spark, sf))
+    assert "Window" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p

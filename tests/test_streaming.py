@@ -320,3 +320,50 @@ def test_curate_stream_dedups_content_within_watermark(spark, tmp_path):
     texts = [r["text"] for r in got]
     assert len([t for t in texts if t.startswith("the same")]) == 1
     assert len(got) == 4  # 1 survivor of the dup group + 3 uniques
+
+
+def test_pii_redaction_is_streaming_safe(spark, tmp_path):
+    """redact_pii is one chained regexp_replace projection — it must run
+    unchanged under readStream and produce the batch values."""
+    from pyspark.sql import functions as F
+
+    from bio_data_validation_spark.functions.text import pii_count, redact_pii
+
+    d = tmp_path / "pii_in"
+    rows = [
+        (0, "mail a@b.io and 10.0.0.1"),
+        (1, "call +1-555-123-4567 now"),
+        (2, "clean row"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(d))
+
+    def proj(df):
+        return df.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("red"),
+            (
+                pii_count(F.col("text"), "email")
+                + pii_count(F.col("text"), "ipv4")
+                + pii_count(F.col("text"), "phone")
+            ).alias("n_pii"),
+        )
+
+    batch = {r["doc_id"]: r.asDict() for r in proj(spark.read.parquet(str(d))).collect()}
+    src = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    q = (
+        proj(src)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in spark.sql("select * from pii_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+    assert got[0]["red"] == "mail [EMAIL] and [IPV4]" and got[0]["n_pii"] == 2
