@@ -90,6 +90,12 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--lsh-num-hashes", type=int, default=32)
     c.add_argument("--lsh-bands", type=int, default=8)
     c.add_argument(
+        "--gopher", action="store_true",
+        help="enable the Gopher quality screens (mean word length, symbol "
+        "ratio, alpha-word fraction, stopword hits) at the published "
+        "thresholds",
+    )
+    c.add_argument(
         "--redact-pii", action="store_true",
         help="rewrite kept-corpus text through PII redaction "
         "(email/IPv4/phone -> typed placeholders)",
@@ -167,6 +173,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             if v is not None
         }
+        if args.gopher:
+            from .engine.curate import GOPHER_DEFAULTS
+
+            quality.update(GOPHER_DEFAULTS)
         stats = curate(
             spark,
             spark.read.parquet(args.source),

@@ -68,6 +68,63 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Opt-in Gopher screen thresholds (Rae et al. 2021 §A1.1) — absent from
+# DEFAULT_QUALITY on purpose: the default pipeline (and the oracle-verified
+# curate_decisions composition) is unchanged unless a caller opts in.
+GOPHER_KEYS = (
+    "min_mean_word_len",
+    "max_mean_word_len",
+    "max_symbol_word_ratio",
+    "min_alpha_word_frac",
+    "min_stopword_hits",
+)
+GOPHER_DEFAULTS = {
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_alpha_word_frac": 0.8,
+    "min_stopword_hits": 2,
+}
+_GOPHER_STOPWORDS = r"\b(the|be|to|of|and|that|have|with)\b"
+
+
+def gopher_flags(
+    df: DataFrame, thresholds: dict, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, gopher_fail) for the opted-in subset of the Gopher screens —
+    the same expressions as contract.q_gopher_quality, one scan-side
+    projection (see there for the double-space delimiter trick)."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    n_words = F.size(F.split(norm, " ")).cast("long")
+    mean_wlen = (F.length(norm) - (n_words - 1)).cast("double") / n_words.cast("double")
+    spaced = F.concat(F.lit(" "), F.regexp_replace(norm, " ", "  "), F.lit(" "))
+    n_nonalpha = F.regexp_count(spaced, F.lit(" [^a-zA-Z ]+ ")).cast("long")
+    alpha_frac = (n_words - n_nonalpha).cast("double") / n_words.cast("double")
+    n_symbols = (
+        F.regexp_count(F.col(text_col), F.lit("#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    ).cast("long")
+    stop_hits = F.regexp_count(
+        F.lower(F.col(text_col)), F.lit(_GOPHER_STOPWORDS)
+    ).cast("long")
+
+    fail = F.lit(False)
+    if "min_mean_word_len" in thresholds:
+        fail = fail | (mean_wlen < float(thresholds["min_mean_word_len"]))
+    if "max_mean_word_len" in thresholds:
+        fail = fail | (mean_wlen > float(thresholds["max_mean_word_len"]))
+    if "max_symbol_word_ratio" in thresholds:
+        fail = fail | (
+            n_symbols.cast("double") / n_words.cast("double")
+            > float(thresholds["max_symbol_word_ratio"])
+        )
+    if "min_alpha_word_frac" in thresholds:
+        fail = fail | (alpha_frac < float(thresholds["min_alpha_word_frac"]))
+    if "min_stopword_hits" in thresholds:
+        fail = fail | (stop_hits < int(thresholds["min_stopword_hits"]))
+    return df.select("doc_id", fail.alias("gopher_fail"))
+
+
 def contamination_flags(
     df: DataFrame,
     bench: DataFrame,
@@ -185,6 +242,13 @@ def curation_decisions(
     else:
         d = d.withColumn("contaminated", F.lit(False))
 
+    # Opt-in Gopher screens: active only when the quality dict carries one
+    # of the GOPHER_KEYS — the default composition (and its oracle) is
+    # byte-identical without them.
+    gopher_th = {k: q[k] for k in GOPHER_KEYS if k in q}
+    if gopher_th:
+        d = d.join(gopher_flags(nonnull, gopher_th, text_col), "doc_id", "left")
+
     low_quality = (
         (F.col("n_words") < q["min_words"])
         | (F.col("dup_word_frac") > q["max_dup_word_frac"])
@@ -193,9 +257,15 @@ def curation_decisions(
     near_dup = F.col("cluster_id").isNotNull() & ~F.coalesce(
         F.col("is_canonical"), F.lit(True)
     )
+    drop_reason = F.when(F.col("n_words").isNull(), "empty").when(
+        low_quality, "low_quality"
+    )
+    if gopher_th:
+        drop_reason = drop_reason.when(
+            F.coalesce(F.col("gopher_fail"), F.lit(False)), "gopher_quality"
+        )
     drop_reason = (
-        F.when(F.col("n_words").isNull(), "empty")
-        .when(low_quality, "low_quality")
+        drop_reason
         .when(F.coalesce(F.col("exact_dup"), F.lit(False)), "exact_dup")
         .when(near_dup, "near_dup")
         .when(F.coalesce(F.col("contaminated"), F.lit(False)), "contaminated")

@@ -169,3 +169,30 @@ def test_sample_membership_matches_python_md5_twin(spark):
         assert got == want
 
     check()
+
+
+def test_gopher_screens_opt_in(spark):
+    """With GOPHER_KEYS absent the decisions are byte-identical to before
+    (no gopher_quality reason can appear); opted in, a stopword-free doc
+    drops with reason gopher_quality while a stopword-rich one keeps."""
+    from bio_data_validation_spark.engine.curate import (
+        GOPHER_DEFAULTS,
+        curation_decisions,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat with the dog and a bird of prey here now", "en"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    base = {r["doc_id"]: r for r in curation_decisions(docs).collect()}
+    assert base[1]["keep"] and base[2]["keep"]  # default: both pass
+
+    opted = {
+        r["doc_id"]: r
+        for r in curation_decisions(docs, quality=GOPHER_DEFAULTS).collect()
+    }
+    assert opted[1]["keep"]
+    assert not opted[2]["keep"] and opted[2]["drop_reason"] == "gopher_quality"
