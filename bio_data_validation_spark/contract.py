@@ -2463,6 +2463,8 @@ GROUP BY 1
 """
 
 
+SEMDEDUP_CELLS = 16  # the n_cells scale lever: within-cell pair work is
+# ~n^2/cells, so cells grow with the corpus (SemDeDup: ~50k at 10^8 docs)
 SEMDEDUP_TAU = 0.4  # tuned to the synthetic corpus's cosine density so the
 # oracle exercises BOTH branches (max within-cell cos there is ~0.49; real
 # deployments use ~0.95 — semantic_dedup's default)
@@ -2476,14 +2478,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, n_cells=IVF_CELLS, tau=SEMDEDUP_TAU)
+    return semantic_dedup(e, n_cells=SEMDEDUP_CELLS, tau=SEMDEDUP_TAU)
 
 
 def _sql_semantic_dedup() -> str:
     d_assign = _sql_dist2("e.embedding", "c.cvec")
     return f"""
 WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec
-               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS})),
+               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_CELLS})),
 assign AS (SELECT vec_id, cell FROM (
              SELECT e.vec_id, c.cell,
                     row_number() OVER (PARTITION BY e.vec_id
