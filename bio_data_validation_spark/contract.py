@@ -2463,6 +2463,39 @@ GROUP BY 1
 """
 
 
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL inventory (RefinedWeb/C4-style domain screen input):
+    host of every http(s) URL, lowercased, with URL and document counts.
+    One scan → one regexp pass → explode → partial-aggregated groupBy
+    (domains are the natural key; a hot domain is combiner-compressed
+    map-side before the exchange). The enforcement twin is
+    functions.text.domain_blocklist_filter (broadcast blocklist +
+    anti-join). The synthetic corpus is URL-free (0 rows here — parity
+    still proves the regex dialect agreement); positives are fixture-tested
+    in test_pii.py."""
+    from .functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(T.extract_url_domains(F.col("text"))).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+SQL_URL_DOMAIN_STATS = r"""
+SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+       count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+      FROM documents WHERE text IS NOT NULL)
+GROUP BY domain
+"""
+
+
 SEMDEDUP_CELLS = 16  # the n_cells scale lever: within-cell pair work is
 # ~n^2/cells, so cells grow with the corpus (SemDeDup: ~50k at 10^8 docs)
 SEMDEDUP_TAU = 0.4  # tuned to the synthetic corpus's cosine density so the
@@ -2819,6 +2852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     "cosine_sims": q_cosine_sims,
     "unigram_logprob": q_unigram_logprob,
+    "url_domain_stats": q_url_domain_stats,
     # production-hash twins: bench-only (no SQL oracle; rows-only check)
     "duplicated_spans_prod": q_duplicated_spans_prod,
     "contamination_check_prod": q_contamination_check_prod,
@@ -2900,4 +2934,5 @@ ORACLES: dict[str, str] = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "semantic_dedup": _sql_semantic_dedup(),
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "url_domain_stats": SQL_URL_DOMAIN_STATS,
 }

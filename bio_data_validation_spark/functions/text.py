@@ -124,3 +124,42 @@ def redact_pii(text: Column) -> Column:
     for kind in _PII_REDACT_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
     return out
+
+
+# --------------------------------------------------------------------------
+# URL / domain analysis (RefinedWeb/C4-style domain filtering)
+# --------------------------------------------------------------------------
+# Capture group 1 of this pattern is the host; group-indexed extraction is
+# supported identically by Spark's regexp_extract_all and DuckDB's
+# regexp_extract_all(..., 1) — keep the string in sync with
+# SQL_URL_DOMAIN_STATS in contract.py.
+URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_url_domains(text: Column) -> Column:
+    """Lowercased host of every http(s) URL in the text, as an array —
+    empty array for null/URL-free text. Lowering the text BEFORE the
+    single regexp pass keeps this lambda-free (no per-element transform)
+    and the oracle SQL identical."""
+    return F.when(text.isNull(), F.array().cast("array<string>")).otherwise(
+        F.regexp_extract_all(F.lower(text), F.lit(URL_DOMAIN_PATTERN), F.lit(1))
+    )
+
+
+def domain_blocklist_filter(
+    df, blocklist: list[str], text_col: str = "text", id_col: str = "doc_id"
+):
+    """Drop every document containing a URL whose host is on the blocklist
+    — the RefinedWeb-style domain screen. The blocklist is a
+    dimension-sized relation: broadcast to every executor, matched with one
+    explode + join, and the surviving ids come back as a broadcast-able
+    anti-join set. No O(corpus) driver traffic."""
+    spark = df.sparkSession
+    bl = spark.createDataFrame([(d.lower(),) for d in blocklist], ["__domain"])
+    hits = (
+        df.select(id_col, F.explode(extract_url_domains(F.col(text_col))).alias("__domain"))
+        .join(F.broadcast(bl), "__domain")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")

@@ -64,6 +64,10 @@ def main() -> int:
     from bio_data_validation_spark.session import get_spark
 
     only = set(sys.argv[1:])
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        return 1
     spark = get_spark("local[8]", app_name="check-oracles")
     con = duckdb.connect()
     for t in TABLES:

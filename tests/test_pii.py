@@ -140,3 +140,35 @@ def test_gopher_quality_hand_computed(spark, tmp_path):
     assert r["fail_mean_word_len"] == 3   # docs 3 (2.02), 4 (1.53), 5 (19.4)
     assert r["fail_stopwords"] == 1       # doc 6 (0 hits)
     assert r["n_pass_all"] == 1           # doc 1
+
+
+def test_url_domain_extraction_and_blocklist(spark):
+    from bio_data_validation_spark.functions.text import (
+        domain_blocklist_filter,
+        extract_url_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://SPAM.example.COM/x and http://ok.org/y"),
+            (2, "no urls at all"),
+            (3, None),
+            (4, "http://ok.org/z twice http://ok.org/w"),
+        ],
+        "doc_id long, text string",
+    )
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in docs.select(
+            "doc_id", extract_url_domains(F.col("text")).alias("d")
+        ).collect()
+    }
+    assert doms[1] == ["spam.example.com", "ok.org"]
+    assert doms[2] == [] and doms[3] == []
+    assert doms[4] == ["ok.org", "ok.org"]
+
+    kept = sorted(
+        r["doc_id"]
+        for r in domain_blocklist_filter(docs, ["Spam.example.com"]).collect()
+    )
+    assert kept == [2, 3, 4]  # doc 1 dropped; null/url-free docs survive
