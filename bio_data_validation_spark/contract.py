@@ -2744,6 +2744,203 @@ FROM doc GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Line-wise curation stage (C4 / RefinedWeb / CCNet line operators)
+# --------------------------------------------------------------------------
+# The synthetic corpus is single-line word soup, so — like the media table
+# of q_media_feature_stats — each query first derives a deterministic
+# multi-line view from `documents` (four sequential literal replaces, same
+# left-to-right non-overlapping semantics in Spark's replace and DuckDB's
+# replace) so the oracle exercises BOTH branches of every line screen at
+# any sf. The line operators themselves (functions/text.py) take any
+# multi-line text; positives for the screens that stay zero on this corpus
+# (bullets, caps, lorem-ipsum, braces) are proven on constructed fixtures
+# in tests/test_line_ops.py — the same split used for pii_scan.
+
+# Keep in sync with _SQL_DERIVED_LINES below.
+_LINE_DERIVE_STEPS = ((" line ", ".\n"), (" row ", "\n"), (" the ", "\n"), (" a ", "\n"))
+
+_SQL_DERIVED_LINES = (
+    "replace(replace(replace(replace(text, ' line ', '.' || chr(10)), "
+    "' row ', chr(10)), ' the ', chr(10)), ' a ', chr(10))"
+)
+
+
+def _derived_line_text() -> Column:
+    dt = F.col("text")
+    for pat, rep in _LINE_DERIVE_STEPS:
+        dt = F.replace(dt, F.lit(pat), F.lit(rep))
+    return dt
+
+
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, JMLR §2.2): per-line
+    keep rule (terminal punctuation AND >= 5 words), per-doc minimum of 3
+    sentences, and the lorem-ipsum / curly-brace page drops. Per-source
+    counts so a curation run can report what each screen would remove.
+
+    One scan, pure column math (regexp_count line screens via the
+    double-delimiter trick; one higher-order filter for the two-condition
+    keep rule), single partial-aggregated exchange. Linear in corpus bytes
+    at any scale. Reference precedent for threshold screens:
+    statistical_heuristics.py; the C4 stage is LLM-curation surface."""
+    from .functions import text as T
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    dt = _derived_line_text()
+    sentences = F.regexp_count(dt, F.lit(r"[.!?]"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.line_count(dt)).cast("long").alias("n_lines"),
+        F.sum(T.terminal_line_count(dt)).cast("long").alias("n_terminal_lines"),
+        F.sum(T.kept_line_count(dt)).cast("long").alias("n_kept_lines"),
+        F.sum((sentences < 3).cast("long")).cast("long").alias("fail_min_sentences"),
+        F.sum(F.contains(F.lower(F.col("text")), F.lit("lorem ipsum")).cast("long"))
+        .cast("long")
+        .alias("n_lorem"),
+        F.sum(F.contains(F.col("text"), F.lit("{")).cast("long"))
+        .cast("long")
+        .alias("n_brace"),
+    )
+
+
+SQL_C4_QUALITY = rf"""
+WITH d AS (
+  SELECT source, text, {_SQL_DERIVED_LINES} AS dt
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+m AS (
+  SELECT source,
+         len(string_split(dt, chr(10))) AS n_lines,
+         len(regexp_extract_all(dt || chr(10), '[.!?"][ ]*' || chr(10))) AS n_term,
+         len(list_filter(string_split(dt, chr(10)),
+             l -> regexp_matches(l, '[.!?"]$')
+                  AND len(string_split(trim(l), ' ')) >= 5)) AS n_kept,
+         len(regexp_extract_all(dt, '[.!?]')) AS n_sent,
+         CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS lorem,
+         CASE WHEN contains(text, '{{') THEN 1 ELSE 0 END AS brace
+  FROM d)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(n_term) AS BIGINT) AS n_terminal_lines,
+       CAST(sum(n_kept) AS BIGINT) AS n_kept_lines,
+       CAST(sum(CASE WHEN n_sent < 3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_min_sentences,
+       CAST(sum(lorem) AS BIGINT) AS n_lorem,
+       CAST(sum(brace) AS BIGINT) AS n_brace
+FROM m GROUP BY source
+"""
+
+
+def q_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb line-wise profile (Penedo et al. 2023 §3.2): counts of
+    bullet-started, all-caps, and numeric-only lines, plus within-document
+    exact line repetition (lines minus distinct lines — the signal CCNet's
+    line-wise dedup corrects). Per-source totals; every per-line count is a
+    single regexp_count over the double-delimited text or pure array math —
+    zero joins, zero Python, one partial-aggregated exchange."""
+    from .functions import text as T
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    dt = _derived_line_text()
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.line_count(dt)).cast("long").alias("n_lines"),
+        F.sum(T.bullet_line_count(dt)).cast("long").alias("n_bullet_lines"),
+        F.sum(T.caps_line_count(dt)).cast("long").alias("n_caps_lines"),
+        F.sum(T.numeric_line_count(dt)).cast("long").alias("n_numeric_lines"),
+        F.sum(T.duplicate_line_count(dt)).cast("long").alias("n_dup_lines"),
+    )
+
+
+SQL_LINE_QUALITY = f"""
+WITH d AS (
+  SELECT source, {_SQL_DERIVED_LINES} AS dt
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+m AS (
+  SELECT source,
+         string_split(dt, chr(10)) AS ls,
+         chr(10) || replace(dt, chr(10), chr(10) || chr(10)) || chr(10) AS sp
+  FROM d)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(ls)) AS BIGINT) AS n_lines,
+       CAST(sum(len(regexp_extract_all(sp,
+           chr(10) || '[-*•][^' || chr(10) || ']*' || chr(10)))) AS BIGINT)
+         AS n_bullet_lines,
+       CAST(sum(len(regexp_extract_all(sp,
+           chr(10) || '[A-Z0-9 ]*[A-Z][A-Z0-9 ]*' || chr(10)))) AS BIGINT)
+         AS n_caps_lines,
+       CAST(sum(len(regexp_extract_all(sp,
+           chr(10) || '[0-9][0-9., ]*' || chr(10)))) AS BIGINT)
+         AS n_numeric_lines,
+       CAST(sum(len(ls) - len(list_distinct(ls))) AS BIGINT) AS n_dup_lines
+FROM m GROUP BY source
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact line deduplication (RefinedWeb §3.2 line-wise
+    dedup / CCNet paragraph dedup, Wenzek et al. 2020): per-source count of
+    document-distinct lines, lines shared with at least one other document,
+    and documents whose lines are majority-shared (the boilerplate pages
+    line-wise dedup guts).
+
+    Scale shape — the same skew-safe pattern as duplicated_spans: explode →
+    distinct (doc, line-hash) pre-aggregation (map-side combine compresses
+    within-doc repeats BEFORE any wide exchange) → combiner-compressed
+    groupBy(h) count → join back on h (AQE skew-join splits hot boilerplate
+    lines; no window, so no un-splittable hot partition). Grouping key is
+    md5(line), not the line bytes, so shuffle width is 32 bytes/line
+    regardless of line length; production would swap xxhash64 via the same
+    hash_fn lever the span ops use."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    e = d.select(
+        "doc_id", "source", F.explode(F.split(_derived_line_text(), "\n")).alias("line")
+    )
+    pairs = e.select(
+        "doc_id", "source", F.md5(F.col("line")).alias("h")
+    ).distinct()
+    cnt = pairs.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    j = pairs.join(cnt, "h")
+    p = j.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("ndocs") > 1).cast("long")).alias("n_shared"),
+    )
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("n_doc_lines"),
+        F.sum("n_shared").cast("long").alias("n_shared_lines"),
+        F.sum((F.col("n_shared") * 2 > F.col("n_lines")).cast("long"))
+        .cast("long")
+        .alias("docs_majority_shared"),
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, source, {_SQL_DERIVED_LINES} AS dt
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+e AS (
+  SELECT DISTINCT doc_id, source, md5(line) AS h
+  FROM (SELECT doc_id, source, unnest(string_split(dt, chr(10))) AS line FROM d)),
+c AS (SELECT h, count(*) AS ndocs FROM e GROUP BY h),
+p AS (
+  SELECT e.doc_id, e.source, count(*) AS n_lines,
+         sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM e JOIN c USING (h) GROUP BY e.doc_id, e.source)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS n_doc_lines,
+       CAST(sum(n_shared) AS BIGINT) AS n_shared_lines,
+       CAST(sum(CASE WHEN n_shared * 2 > n_lines THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_majority_shared
+FROM p GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2857,6 +3054,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicated_spans_prod": q_duplicated_spans_prod,
     "contamination_check_prod": q_contamination_check_prod,
     "kgram_fingerprints_prod": q_kgram_fingerprints_prod,
+    "c4_quality": q_c4_quality,
+    "line_quality": q_line_quality,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2935,4 +3135,7 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": _sql_semantic_dedup(),
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "url_domain_stats": SQL_URL_DOMAIN_STATS,
+    "c4_quality": SQL_C4_QUALITY,
+    "line_quality": SQL_LINE_QUALITY,
+    "line_dedup": SQL_LINE_DEDUP,
 }

@@ -146,6 +146,104 @@ def extract_url_domains(text: Column) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# Line-level quality signals (C4 / RefinedWeb line-wise curation stage)
+# --------------------------------------------------------------------------
+# C4 (Raffel et al. 2020, JMLR §2.2) filters LINES — keep only lines ending
+# in terminal punctuation with >= 5 words; drop pages with < 3 sentences or
+# containing "lorem ipsum" / "{". RefinedWeb (Penedo et al. 2023 §3.2)
+# profiles lines for bullets / all-caps / numeric-only before line-wise
+# correction. All of these are pure column math over one scan: the per-line
+# regex counts use the double-delimiter trick (replace('\n','\n\n') gives
+# every line its own leading AND trailing '\n') so a single non-overlapping
+# regexp_count pass counts matching lines exactly — identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracle), no lookarounds, no (?m).
+# Reference precedent for threshold screens: statistical_heuristics.py; the
+# line-wise stage itself is LLM-curation surface with no reference twin.
+
+# Keep these pattern literals in sync with the oracle SQL in contract.py.
+TERMINAL_LINE_PATTERN = r'[.!?"][ ]*\n'
+BULLET_LINE_PATTERN = "\n[-*•][^\n]*\n"
+CAPS_LINE_PATTERN = "\n[A-Z0-9 ]*[A-Z][A-Z0-9 ]*\n"
+NUMERIC_LINE_PATTERN = "\n[0-9][0-9., ]*\n"
+
+
+def line_array(text: Column) -> Column:
+    """Lines of a document as an array (split on '\\n'; no trailing-empty
+    asymmetry: Spark split(limit=-1) and DuckDB string_split both keep
+    trailing empty strings)."""
+    return F.split(text, "\n")
+
+
+def line_count(text: Column) -> Column:
+    """Number of lines; 0 for null text."""
+    return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
+        F.size(line_array(text)).cast("long")
+    )
+
+
+def _line_delimited(text: Column) -> Column:
+    """Every line framed by its own leading and trailing newline, so plain
+    per-line patterns count without overlap."""
+    return F.concat(
+        F.lit("\n"), F.replace(text, F.lit("\n"), F.lit("\n\n")), F.lit("\n")
+    )
+
+
+def _line_pattern_count(text: Column, pattern: str) -> Column:
+    return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
+        F.regexp_count(_line_delimited(text), F.lit(pattern)).cast("long")
+    )
+
+
+def terminal_line_count(text: Column) -> Column:
+    """Lines ending in terminal punctuation (C4's keep-line criterion)."""
+    return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
+        F.regexp_count(
+            F.concat(text, F.lit("\n")), F.lit(TERMINAL_LINE_PATTERN)
+        ).cast("long")
+    )
+
+
+def bullet_line_count(text: Column) -> Column:
+    """Lines starting with a bullet marker (-, *, •) — RefinedWeb line screen."""
+    return _line_pattern_count(text, BULLET_LINE_PATTERN)
+
+
+def caps_line_count(text: Column) -> Column:
+    """Lines that are entirely upper-case/digits/spaces (with >= 1 letter)."""
+    return _line_pattern_count(text, CAPS_LINE_PATTERN)
+
+
+def numeric_line_count(text: Column) -> Column:
+    """Lines that are entirely digits/punctuation-free numerics."""
+    return _line_pattern_count(text, NUMERIC_LINE_PATTERN)
+
+
+def kept_line_count(text: Column, min_words: int = 5) -> Column:
+    """C4's per-line keep rule: terminal punctuation AND >= min_words words.
+    One higher-order filter over the line array (the two-condition per-line
+    predicate has no single-regex form); everything else in this module
+    stays regex-only."""
+    kept = F.filter(
+        line_array(text),
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), " ")) >= min_words),
+    )
+    return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
+        F.size(kept).cast("long")
+    )
+
+
+def duplicate_line_count(text: Column) -> Column:
+    """Lines minus distinct lines — the within-document exact line
+    repetition RefinedWeb corrects. Pure array math, zero shuffle."""
+    arr = line_array(text)
+    return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
+        (F.size(arr) - F.size(F.array_distinct(arr))).cast("long")
+    )
+
+
 def domain_blocklist_filter(
     df, blocklist: list[str], text_col: str = "text", id_col: str = "doc_id"
 ):

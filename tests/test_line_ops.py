@@ -1,0 +1,110 @@
+"""Line-level C4 / RefinedWeb operators on constructed multi-line fixtures.
+
+The synthetic corpus is single-line (the contract queries derive a
+deterministic multi-line view — cross-engine parity of that derivation and
+of every screen is proven by the c4_quality / line_quality / line_dedup
+oracle rows in check_oracles.py); positives for the screens that stay zero
+on the corpus (bullets, caps, numeric, lorem-ipsum, braces) are proven
+here — the same split used for pii_scan (tests/test_pii.py)."""
+
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.functions import text as T
+
+DOC1 = (
+    "This is a good sentence.\n"
+    "short line\n"
+    "- bullet item one\n"
+    "HELLO WORLD 42\n"
+    "123, 456\n"
+    "This is a good sentence."
+)
+
+FIXTURE = [
+    (1, DOC1),
+    (2, None),
+    (3, "no punctuation here"),
+    (4, "* star bullet\n• dot bullet\n- dash"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(FIXTURE, "doc_id long, text string")
+
+
+def _row(spark, col):
+    return {
+        r["doc_id"]: r["v"]
+        for r in _df(spark).select("doc_id", col.alias("v")).collect()
+    }
+
+
+def test_line_count(spark):
+    got = _row(spark, T.line_count(F.col("text")))
+    assert got == {1: 6, 2: 0, 3: 1, 4: 3}
+
+
+def test_terminal_line_count(spark):
+    got = _row(spark, T.terminal_line_count(F.col("text")))
+    assert got == {1: 2, 2: 0, 3: 0, 4: 0}
+
+
+def test_kept_line_count(spark):
+    # C4 keep rule: terminal punctuation AND >= 5 words — only the two
+    # "This is a good sentence." lines qualify.
+    got = _row(spark, T.kept_line_count(F.col("text")))
+    assert got == {1: 2, 2: 0, 3: 0, 4: 0}
+
+
+def test_bullet_caps_numeric(spark):
+    bullets = _row(spark, T.bullet_line_count(F.col("text")))
+    caps = _row(spark, T.caps_line_count(F.col("text")))
+    nums = _row(spark, T.numeric_line_count(F.col("text")))
+    assert bullets == {1: 1, 2: 0, 3: 0, 4: 3}  # -, *, • all count
+    assert caps == {1: 1, 2: 0, 3: 0, 4: 0}  # HELLO WORLD 42 only
+    assert nums == {1: 1, 2: 0, 3: 0, 4: 0}  # 123, 456 only
+
+
+def test_duplicate_line_count(spark):
+    got = _row(spark, T.duplicate_line_count(F.col("text")))
+    assert got == {1: 1, 2: 0, 3: 0, 4: 0}
+
+
+def test_c4_page_drops(spark):
+    # lorem-ipsum / curly-brace page screens (always false on the synthetic
+    # corpus — positives proven here).
+    df = spark.createDataFrame(
+        [(1, "Lorem Ipsum dolor sit amet."), (2, "int main() { return 0; }"), (3, "clean page.")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["lorem"], r["brace"])
+        for r in df.select(
+            "doc_id",
+            F.contains(F.lower(F.col("text")), F.lit("lorem ipsum")).alias("lorem"),
+            F.contains(F.col("text"), F.lit("{")).alias("brace"),
+        ).collect()
+    }
+    assert got == {1: (True, False), 2: (False, True), 3: (False, False)}
+
+
+def test_line_dedup_cross_doc(spark, tmp_path):
+    # Two docs sharing one exact line: the shared line counts for both docs,
+    # a doc whose lines are majority-shared is flagged.
+    docs = [
+        (1, "shared boilerplate footer\nunique a row unique b", "en", "s1", 40),
+        (2, "shared boilerplate footer", "en", "s1", 25),
+        (3, "totally distinct content", "en", "s2", 24),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from bio_data_validation_spark.contract import q_line_dedup
+
+    out = {r["source"]: r for r in q_line_dedup(spark, str(tmp_path)).collect()}
+    # ' row ' in doc 1 derives a 2-line doc + the shared footer line = 3
+    # doc-distinct lines; the footer appears in docs 1 and 2.
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["n_doc_lines"] == 4
+    assert out["s1"]["n_shared_lines"] == 2
+    assert out["s1"]["docs_majority_shared"] == 1  # doc 2 (1/1 shared)
+    assert out["s2"]["n_shared_lines"] == 0
