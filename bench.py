@@ -171,11 +171,16 @@ def run_fused_validation(spark, sf: float) -> dict:
 
 
 def run_fused_steady_state(spark, sf: float) -> dict:
-    """Cold run (JIT + codegen compile) then the timed steady-state run —
-    the long-running-job regime; both numbers are reported."""
+    """Cold run (JIT + codegen compile) then best-of-2 timed steady-state
+    runs — the long-running-job regime. A single warm sample is exposed to
+    hypervisor-steal jitter (observed 12.2 s vs 20.7 s for back-to-back
+    identical runs on this VM); min-of-2 matches the per-query protocol in
+    time_queries and reports the cost the job actually has."""
     cold = run_fused_validation(spark, sf)
-    warm = run_fused_validation(spark, sf)
+    warms = [run_fused_validation(spark, sf) for _ in range(2)]
+    warm = min(warms, key=lambda r: r["elapsed_sec"])
     warm["cold_sec"] = round(cold["elapsed_sec"], 3)
+    warm["warm_runs_sec"] = [round(r["elapsed_sec"], 3) for r in warms]
     return warm
 
 
@@ -283,6 +288,7 @@ def main() -> int:
                 "rows": fused["rows"],
                 "rows_per_sec": round(fused["rows_per_sec"], 1),
                 "cold_run_sec": fused["cold_sec"],
+                "warm_runs_sec": fused["warm_runs_sec"],
                 "cpus": CPUS,
                 "decision": fused["decision"],
             }

@@ -129,6 +129,17 @@ def main() -> int:
             "web-scale vocab).",
             runtime_formatted(QUERIES["unigram_logprob"](spark, SF_DIR)),
         ),
+        (
+            "line_dedup — cross-document line dedup (skew-safe h-join shape)",
+            "RefinedWeb/CCNet line-wise dedup: distinct (doc, md5(line)) "
+            "pre-aggregation keyed by doc_id BEFORE any h-keyed exchange "
+            "(hot boilerplate lines spread across docs, combiner-"
+            "compressed), then groupBy(h) count + join back on h — AQE "
+            "skew-splittable, no Window. c4_quality/line_quality are "
+            "single-scan single-exchange siblings (plan-asserted in "
+            "test_plans.py).",
+            formatted(QUERIES["line_dedup"](spark, SF_DIR)),
+        ),
     ]
 
     out = ["# PLANS — formatted physical plans of the flagship operators\n"]

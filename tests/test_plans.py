@@ -234,3 +234,30 @@ def test_gopher_and_semantic_dedup_plans_are_scale_shaped(spark):
     p = _plan(QUERIES["semantic_dedup"](spark, sf))
     assert "Window" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_line_op_plans_are_scale_shaped(spark):
+    """c4_quality / line_quality: all line screens fused into the scan-side
+    projection — one scan, one partial-agg exchange on source, no joins, no
+    Window. line_dedup: the skew-safe duplicated_spans shape — distinct
+    (doc, line-hash) pre-aggregation keyed by doc_id BEFORE any h-keyed
+    exchange, combiner-compressed groupBy(h), join back on h (AQE
+    skew-splittable); no Window anywhere."""
+    import re
+
+    from bio_data_validation_spark.contract import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    for name in ("c4_quality", "line_quality"):
+        p = _plan(QUERIES[name](spark, sf))
+        assert "Join" not in p and "Window" not in p, name
+        assert p.count("Scan parquet") == 1, name
+        assert "partial" in p, name  # map-side combine
+
+    p = _plan(QUERIES["line_dedup"](spark, sf))
+    assert "Window" not in p
+    assert "Join" in p
+    assert "partial_count" in p
+    # the pre-agg exchange spreads hot lines across docs
+    assert re.search(r"hashpartitioning\(doc_id#\d+", p)
