@@ -2941,6 +2941,186 @@ FROM p GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# Data-selection operators (DSIR importance weights, hashing-trick scorer)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024  # hashed n-gram feature space (Xie et al. 2023 use 10k)
+DSIR_TARGET_SOURCE = "src0"  # the held-out "target domain" slice
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): hashed
+    unigram bucket features, per-bucket add-1-smoothed log probability
+    ratio between a target-domain slice (source = src0 stands in for the
+    high-quality target corpus) and the raw rest, per-document importance
+    weight = sum of its token occurrences' log ratios, reported as a
+    per-source integer-bucket histogram — the distribution a curation pass
+    thresholds or samples against.
+
+    Scale shape — the corpus is exploded ONCE into per-doc bucket counts
+    (map-side combinable; the shuffle carries at most DSIR_BUCKETS rows per
+    doc regardless of length). Both the bucket-ratio table and the per-doc
+    scoring join hang off that one exchange (ReuseExchange), the ratio
+    table is at most DSIR_BUCKETS rows so AQE broadcasts the scoring join,
+    and the totals are a broadcast scalar — the same shared-exchange shape
+    as unigram_logprob. Integer weight buckets (width 1.0 in log space)
+    keep the oracle comparison robust to float summation order.
+
+    Reference precedent for distribution-vs-reference screens:
+    statistical_heuristics.py (drift/imbalance); the importance-weight
+    computation is LLM-curation surface (DSIR)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    feats = toks.select(
+        "doc_id",
+        "source",
+        (token_hash(F.col("w"), 0, "md5_60") % DSIR_BUCKETS).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    # One corpus-side shuffle; ratio table and scoring both reuse it. The
+    # explicit isNotNull(b) (vacuously true — b hashes a non-null token) is
+    # load-bearing: the scoring join pushes isnotnull(b) into ITS dbc
+    # subtree, and without the same predicate on the ratio branch the two
+    # exchanges stop being canonically equal, ReuseExchange can't fire, and
+    # the corpus is scanned + exploded twice (measured).
+    dbc = feats.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("c"))
+    is_t = F.col("source") == DSIR_TARGET_SOURCE
+    bc = dbc.groupBy("b").agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(F.lit(0))).alias("nt"),
+        F.sum(F.when(~is_t, F.col("c")).otherwise(F.lit(0))).alias("nr"),
+    )
+    # Totals via an unpartitioned window over bc — bc is bounded by
+    # DSIR_BUCKETS rows by construction, so the single-partition window is
+    # constant-size at any corpus scale; a crossJoin'd scalar agg here gave
+    # the totals branch its own lineage and AQE re-scanned the whole corpus
+    # for it (measured: second scan+explode in the final plan).
+    w_all = Window.partitionBy()
+    llr = bc.select(
+        "b",
+        (
+            F.log(
+                (F.col("nt") + 1).cast("double")
+                / (F.sum("nt").over(w_all) + DSIR_BUCKETS).cast("double")
+            )
+            - F.log(
+                (F.col("nr") + 1).cast("double")
+                / (F.sum("nr").over(w_all) + DSIR_BUCKETS).cast("double")
+            )
+        ).alias("llr"),
+    )
+    # Unhinted on purpose: AQE broadcasts the <=DSIR_BUCKETS-row ratio
+    # table here and would fall back to a skew-splittable shuffle join if
+    # the feature space were ever widened past broadcast size.
+    doc = (
+        dbc.join(llr, "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("c").cast("double") * F.col("llr")).alias("wgt"))
+    )
+    return doc.groupBy(
+        "source", F.floor(F.col("wgt")).cast("long").alias("w_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_DSIR_WEIGHTS = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+f AS (
+  SELECT doc_id, source, {_sql_md5h(0, 'w')} % {DSIR_BUCKETS} AS b
+  FROM toks WHERE length(w) > 0),
+dbc AS (SELECT doc_id, source, b, count(*) AS c FROM f GROUP BY 1, 2, 3),
+bc AS (
+  SELECT b,
+         sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN c ELSE 0 END) AS nt,
+         sum(CASE WHEN source <> '{DSIR_TARGET_SOURCE}' THEN c ELSE 0 END) AS nr
+  FROM dbc GROUP BY b),
+tot AS (SELECT sum(nt) AS tt, sum(nr) AS tr FROM bc),
+llr AS (
+  SELECT b,
+         ln(CAST(nt + 1 AS DOUBLE) / CAST(tt + {DSIR_BUCKETS} AS DOUBLE))
+         - ln(CAST(nr + 1 AS DOUBLE) / CAST(tr + {DSIR_BUCKETS} AS DOUBLE)) AS llr
+  FROM bc, tot),
+doc AS (
+  SELECT doc_id, source, sum(CAST(c AS DOUBLE) * llr) AS wgt
+  FROM dbc JOIN llr USING (b) GROUP BY 1, 2)
+SELECT source, CAST(floor(wgt) AS BIGINT) AS w_bucket, count(*) AS n_docs
+FROM doc GROUP BY 1, 2
+"""
+
+
+QC_BUCKETS = 4096  # hashing-trick feature space (fastText default 2M bins)
+
+
+def _qc_weight(b: Column) -> Column:
+    """Deterministic pseudo-weight for feature bucket b, in [-1, 1].
+
+    Stands in for a TRAINED weight vector: inference of any hashing-trick
+    linear classifier (fastText, Joulin et al. 2017; Vowpal Wabbit) is
+    exactly this shape — hash token, index a weight, average. A real
+    deployment swaps this expression for a broadcast (bucket, weight)
+    lookup join; the plan is otherwise identical. Hash-derived weights keep
+    the query oracle-checkable with no model artifact."""
+    return ((b % 1001) - 500).cast("double") / F.lit(500.0)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (fastText-style, Joulin et
+    al. 2017 — the model family behind the CCNet/LLaMA Wikipedia-reference
+    quality filters): per-document mean of hashed-token weights, bucketed
+    (width 0.05 in score space) into a per-source histogram plus the count
+    of positive-scoring docs a threshold pass would keep.
+
+    Scale shape — explode once, compute the weight IN the projection
+    (token -> bucket -> weight is pure column math, no lookup), partial-agg
+    to one (sum, count) row per doc map-side, one shuffle, zero joins.
+    Weight derivation is a deterministic stand-in for trained weights (see
+    _qc_weight). Reference precedent for score-threshold screens:
+    statistical_heuristics.py."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    wt = _qc_weight(token_hash(F.col("w"), 7, "md5_60") % QC_BUCKETS)
+    doc = toks.select("doc_id", "source", wt.alias("wt")).groupBy(
+        "doc_id", "source"
+    ).agg(F.avg("wt").alias("score"))
+    return doc.groupBy(
+        "source", F.floor(F.col("score") * 20).cast("long").alias("score_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("score") > 0).cast("long")).cast("long").alias("n_positive"),
+    )
+
+
+SQL_QUALITY_CLASSIFIER = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+f AS (
+  SELECT doc_id, source,
+         CAST(({_sql_md5h(7, 'w')} % {QC_BUCKETS}) % 1001 - 500 AS DOUBLE) / 500.0 AS wt
+  FROM toks WHERE length(w) > 0),
+doc AS (SELECT doc_id, source, avg(wt) AS score FROM f GROUP BY 1, 2)
+SELECT source, CAST(floor(score * 20) AS BIGINT) AS score_bucket,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+FROM doc GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3057,6 +3237,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_quality": q_c4_quality,
     "line_quality": q_line_quality,
     "line_dedup": q_line_dedup,
+    "dsir_weights": q_dsir_weights,
+    "quality_classifier": q_quality_classifier,
 }
 
 ORACLES: dict[str, str] = {
@@ -3138,4 +3320,6 @@ ORACLES: dict[str, str] = {
     "c4_quality": SQL_C4_QUALITY,
     "line_quality": SQL_LINE_QUALITY,
     "line_dedup": SQL_LINE_DEDUP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
 }

@@ -130,6 +130,18 @@ def main() -> int:
             runtime_formatted(QUERIES["unigram_logprob"](spark, SF_DIR)),
         ),
         (
+            "dsir_weights — DSIR importance weights (single-scan shared exchange)",
+            "Xie et al. 2023 importance resampling: hashed-unigram bucket "
+            "counts per doc feed BOTH the target/raw ratio table and the "
+            "per-doc scoring join off ONE exchange (ReusedExchange in the "
+            "final plan — requires the explicit isnotnull(b) noted in the "
+            "source); totals via a window over the <=1024-row bucket table, "
+            "so no scalar-agg lineage forces a second corpus scan. "
+            "quality_classifier is the zero-join sibling (plan-asserted in "
+            "test_plans.py).",
+            runtime_formatted(QUERIES["dsir_weights"](spark, SF_DIR)),
+        ),
+        (
             "line_dedup — cross-document line dedup (skew-safe h-join shape)",
             "RefinedWeb/CCNet line-wise dedup: distinct (doc, md5(line)) "
             "pre-aggregation keyed by doc_id BEFORE any h-keyed exchange "

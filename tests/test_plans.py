@@ -261,3 +261,28 @@ def test_line_op_plans_are_scale_shaped(spark):
     assert "partial_count" in p
     # the pre-agg exchange spreads hot lines across docs
     assert re.search(r"hashpartitioning\(doc_id#\d+", p)
+
+
+def test_data_selection_plans_are_scale_shaped(spark):
+    """quality_classifier: explode once, the hashed weight computed IN the
+    scan-side projection, one combiner-compressed doc-level shuffle, zero
+    joins, zero Windows. dsir_weights: the corpus must be scanned and
+    exploded exactly ONCE — the per-doc bucket-count exchange is shared by
+    the ratio branch and the scoring join (this needs the explicit
+    isnotnull(b) in the shared subtree; only the AQE FINAL plan shows the
+    reuse, so this assertion runs after collect())."""
+    from bio_data_validation_spark.contract import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(QUERIES["quality_classifier"](spark, sf))
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Scan parquet") == 1
+    assert "partial" in p  # map-side combine before the doc shuffle
+
+    df = QUERIES["dsir_weights"](spark, sf)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("Initial Plan")[0]
+    assert final.count("Scan parquet ") == 1
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final
