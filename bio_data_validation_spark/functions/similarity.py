@@ -630,14 +630,18 @@ def sq8_topk_batch(
     qvec = sq8_quantize_col(mins, scales, vec_col)
     pre_w = Window.partitionBy(query_id_col).orderBy(F.desc("__pre"), F.col(id_col))
     cos_w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.col(id_col))
-    return (
-        df.select(F.col(id_col), F.col(vec_col), qvec.alias("__q"))
-        .crossJoin(F.broadcast(qdf))
+    # The ranking window shuffles n*q rows — project it down to
+    # (query_id, id, int prescore) FIRST (a window cannot combine map-side,
+    # but it can be narrow: ~20 B/row instead of the ~1 KB/row it costs to
+    # carry both float vectors through the exchange), then fetch the float
+    # vectors back for the tiny rescore pool (q * rescore * k rows) via
+    # broadcast joins against a second pruned corpus scan.
+    pool_ids = (
+        df.select(F.col(id_col), qvec.alias("__q"))
+        .crossJoin(F.broadcast(qdf.select(query_id_col, "__qq")))
         .select(
             query_id_col,
             id_col,
-            vec_col,
-            "__qvec",
             F.aggregate(
                 F.zip_with(
                     F.col("__q"), F.col("__qq").cast("array<int>"), lambda a, b: a * b
@@ -648,6 +652,12 @@ def sq8_topk_batch(
         )
         .withColumn("__prn", F.row_number().over(pre_w))
         .filter(F.col("__prn") <= int(rescore) * k)
+        .select(query_id_col, id_col)
+    )
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(pool_ids), id_col)
+        .join(F.broadcast(qdf.select(query_id_col, "__qvec")), query_id_col)
         .select(
             query_id_col,
             id_col,
