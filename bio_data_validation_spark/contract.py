@@ -2329,6 +2329,83 @@ SELECT query_id, vec_id, round(cos, 4) AS cos FROM ranked WHERE rn <= 10
 SQ8_RESCORE = 4  # exact-rescore pool = SQ8_RESCORE * k
 
 
+def q_ivf_sq8_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 composed batched ANN (FAISS IVF,SQ8 family) — cell pruning
+    confines the int8 prescore to each query's probe cells, exact float
+    cosine runs on the rescore pool only; one scoring job for all
+    {LSH_BATCH_NQ} queries. The 100-TB retrieval shape: candidate volume
+    scales with n_probe/n_cells, prescore bytes with the int8 codes, float
+    math with rescore*k."""
+    from .functions.similarity import ivf_sq8_topk_batch
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < LSH_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_sq8_topk_batch(
+        e, queries, k=10, rescore=SQ8_RESCORE, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+    )
+
+
+def _sql_ivf_sq8_topk_batch() -> str:
+    dims = EMBED_DIMS
+    d_assign = _sql_dist2("e.embedding", "c.cvec")
+    d_query = _sql_dist2("q.qvec", "c.cvec")
+    cb = ", ".join(
+        f"min(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i}, "
+        f"max(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}"
+        for i in range(dims)
+    )
+    sc = ", ".join(
+        f"mn{i}, CASE WHEN mx{i} > mn{i} THEN mx{i} - mn{i} ELSE 1.0 END AS sc{i}"
+        for i in range(dims)
+    )
+
+    def qz(src: str, i: int) -> str:
+        return (
+            f"(CAST(floor((CAST({src}[{i + 1}] AS DOUBLE) - mn{i}) / sc{i} "
+            f"* 254.0 + 0.5) AS INT) - 127)"
+        )
+
+    pre = " + ".join(f"{qz('e.embedding', i)} * {qz('q.qvec', i)}" for i in range(dims))
+    cos = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
+    return f"""
+WITH cb AS (SELECT {cb} FROM embeddings),
+s AS (SELECT {sc} FROM cb),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS})),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY ({d_assign}), c.cell) AS rn
+             FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < {LSH_BATCH_NQ}),
+probe AS (SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY ({d_query}), c.cell) AS rn
+            FROM cents c CROSS JOIN q) WHERE rn <= {IVF_PROBE}),
+pool AS (SELECT query_id, vec_id FROM (
+           SELECT p.query_id, e.vec_id,
+                  row_number() OVER (PARTITION BY p.query_id
+                                     ORDER BY ({pre}) DESC, e.vec_id) AS prn
+           FROM probe p
+           JOIN assign a ON a.cell = p.cell
+           JOIN embeddings e ON e.vec_id = a.vec_id
+           JOIN q ON q.query_id = p.query_id
+           CROSS JOIN s) WHERE prn <= {SQ8_RESCORE * 10}),
+ranked AS (
+  SELECT pl.query_id, e.vec_id, {cos} AS cos,
+         row_number() OVER (PARTITION BY pl.query_id
+                            ORDER BY {cos} DESC, e.vec_id) AS rn
+  FROM pool pl
+  JOIN embeddings e ON e.vec_id = pl.vec_id
+  JOIN q ON q.query_id = pl.query_id)
+SELECT query_id, vec_id, round(cos, 4) AS cos FROM ranked WHERE rn <= 10
+"""
+
+
 def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via int8 scalar quantization + exact rescore: the 100-TB
     memory-bandwidth play (the int8 code column is 1/4 the bytes of the
@@ -3239,6 +3316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "dsir_weights": q_dsir_weights,
     "quality_classifier": q_quality_classifier,
+    "ivf_sq8_topk_batch": q_ivf_sq8_topk_batch,
 }
 
 ORACLES: dict[str, str] = {
@@ -3322,4 +3400,5 @@ ORACLES: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "ivf_sq8_topk_batch": _sql_ivf_sq8_topk_batch(),
 }

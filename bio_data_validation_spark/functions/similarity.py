@@ -669,6 +669,100 @@ def sq8_topk_batch(
     )
 
 
+def ivf_sq8_topk_batch(
+    df,
+    queries: "list[tuple] | DataFrame",
+    k: int = 10,
+    rescore: int = 4,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+):
+    """IVF + SQ8 composed ANN — the shape a 100-TB retrieval pass actually
+    runs (FAISS's IVF,SQ8 index family): seeded-IVF cell pruning confines
+    scoring to each query's ``n_probe`` probe cells (an n_cells/n_probe
+    fraction of the corpus), the int8 prescore ranks those candidates
+    touching 1/4 the bytes of the float column, and exact float cosine runs
+    only on the per-query ``rescore * k`` pool. ONE scoring job for all
+    queries; the ranking window carries narrow (query, id, int) rows and
+    the float vectors are fetched back for the pool via broadcast joins
+    (same shuffle-width rationale as :func:`sq8_topk_batch`).
+
+    Deterministic end-to-end at any parallelism: deterministic cell
+    assignment (seeded_cell_col's fixed fold order), exact integer
+    prescore, fixed id tie-breaks."""
+    from pyspark.sql import Window
+
+    if isinstance(queries, DataFrame):
+        cols = queries.columns
+        qv = vec_col if vec_col in cols else cols[1]
+        qrows = [
+            (r[query_id_col], [float(x) for x in r[qv]])
+            for r in queries.select(query_id_col, qv).collect()
+        ]
+    else:
+        qrows = [(qid, [float(x) for x in v]) for qid, v in queries]
+    if not qrows:
+        raise ValueError("ivf_sq8_topk_batch: empty query set")
+    spark = df.sparkSession
+
+    mins, scales = sq8_codebook(df, id_col, vec_col)
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in rows]
+
+    probe_rows = []
+    for qid, vec in qrows:
+        dists = [_python_dist2(vec, c) for c in centroids]
+        probe = sorted(range(len(dists)), key=lambda i: (dists[i], i))[:n_probe]
+        probe_rows.extend((qid, int(c)) for c in probe)
+    probe_df = spark.createDataFrame(probe_rows, [query_id_col, "__cell"])
+    qdf = spark.createDataFrame(
+        [(qid, _python_sq8(vec, mins, scales), vec) for qid, vec in qrows],
+        [query_id_col, "__qq", "__qvec"],
+    )
+
+    pre_w = Window.partitionBy(query_id_col).orderBy(F.desc("__pre"), F.col(id_col))
+    cos_w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.col(id_col))
+    pool_ids = (
+        df.select(
+            F.col(id_col),
+            seeded_cell_col(centroids, vec_col).alias("__cell"),
+            sq8_quantize_col(mins, scales, vec_col).alias("__q"),
+        )
+        .join(F.broadcast(probe_df), "__cell")
+        .join(F.broadcast(qdf.select(query_id_col, "__qq")), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"), F.col("__qq").cast("array<int>"), lambda a, b: a * b
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("__pre"),
+        )
+        .withColumn("__prn", F.row_number().over(pre_w))
+        .filter(F.col("__prn") <= int(rescore) * k)
+        .select(query_id_col, id_col)
+    )
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(pool_ids), id_col)
+        .join(F.broadcast(qdf.select(query_id_col, "__qvec")), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qvec")).alias("__cos"),
+        )
+        .withColumn("__rn", F.row_number().over(cos_w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, F.round("__cos", 4).alias("cos"))
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     n_cells: int = 16,

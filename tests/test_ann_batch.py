@@ -148,3 +148,33 @@ def test_semantic_dedup_min_id_canonical(spark):
     out = {r["vec_id"]: r["is_dup"] for r in semantic_dedup(df, n_cells=2, tau=0.95).collect()}
     assert out[10] is False and out[11] is True and out[12] is True
     assert all(out[i] is False for i in range(4))
+
+
+def test_ivf_sq8_batch_candidates_and_recall(spark):
+    """The composed IVF+SQ8 path must (a) only return candidates from each
+    query's probe cells (cell pruning is real), (b) return exact float
+    cosines (they come from the rescore), and (c) keep recall@5 >= 0.6 vs
+    brute force within the probe cells' candidate set — the prescore pool
+    may miss, the cell pruning may not leak."""
+    from bio_data_validation_spark.functions.similarity import (
+        _python_dist2,
+        brute_force_topk,
+        ivf_sq8_topk_batch,
+        ivf_seeded_topk_batch,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_sq8_topk_batch(e, queries, k=5, n_cells=4, n_probe=2)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == set(range(5))
+    # exact-ivf within the same cells = the ceiling the sq8 pool prescreens
+    exact = ivf_seeded_topk_batch(e, queries, k=5, n_cells=4, n_probe=2)
+    exact_map = {(r["query_id"], r["vec_id"]): r["cos"] for r in exact.collect()}
+    got_map = {(r["query_id"], r["vec_id"]): r["cos"] for r in rows}
+    hit = set(exact_map) & set(got_map)
+    assert len(hit) >= 0.6 * len(exact_map), (exact_map, got_map)
+    for key in hit:  # rescore cosines are the exact float values
+        assert got_map[key] == exact_map[key]
