@@ -74,6 +74,12 @@ SKIP_AT_BENCH = {
     "dup_clusters",
     # levenshtein rescore over the same pair-output candidate set
     "levenshtein_near_dups",
+    # cross-corpus twins of the pair ops above: same quadratic pair
+    # intermediate on the dup-heavy synthetic corpus, same md5_60 oracle
+    # hash — correctness-gated at sf0.01; the linear candidate stage is
+    # benched via lsh_bucket_stats
+    "cross_corpus_dups",
+    "cross_corpus_dedup",
     # end-to-end curation composition: contains dup_clusters (above) with
     # the md5_60 oracle hash — correctness-gated at sf0.01; the production
     # xxhash64 path is benched stage-by-stage via its components

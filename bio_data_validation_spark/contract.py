@@ -3198,6 +3198,95 @@ FROM doc GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Cross-corpus dedup: new crawl vs existing training corpus
+# --------------------------------------------------------------------------
+
+# Deterministic corpus split on the shared documents table: every 4th doc
+# is the "new crawl", the rest are the "existing corpus". Both sides derive
+# from one input, so the SQL oracle can band ALL docs once and apply the
+# split predicate inside the candidate join (a doc's MinHash signature does
+# not depend on which corpus it belongs to).
+CROSS_CORPUS_MOD = 4
+
+
+def q_cross_corpus_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup PAIRS: new-crawl docs (doc_id % 4 = 0) that
+    near-duplicate an existing-corpus doc (doc_id % 4 != 0). Two-table
+    MinHash-LSH join + exact Jaccard rescore on candidates only
+    (dedup.cross_corpus_near_dups) — the crawl-refresh dedup a training
+    pipeline runs against its standing corpus. md5_60 hash for oracle
+    parity; xxhash64 is the production path with identical structure."""
+    from .functions.dedup import cross_corpus_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter((F.col("doc_id") % CROSS_CORPUS_MOD) == 0)
+    corpus = d.filter((F.col("doc_id") % CROSS_CORPUS_MOD) != 0)
+    return cross_corpus_near_dups(
+        new, corpus, "text", "doc_id",
+        threshold=NEAR_DUP_THRESHOLD,
+        num_hashes=MINHASH_NUM_HASHES, bands=MINHASH_BANDS, hash_fn="md5_60",
+    )
+
+
+def _sql_cross_corpus_pairs_ctes() -> str:
+    m = CROSS_CORPUS_MOD
+    return f"""{_sql_minhash_banded()},
+cands AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id % {m} = 0 AND b.doc_id % {m} <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+inter AS (SELECT c.new_id, c.dup_of, count(*) AS i
+          FROM cands c
+          JOIN toks ta ON ta.doc_id = c.new_id
+          JOIN toks tb ON tb.doc_id = c.dup_of AND tb.tok = ta.tok
+          GROUP BY 1, 2),
+pairs AS (SELECT new_id, dup_of,
+                 round(i / CAST(sa.n_tok + sb.n_tok - i AS DOUBLE), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = new_id
+          JOIN sizes sb ON sb.doc_id = dup_of
+          WHERE i / CAST(sa.n_tok + sb.n_tok - i AS DOUBLE) >= {NEAR_DUP_THRESHOLD})"""
+
+
+def _sql_cross_corpus_dups() -> str:
+    return f"""
+WITH {_sql_cross_corpus_pairs_ctes()}
+SELECT new_id, dup_of, jaccard FROM pairs
+"""
+
+
+def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-new-doc admission decision vs the standing corpus:
+    (new_id, is_dup, best_jaccard) — every new-crawl doc exactly once,
+    flagged when its best corpus match clears the near-dup threshold
+    (dedup.cross_corpus_dedup). The keep/drop relation a crawl refresh
+    feeds into engine.curate."""
+    from .functions.dedup import cross_corpus_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter((F.col("doc_id") % CROSS_CORPUS_MOD) == 0)
+    corpus = d.filter((F.col("doc_id") % CROSS_CORPUS_MOD) != 0)
+    return cross_corpus_dedup(
+        new, corpus, "text", "doc_id",
+        threshold=NEAR_DUP_THRESHOLD,
+        num_hashes=MINHASH_NUM_HASHES, bands=MINHASH_BANDS, hash_fn="md5_60",
+    )
+
+
+def _sql_cross_corpus_dedup() -> str:
+    return f"""
+WITH {_sql_cross_corpus_pairs_ctes()},
+best AS (SELECT new_id, max(jaccard) AS best_jaccard FROM pairs GROUP BY new_id)
+SELECT d.doc_id AS new_id,
+       b.new_id IS NOT NULL AS is_dup,
+       coalesce(b.best_jaccard, 0.0) AS best_jaccard
+FROM documents d LEFT JOIN best b ON b.new_id = d.doc_id
+WHERE d.text IS NOT NULL AND d.doc_id % {CROSS_CORPUS_MOD} = 0
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3317,6 +3406,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "quality_classifier": q_quality_classifier,
     "ivf_sq8_topk_batch": q_ivf_sq8_topk_batch,
+    "cross_corpus_dups": q_cross_corpus_dups,
+    "cross_corpus_dedup": q_cross_corpus_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3401,4 +3492,6 @@ ORACLES: dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "ivf_sq8_topk_batch": _sql_ivf_sq8_topk_batch(),
+    "cross_corpus_dups": _sql_cross_corpus_dups(),
+    "cross_corpus_dedup": _sql_cross_corpus_dedup(),
 }

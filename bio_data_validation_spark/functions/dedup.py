@@ -490,3 +490,113 @@ def simhash_duplicates(
         .filter(F.col("n") > 1)
         .select("doc_id", "simhash")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus dedup: new crawl vs an existing training corpus
+# --------------------------------------------------------------------------
+
+def cross_corpus_candidates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(new_id, dup_of) candidate pairs between TWO corpora: each new-crawl
+    doc paired with the existing-corpus docs it shares an LSH band bucket
+    with. The two-table twin of :func:`minhash_lsh_candidates` — the shape a
+    training pipeline runs every crawl refresh ("is this page already in the
+    training set?"), which a self-join cannot express without re-banding the
+    whole union each time.
+
+    Scale design: each side is banded independently (rows x bands records,
+    linear), then joined on (band, bucket) — an equi-join AQE can
+    skew-split when a hot bucket (boilerplate grams) concentrates. The
+    corpus side is the big static one: its banding relation depends only on
+    its own text, so at 100 TB it is computed once, written out bucketed by
+    (band, bucket), and reused across crawls — only the new-crawl side
+    (orders of magnitude smaller) is hashed per run. Reference parity:
+    extends rule_validator.py:388-420 (duplicate-content rule) across
+    snapshots."""
+    bn = minhash_banded(new_df, text_col, id_col, num_hashes, bands, hash_fn).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    bc = minhash_banded(corpus_df, text_col, id_col, num_hashes, bands, hash_fn).select(
+        F.col("doc_id").alias("dup_of"), "band", "bucket"
+    )
+    return bn.join(bc, ["band", "bucket"]).select("new_id", "dup_of").distinct()
+
+
+def cross_corpus_near_dups(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(new_id, dup_of, jaccard): new-crawl docs that are near-duplicates of
+    existing-corpus docs. LSH candidates (two-table, linear shuffles) +
+    exact token-set Jaccard rescore confined to candidate pairs — the same
+    candidate/rescore split as :func:`near_dup_pairs`, across tables.
+    Misses pairs sharing no band bucket with the usual (1 - s^r)^b recall
+    trade."""
+    cands = cross_corpus_candidates(
+        new_df, corpus_df, text_col, id_col, num_hashes, bands, hash_fn
+    )
+    tn = _tokens(new_df, text_col, id_col).select(F.col("doc_id").alias("new_id"), "tok")
+    tc = _tokens(corpus_df, text_col, id_col).select(F.col("doc_id").alias("dup_of"), "tok")
+    sn = tn.groupBy("new_id").agg(F.count(F.lit(1)).alias("na"))
+    sc = tc.groupBy("dup_of").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        cands.join(tn, "new_id")
+        .join(tc, ["dup_of", "tok"])
+        .groupBy("new_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sn, "new_id")
+        .join(sc, "dup_of")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def cross_corpus_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-new-doc admission decision against an existing corpus:
+    (new_id, is_dup, best_jaccard). best_jaccard is the strongest corpus
+    match >= threshold (0.0 when none) — the keep/drop relation a crawl
+    refresh feeds straight into the curation pipeline. One extra linear
+    groupBy + left join over :func:`cross_corpus_near_dups`; every new doc
+    appears exactly once."""
+    pairs = cross_corpus_near_dups(
+        new_df, corpus_df, text_col, id_col, threshold, num_hashes, bands, hash_fn
+    )
+    best = pairs.groupBy("new_id").agg(F.max("jaccard").alias("best_jaccard"))
+    base = new_df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("new_id")
+    )
+    return base.join(best, "new_id", "left").select(
+        "new_id",
+        F.col("best_jaccard").isNotNull().alias("is_dup"),
+        F.coalesce(F.col("best_jaccard"), F.lit(0.0)).alias("best_jaccard"),
+    )

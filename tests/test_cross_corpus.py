@@ -1,0 +1,83 @@
+"""Cross-corpus dedup: a new crawl deduped AGAINST an existing training
+corpus (two-table MinHash-LSH join + exact Jaccard rescore on candidates).
+Controlled fixtures: an exact copy must flag at jaccard 1.0, a near-copy
+above threshold, a novel doc must pass, and no new-new or corpus-corpus
+pair may ever appear."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.functions.dedup import (
+    cross_corpus_candidates,
+    cross_corpus_dedup,
+    cross_corpus_near_dups,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the quiet river "
+    "while autumn leaves drift slowly across the old stone bridge"
+)
+NEAR = BASE + " today"  # one extra token -> jaccard 21/22 ~ 0.954
+NOVEL = "completely unrelated content about spark shuffle partitioning and adaptive query execution"
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    corpus = spark.createDataFrame(
+        [(100, BASE), (101, "some other standing corpus document entirely"), (102, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, NOVEL), (4, None)],
+        "doc_id long, text string",
+    )
+    return new, corpus
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5_60"])
+def test_cross_corpus_near_dups(corpora, hash_fn):
+    new, corpus = corpora
+    rows = {
+        (r.new_id, r.dup_of): r.jaccard
+        for r in cross_corpus_near_dups(new, corpus, hash_fn=hash_fn).collect()
+    }
+    assert rows[(1, 100)] == 1.0  # exact copy of a corpus doc
+    near = rows.get((2, 100))  # near-copy: found unless LSH recall miss
+    assert near is None or near > 0.9
+    assert all(a in (1, 2) and b == 100 for a, b in rows)  # novel/null never pair
+
+
+def test_cross_corpus_decisions(corpora):
+    new, corpus = corpora
+    out = {r.new_id: r for r in cross_corpus_dedup(new, corpus).collect()}
+    assert set(out) == {1, 2, 3}  # every non-null new doc exactly once
+    assert out[1].is_dup and out[1].best_jaccard == 1.0
+    assert not out[3].is_dup and out[3].best_jaccard == 0.0
+
+
+def test_candidates_never_pair_within_a_side(corpora):
+    new, corpus = corpora
+    cands = cross_corpus_candidates(new, corpus)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    for r in cands.collect():
+        assert r.new_id in new_ids and r.dup_of in corpus_ids
+
+
+def test_corpus_banding_is_split_invariant(spark, corpora):
+    """A doc's candidate matches must not depend on what else is in the new
+    crawl: running doc 1 alone finds the same corpus matches as running the
+    full crawl (signatures are per-doc; the join is the only coupling)."""
+    new, corpus = corpora
+    full = {
+        (r.new_id, r.dup_of)
+        for r in cross_corpus_candidates(new, corpus).collect()
+        if r.new_id == 1
+    }
+    alone = {
+        (r.new_id, r.dup_of)
+        for r in cross_corpus_candidates(
+            new.filter(F.col("doc_id") == 1), corpus
+        ).collect()
+    }
+    assert full == alone
