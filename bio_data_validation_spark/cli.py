@@ -96,6 +96,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "thresholds",
     )
     c.add_argument(
+        "--against", default=None,
+        help="parquet path of a STANDING training corpus: new docs that "
+        "near-duplicate it are dropped as corpus_dup (crawl-refresh mode)",
+    )
+    c.add_argument("--against-threshold", type=float, default=0.8)
+    c.add_argument(
         "--redact-pii", action="store_true",
         help="rewrite kept-corpus text through PII redaction "
         "(email/IPv4/phone -> typed placeholders)",
@@ -190,6 +196,10 @@ def main(argv: list[str] | None = None) -> int:
             lsh_num_hashes=args.lsh_num_hashes,
             lsh_bands=args.lsh_bands,
             redact_pii=args.redact_pii,
+            against=(
+                spark.read.parquet(args.against) if args.against else None
+            ),
+            against_threshold=args.against_threshold,
         )
         print(json.dumps(stats, default=str))
         return 0

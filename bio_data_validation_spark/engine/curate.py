@@ -16,6 +16,9 @@ was dropped:
       3. exact_dup      — non-canonical member of a sha256 group
       4. near_dup       — non-canonical member of a MinHash-LSH cluster
                           (transitive closure, keep min doc_id)
+      4b. corpus_dup    — opt-in (``against=``): near-duplicates a doc in a
+                          STANDING training corpus (crawl-refresh mode;
+                          two-table LSH join, dedup.cross_corpus_dedup)
       5. contaminated   — shares a word n-gram with the benchmark slice
                           (Brown et al. 2020 Appendix C)
       6. not_sampled    — deterministic hash-mod downsampling miss
@@ -183,6 +186,8 @@ def curation_decisions(
     lsh_num_hashes: int = 32,
     lsh_bands: int = 8,
     hash_fn: str = "xxhash64",
+    against: DataFrame | None = None,
+    against_threshold: float = 0.8,
 ) -> DataFrame:
     """The declarative core of :func:`curate`: one decision row per input
     doc — (doc_id, lang, n_words, dup_word_frac, dup_bigram_frac,
@@ -223,6 +228,20 @@ def curation_decisions(
         else None
     )
 
+    # cross-corpus dedup against a standing training corpus (optional,
+    # crawl-refresh mode): two-table LSH join + exact Jaccard rescore
+    # (dedup.cross_corpus_dedup); the corpus side's banding relation is
+    # recomputable/persistable independently of this crawl.
+    corpus_dup = None
+    if against is not None:
+        from ..functions.dedup import cross_corpus_dedup
+
+        corpus_dup = cross_corpus_dedup(
+            nonnull, against, text_col, "doc_id",
+            threshold=against_threshold,
+            num_hashes=lsh_num_hashes, bands=lsh_bands, hash_fn=hash_fn,
+        ).select(F.col("new_id").alias("doc_id"), F.col("is_dup").alias("corpus_dup"))
+
     # deterministic sampling decision (pure predicate)
     hmod = F.pmod(token_hash(F.col("doc_id").cast("string"), 0, hash_fn), F.lit(100))
     rate = F.lit(int(sample_default))
@@ -241,6 +260,8 @@ def curation_decisions(
         d = d.join(contam, "doc_id", "left")
     else:
         d = d.withColumn("contaminated", F.lit(False))
+    if corpus_dup is not None:
+        d = d.join(corpus_dup, "doc_id", "left")
 
     # Opt-in Gopher screens: active only when the quality dict carries one
     # of the GOPHER_KEYS — the default composition (and its oracle) is
@@ -268,6 +289,13 @@ def curation_decisions(
         drop_reason
         .when(F.coalesce(F.col("exact_dup"), F.lit(False)), "exact_dup")
         .when(near_dup, "near_dup")
+    )
+    if corpus_dup is not None:
+        drop_reason = drop_reason.when(
+            F.coalesce(F.col("corpus_dup"), F.lit(False)), "corpus_dup"
+        )
+    drop_reason = (
+        drop_reason
         .when(F.coalesce(F.col("contaminated"), F.lit(False)), "contaminated")
         .when(~F.coalesce(F.col("sampled"), F.lit(True)), "not_sampled")
     )
@@ -298,6 +326,8 @@ def curate(
     lsh_num_hashes: int = 32,
     lsh_bands: int = 8,
     redact_pii: bool = False,
+    against: DataFrame | None = None,
+    against_threshold: float = 0.8,
 ) -> dict:
     """Run the curation pipeline; returns the stats dict (and, when
     ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
@@ -327,6 +357,8 @@ def curate(
         lang_col=lang_col,
         lsh_num_hashes=lsh_num_hashes,
         lsh_bands=lsh_bands,
+        against=against,
+        against_threshold=against_threshold,
     )
 
     decisions = decisions.persist()
@@ -352,6 +384,7 @@ def curate(
             "lsh": {"num_hashes": lsh_num_hashes, "bands": lsh_bands},
             "benchmark_decontamination": benchmark is not None,
             "pii_redaction": redact_pii,
+            "cross_corpus_dedup": against is not None,
         }
         if out_dir is not None:
             out = Path(out_dir)

@@ -196,3 +196,29 @@ def test_gopher_screens_opt_in(spark):
     }
     assert opted[1]["keep"]
     assert not opted[2]["keep"] and opted[2]["drop_reason"] == "gopher_quality"
+
+
+def test_curate_against_standing_corpus(spark, corpus, tmp_path):
+    """Crawl-refresh mode: docs near-duplicating the STANDING corpus drop as
+    corpus_dup; the stage is opt-in (absent without against=) and ranks
+    after internal dedup, before contamination."""
+    standing = spark.createDataFrame(
+        [(1000, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    stats = curate(
+        spark, corpus, out_dir=str(tmp_path / "cc"), against=standing
+    )
+    assert stats["cross_corpus_dedup"] is True
+    assert stats["dropped_by_reason"]["corpus_dup"] == 1  # doc 7 == standing doc
+    decisions = spark.read.parquet(str(tmp_path / "cc" / "decisions"))
+    d7 = decisions.filter(F.col("doc_id") == 7).collect()[0]
+    assert d7["drop_reason"] == "corpus_dup" and not d7["keep"]
+    # docs 0/8 keep: internal near-dup handling unaffected by the new stage
+    kept = {r["doc_id"] for r in decisions.filter("keep").collect()}
+    assert 0 in kept and 8 in kept
+
+    # opt-out path unchanged: no corpus_dup reason without against=
+    base = curate(spark, corpus)
+    assert "corpus_dup" not in base["dropped_by_reason"]
+    assert base["cross_corpus_dedup"] is False
