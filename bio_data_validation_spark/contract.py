@@ -3287,6 +3287,84 @@ WHERE d.text IS NOT NULL AND d.doc_id % {CROSS_CORPUS_MOD} = 0
 
 
 # --------------------------------------------------------------------------
+# Sequence packing: fixed-token-budget training sequences
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+PACK_BUCKETS = 8
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-sequence packing (functions.packing): docs
+    hash-ordered (reproducible global shuffle), salted into 8 independent
+    token streams, cut every 512 tokens — (doc_id, bucket, start_offset,
+    seq, n_tok, n_packs). Window cumsum runs per bucket, never globally."""
+    from .functions.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, budget=PACK_BUDGET, buckets=PACK_BUCKETS, hash_fn="md5_60"
+    )
+
+
+def _sql_pack_ctes() -> str:
+    h = _sql_md5h(0, "CAST(doc_id AS VARCHAR)")
+    return rf"""t AS (SELECT doc_id,
+           CAST({h} % {PACK_BUCKETS} AS INTEGER) AS bucket,
+           {h} AS __ord,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+s AS (SELECT doc_id, bucket,
+             sum(n_tok) OVER (PARTITION BY bucket ORDER BY __ord, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_offset,
+             n_tok
+      FROM t)"""
+
+
+def _sql_sequence_packing() -> str:
+    b = PACK_BUDGET
+    return f"""
+WITH {_sql_pack_ctes()}
+SELECT doc_id, bucket, start_offset,
+       CAST(floor(start_offset / {b}) AS BIGINT) AS seq,
+       n_tok,
+       CAST(floor((start_offset + n_tok - 1) / {b})
+            - floor(start_offset / {b}) + 1 AS BIGINT) AS n_packs
+FROM s
+"""
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level packing plan: docs/tokens/sequences implied by the
+    budget, mean fill of each bucket's final ragged sequence, straddler
+    count — the run-sizing numbers, two tiny aggs."""
+    from .functions.packing import packing_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return packing_stats(
+        d, budget=PACK_BUDGET, buckets=PACK_BUCKETS, hash_fn="md5_60"
+    )
+
+
+def _sql_packing_stats() -> str:
+    b = PACK_BUDGET
+    return f"""
+WITH {_sql_pack_ctes()},
+pb AS (SELECT bucket, sum(n_tok) AS btok, count(*) AS bdocs FROM t GROUP BY bucket),
+agg AS (SELECT CAST(sum(bdocs) AS BIGINT) AS n_docs,
+               CAST(sum(btok) AS BIGINT) AS n_tokens,
+               CAST(sum(ceil(btok / {b}.0)) AS BIGINT) AS n_sequences,
+               round(avg((btok - (ceil(btok / {b}.0) - 1) * {b}) / {b}.0), 6)
+                 AS last_seq_fill
+        FROM pb),
+st AS (SELECT count(*) AS n_straddlers FROM s WHERE
+         floor((start_offset + n_tok - 1) / {b}) > floor(start_offset / {b}))
+SELECT * FROM agg, st
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3408,6 +3486,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_sq8_topk_batch": q_ivf_sq8_topk_batch,
     "cross_corpus_dups": q_cross_corpus_dups,
     "cross_corpus_dedup": q_cross_corpus_dedup,
+    "sequence_packing": q_sequence_packing,
+    "packing_stats": q_packing_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -3494,4 +3574,6 @@ ORACLES: dict[str, str] = {
     "ivf_sq8_topk_batch": _sql_ivf_sq8_topk_batch(),
     "cross_corpus_dups": _sql_cross_corpus_dups(),
     "cross_corpus_dedup": _sql_cross_corpus_dedup(),
+    "sequence_packing": _sql_sequence_packing(),
+    "packing_stats": _sql_packing_stats(),
 }

@@ -1,0 +1,104 @@
+"""Deterministic sequence packing: lay curated documents end-to-end into
+fixed-token-budget training sequences (the packing step of T5 / GPT-style
+pipelines — Raffel et al. 2020 §2.2 "we pack multiple sequences into each
+entry"; reference parity: the batch assembly in
+/root/reference/src/validators/batch_processor.py is the single-node
+ancestor of this shape).
+
+Semantics: documents are ordered by a seeded hash (a reproducible global
+shuffle — the same order every run, on any cluster size), concatenated into
+a token stream, and the stream is cut every ``budget`` tokens. A document's
+pack is where its first token lands; long documents may straddle a cut
+(``n_packs`` > 1) and the trainer splits them at read time.
+
+Scale design (100 TB): a single global stream would need one totally-ordered
+window — a one-task bottleneck. Instead docs are salted into ``buckets``
+independent streams by doc-id hash; each stream is cumsum-packed inside its
+own partition (Window.partitionBy(bucket) — uniform hash buckets, no skew),
+so parallelism = buckets and no stage sees global order. Pack identity is
+(bucket, seq) — namespacing packs by stream keeps them stable when buckets
+are processed independently. Token counts use the whitespace proxy
+(consistent with contract.token_stats); swap in a real tokenizer count
+column upstream if one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import token_hash
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, bucket, start_offset, seq, n_tok, n_packs): the training
+    sequence (``bucket``, ``seq``) each document starts in, its token
+    offset within the bucket's stream, and how many budget windows it
+    spans. Deterministic in the input SET: same docs -> same packing, on
+    any partitioning and any cluster size."""
+    h = token_hash(F.col(id_col).cast("string"), 0, hash_fn)
+    toks = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(h, F.lit(buckets)).cast("int").alias("bucket"),
+        h.alias("__ord"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("bucket").orderBy("__ord", "doc_id")
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_offset")
+    out = toks.select("doc_id", "bucket", start, "n_tok")
+    return out.select(
+        "doc_id",
+        "bucket",
+        "start_offset",
+        F.floor(F.col("start_offset") / budget).cast("long").alias("seq"),
+        "n_tok",
+        (
+            F.floor((F.col("start_offset") + F.col("n_tok") - 1) / budget)
+            - F.floor(F.col("start_offset") / budget)
+            + 1
+        ).cast("long").alias("n_packs"),
+    )
+
+
+def packing_stats(
+    df: DataFrame,
+    budget: int = 2048,
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-level packing plan: one row — total docs/tokens, number of
+    training sequences implied by the budget, mean fill of the final
+    (ragged) sequence per bucket, and the straddler count. The numbers a
+    pipeline uses to size a training run before writing any packed data."""
+    p = pack_sequences(df, budget, buckets, text_col, id_col, hash_fn)
+    per_bucket = p.groupBy("bucket").agg(
+        F.sum("n_tok").alias("btok"),
+        F.count(F.lit(1)).alias("bdocs"),
+    )
+    return per_bucket.agg(
+        F.sum("bdocs").alias("n_docs"),
+        F.sum("btok").alias("n_tokens"),
+        F.sum(F.ceil(F.col("btok") / budget)).cast("long").alias("n_sequences"),
+        F.round(
+            F.avg(
+                (F.col("btok") - (F.ceil(F.col("btok") / budget) - 1) * budget)
+                / F.lit(float(budget))
+            ),
+            6,
+        ).alias("last_seq_fill"),
+    ).crossJoin(
+        p.filter(F.col("n_packs") > 1).agg(
+            F.count(F.lit(1)).alias("n_straddlers")
+        )
+    )

@@ -1,0 +1,77 @@
+"""Sequence packing: deterministic fixed-budget training sequences.
+Invariants: bucket streams are contiguous (no token lost or duplicated),
+the packing is invariant to input partitioning, straddler spans follow the
+offset math, and the stats roll up exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.functions.packing import pack_sequences, packing_stats
+
+BUDGET = 16
+BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 40)), "en")
+        for i in range(60)
+    ] + [(60, None, "en"), (61, "   ", "en")]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_streams_are_contiguous(docs):
+    rows = pack_sequences(docs, BUDGET, BUCKETS).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert sum(len(v) for v in by_bucket.values()) == 60  # null/blank excluded
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.start_offset)
+        pos = 0
+        for r in rs:
+            assert r.start_offset == pos, f"gap in bucket {b}"
+            assert r.seq == r.start_offset // BUDGET
+            last_tok = r.start_offset + r.n_tok - 1
+            assert r.n_packs == last_tok // BUDGET - r.seq + 1
+            pos += r.n_tok
+
+
+def test_partitioning_invariance(docs):
+    a = {tuple(r) for r in pack_sequences(docs, BUDGET, BUCKETS).collect()}
+    b = {
+        tuple(r)
+        for r in pack_sequences(docs.repartition(13), BUDGET, BUCKETS).collect()
+    }
+    assert a == b
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5_60"])
+def test_stats_roll_up(docs, hash_fn):
+    p = pack_sequences(docs, BUDGET, BUCKETS, hash_fn=hash_fn).collect()
+    s = packing_stats(docs, BUDGET, BUCKETS, hash_fn=hash_fn).collect()[0]
+    assert s.n_docs == len(p) == 60
+    assert s.n_tokens == sum(r.n_tok for r in p)
+    btok = {}
+    for r in p:
+        btok[r.bucket] = btok.get(r.bucket, 0) + r.n_tok
+    assert s.n_sequences == sum(-(-t // BUDGET) for t in btok.values())
+    assert s.n_straddlers == sum(1 for r in p if r.n_packs > 1)
+    fills = [(t - (-(-t // BUDGET) - 1) * BUDGET) / BUDGET for t in btok.values()]
+    assert abs(s.last_seq_fill - sum(fills) / len(fills)) < 1e-6
+
+
+def test_per_bucket_window_not_global(docs):
+    """The cumsum window must partition by bucket — a global window would
+    serialize the whole corpus through one task at scale. Plan check: the
+    Window exchange hashes on bucket, not a SinglePartition sort."""
+    df = pack_sequences(docs, BUDGET, BUCKETS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(bucket" in plan
+    # structural twin: every bucket starts its own stream at offset 0 —
+    # impossible under one global stream with >1 non-empty bucket
+    rows = df.collect()
+    zero_starts = [r for r in rows if r.start_offset == 0]
+    assert len(zero_starts) == len({r.bucket for r in rows})
