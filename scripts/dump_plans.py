@@ -152,6 +152,25 @@ def main() -> int:
             "test_plans.py).",
             formatted(QUERIES["line_dedup"](spark, SF_DIR)),
         ),
+        (
+            "cross_corpus_dedup — crawl-refresh dedup vs a standing corpus",
+            "Both corpora banded independently (rows x bands, linear); "
+            "candidates via an equi-join on (band, bucket) — AQE "
+            "skew-splittable when boilerplate concentrates a bucket — and "
+            "the exact Jaccard rescore is confined to candidate pairs. The "
+            "corpus side's banding relation depends only on its own text, "
+            "so at 100 TB it is computed once and reused across crawls.",
+            formatted(QUERIES["cross_corpus_dedup"](spark, SF_DIR)),
+        ),
+        (
+            "sequence_packing — per-bucket cumsum, no global sort",
+            "Deterministic training-sequence packing: docs hash-salted "
+            "into independent token streams; the running-offset window "
+            "partitions by bucket (hashpartitioning(bucket), never "
+            "SinglePartition), so parallelism = buckets and no stage sees "
+            "global order. Scan pruned to doc_id + text.",
+            formatted(QUERIES["sequence_packing"](spark, SF_DIR)),
+        ),
     ]
 
     out = ["# PLANS — formatted physical plans of the flagship operators\n"]

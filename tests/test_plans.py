@@ -286,3 +286,31 @@ def test_data_selection_plans_are_scale_shaped(spark):
     final = final.split("Initial Plan")[0]
     assert final.count("Scan parquet ") == 1
     assert "ReusedExchange" in final or "ReusedQueryStage" in final
+
+
+def test_packing_and_cross_corpus_plans_are_scale_shaped(spark):
+    """sequence_packing: the cumsum window partitions by BUCKET (never a
+    global SinglePartition sort — that would serialize the corpus through
+    one task); scan pruned to doc_id+text, no joins. cross_corpus_dedup:
+    both sides banded independently, candidates via an equi-join on
+    (band, bucket) that AQE can skew-split; no Window, no cartesian."""
+    from bio_data_validation_spark.contract import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(QUERIES["sequence_packing"](spark, sf))
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(bucket" in p
+    assert "Join" not in p
+    read_schema = p[p.index("ReadSchema"):].split("\n")[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+    # packing_stats ends in a scalar agg (SinglePartition is legitimate
+    # there — P rows in), but the heavy cumsum below it must still hash on
+    # bucket
+    p = _plan(QUERIES["packing_stats"](spark, sf))
+    assert "hashpartitioning(bucket" in p
+
+    p = _plan(QUERIES["cross_corpus_dedup"](spark, sf))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
