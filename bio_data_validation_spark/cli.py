@@ -106,6 +106,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="rewrite kept-corpus text through PII redaction "
         "(email/IPv4/phone -> typed placeholders)",
     )
+    c.add_argument(
+        "--pack-budget", type=int, default=None,
+        help="pack the kept corpus into training sequences of this many "
+        "tokens (writes packs/ parquet + packing stats)",
+    )
+    c.add_argument("--pack-buckets", type=int, default=64)
     c.add_argument("--master", dest="curate_master", default=None)
 
     r = sub.add_parser("review", help="list / resolve human-review queue tasks")
@@ -200,6 +206,8 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.against) if args.against else None
             ),
             against_threshold=args.against_threshold,
+            pack_budget=args.pack_budget,
+            pack_buckets=args.pack_buckets,
         )
         print(json.dumps(stats, default=str))
         return 0

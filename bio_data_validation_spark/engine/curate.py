@@ -328,6 +328,8 @@ def curate(
     redact_pii: bool = False,
     against: DataFrame | None = None,
     against_threshold: float = 0.8,
+    pack_budget: int | None = None,
+    pack_buckets: int = 64,
 ) -> dict:
     """Run the curation pipeline; returns the stats dict (and, when
     ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
@@ -398,6 +400,26 @@ def curate(
 
                 kept = kept.withColumn(text_col, _redact(F.col(text_col)))
             kept.write.mode("overwrite").parquet(str(out / "kept"))
+            if pack_budget is not None:
+                # Training-sequence packing of the KEPT corpus (post-
+                # redaction text, the bytes a trainer reads): per-doc pack
+                # assignment + run-sizing numbers in the stats dict.
+                from ..functions.packing import pack_sequences, packing_stats
+
+                pack_sequences(
+                    kept, pack_budget, pack_buckets, text_col, "doc_id"
+                ).write.mode("overwrite").parquet(str(out / "packs"))
+                ps = packing_stats(
+                    kept, pack_budget, pack_buckets, text_col, "doc_id"
+                ).collect()[0]
+                stats["packing"] = {
+                    "budget": pack_budget,
+                    "buckets": pack_buckets,
+                    "n_tokens": int(ps["n_tokens"]),
+                    "n_sequences": int(ps["n_sequences"]),
+                    "last_seq_fill": float(ps["last_seq_fill"]),
+                    "n_straddlers": int(ps["n_straddlers"]),
+                }
             (out / "curation_stats.json").write_text(
                 json.dumps(stats, indent=2, sort_keys=True)
             )

@@ -75,3 +75,23 @@ def test_per_bucket_window_not_global(docs):
     rows = df.collect()
     zero_starts = [r for r in rows if r.start_offset == 0]
     assert len(zero_starts) == len({r.bucket for r in rows})
+
+
+def test_curate_packs_kept_corpus(spark, docs, tmp_path):
+    """curate(pack_budget=...) writes the pack assignment of the KEPT
+    corpus and folds the run-sizing numbers into the stats dict."""
+    from bio_data_validation_spark.engine.curate import curate
+
+    stats = curate(
+        spark, docs, out_dir=str(tmp_path / "c"), pack_budget=BUDGET,
+        pack_buckets=BUCKETS,
+    )
+    packs = spark.read.parquet(str(tmp_path / "c" / "packs"))
+    kept = spark.read.parquet(str(tmp_path / "c" / "kept"))
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    pack_ids = {r.doc_id for r in packs.select("doc_id").collect()}
+    assert pack_ids == kept_ids  # only (and all) kept docs are packed
+    p = stats["packing"]
+    assert p["budget"] == BUDGET
+    assert p["n_sequences"] >= 1
+    assert p["n_tokens"] == sum(r.n_tok for r in packs.collect())
