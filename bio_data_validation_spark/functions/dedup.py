@@ -504,6 +504,7 @@ def cross_corpus_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     hash_fn: str = "xxhash64",
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, dup_of) candidate pairs between TWO corpora: each new-crawl
     doc paired with the existing-corpus docs it shares an LSH band bucket
@@ -520,13 +521,20 @@ def cross_corpus_candidates(
     (band, bucket), and reused across crawls — only the new-crawl side
     (orders of magnitude smaller) is hashed per run. Reference parity:
     extends rule_validator.py:388-420 (duplicate-content rule) across
-    snapshots."""
+    snapshots.
+
+    ``corpus_banded`` makes the reuse concrete: pass the output of
+    ``minhash_banded(corpus_df, ...)`` read back from storage (same
+    num_hashes/bands/hash_fn) and the corpus text is never rehashed — only
+    the new-crawl side is banded this run."""
     bn = minhash_banded(new_df, text_col, id_col, num_hashes, bands, hash_fn).select(
         F.col("doc_id").alias("new_id"), "band", "bucket"
     )
-    bc = minhash_banded(corpus_df, text_col, id_col, num_hashes, bands, hash_fn).select(
-        F.col("doc_id").alias("dup_of"), "band", "bucket"
-    )
+    if corpus_banded is None:
+        corpus_banded = minhash_banded(
+            corpus_df, text_col, id_col, num_hashes, bands, hash_fn
+        )
+    bc = corpus_banded.select(F.col("doc_id").alias("dup_of"), "band", "bucket")
     return bn.join(bc, ["band", "bucket"]).select("new_id", "dup_of").distinct()
 
 
@@ -539,18 +547,32 @@ def cross_corpus_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     hash_fn: str = "xxhash64",
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, dup_of, jaccard): new-crawl docs that are near-duplicates of
     existing-corpus docs. LSH candidates (two-table, linear shuffles) +
     exact token-set Jaccard rescore confined to candidate pairs — the same
     candidate/rescore split as :func:`near_dup_pairs`, across tables.
     Misses pairs sharing no band bucket with the usual (1 - s^r)^b recall
-    trade."""
+    trade. ``corpus_banded``: precomputed corpus banding relation (see
+    :func:`cross_corpus_candidates`); the rescore still reads corpus text,
+    but only for docs that landed in a candidate pair."""
     cands = cross_corpus_candidates(
-        new_df, corpus_df, text_col, id_col, num_hashes, bands, hash_fn
+        new_df, corpus_df, text_col, id_col, num_hashes, bands, hash_fn,
+        corpus_banded=corpus_banded,
+    )
+    # Tokenize only the corpus docs that landed in a candidate pair — a
+    # left-semi restriction before the explode. Without it the rescore
+    # shingles the full standing corpus every crawl, which dwarfs the crawl
+    # itself at 100 TB. (The new side is the small one by premise and is
+    # tokenized whole.)
+    corpus_cand = corpus_df.join(
+        cands.select(F.col("dup_of").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
     )
     tn = _tokens(new_df, text_col, id_col).select(F.col("doc_id").alias("new_id"), "tok")
-    tc = _tokens(corpus_df, text_col, id_col).select(F.col("doc_id").alias("dup_of"), "tok")
+    tc = _tokens(corpus_cand, text_col, id_col).select(F.col("doc_id").alias("dup_of"), "tok")
     sn = tn.groupBy("new_id").agg(F.count(F.lit(1)).alias("na"))
     sc = tc.groupBy("dup_of").agg(F.count(F.lit(1)).alias("nb"))
     inter = (

@@ -154,6 +154,7 @@ def curate_stream(
     content_dedup: bool = True,
     watermark: str = "10 minutes",
     hash_fn: str = "xxhash64",
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming curation: the streaming-expressible subset of
     engine.curate with IDENTICAL thresholds and semantics — per-record
@@ -168,7 +169,11 @@ def curate_stream(
     the exactness backstop for duplicates arriving past the watermark (the
     stream keeps the FIRST record per sha within the horizon; the batch
     canonical is min doc_id — the kept CONTENT set agrees, the chosen
-    representative may differ, as documented in stream_dedup)."""
+    representative may differ, as documented in stream_dedup).
+    ``against``: a static standing-corpus DataFrame — records whose content
+    sha256 already exists there are dropped via a stream-static left-anti
+    join (exact-dup crawl-refresh screen; near-dup vs the corpus stays
+    batch, engine.curate ``against=``)."""
     from ..engine.curate import DEFAULT_QUALITY
     from ..functions.dedup import token_hash
 
@@ -207,6 +212,25 @@ def curate_stream(
     )
     if content_dedup:
         kept = stream_dedup(kept, ts_col, content_col=text_col, watermark=watermark)
+    if against is not None:
+        # Crawl-refresh screen against a STANDING corpus as a stream-static
+        # LEFT ANTI join on content sha256 — natively supported by
+        # Structured Streaming (static side re-read per micro-batch, no
+        # state). Exact-dup only: LSH near-dup closure needs the candidate
+        # graph and stays batch (engine.curate against=), same split as
+        # near-dup clustering above.
+        corpus_shas = against.filter(F.col(text_col).isNotNull()).select(
+            F.sha2(F.col(text_col), 256).alias("__corpus_sha")
+        ).distinct()
+        kept = (
+            kept.withColumn("__sha", F.sha2(F.col(text_col), 256))
+            .join(
+                corpus_shas,
+                F.col("__sha") == F.col("__corpus_sha"),
+                "left_anti",
+            )
+            .drop("__sha")
+        )
     return kept
 
 

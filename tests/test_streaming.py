@@ -367,3 +367,38 @@ def test_pii_redaction_is_streaming_safe(spark, tmp_path):
         q.stop()
     assert got == batch
     assert got[0]["red"] == "mail [EMAIL] and [IPV4]" and got[0]["n_pii"] == 2
+
+
+def test_curate_stream_against_standing_corpus(spark, tmp_path):
+    """Stream-static crawl-refresh screen: records whose content sha
+    already exists in the standing corpus are dropped; novel records
+    survive with their original columns."""
+    from bio_data_validation_spark.streaming import curate_stream
+
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    known = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, known, "en", datetime.fromisoformat("2024-01-01 00:00:10")),
+        (1, "novel words entirely fresh content appearing first time", "en",
+         datetime.fromisoformat("2024-01-01 00:00:11")),
+    ]
+    d = tmp_path / "cs_against_in"
+    spark.createDataFrame(rows, schema).write.parquet(str(d))
+    standing = spark.createDataFrame(
+        [(900, known, "en")], "doc_id long, text string, lang string"
+    )
+    src = spark.readStream.schema(schema).parquet(str(d))
+    out = curate_stream(src, "ts", against=standing)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cs_against")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from cs_against").collect()
+    finally:
+        q.stop()
+    assert {r["doc_id"] for r in got} == {1}
+    assert "__sha" not in got[0].asDict() and "__corpus_sha" not in got[0].asDict()
