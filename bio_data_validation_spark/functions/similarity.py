@@ -618,7 +618,6 @@ def sq8_topk_batch(
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
 
     if isinstance(queries, DataFrame):
         cols = queries.columns
@@ -637,17 +636,28 @@ def sq8_topk_batch(
     qmat = np.array(
         [_python_sq8(vec, mins, scales) for _, vec in qrows], dtype=np.int32
     )
-    bq = spark.sparkContext.broadcast(qmat)
+    qt = spark.sparkContext.broadcast(qmat)
 
-    def _prescores_fn(codes):
-        if not len(codes):
-            return pd.Series([], dtype=object)
-        m = np.array(codes.tolist(), dtype=np.int32)
-        return pd.Series(list(m @ bq.value.T))
-
-    # legacy (fn, returnType) form: the module's `from __future__ import
-    # annotations` stringifies hints, which the hint-based API rejects
-    _prescores = pandas_udf(_prescores_fn, "array<int>")
+    def _explode_prescores(batches):
+        # quantized codes arrive from the JVM-side sq8_quantize_col
+        # projection (the oracle-shared code path); one int32 matmul per
+        # Arrow batch, rows emitted pre-exploded so the UDF evaluates
+        # exactly once (a scalar array-returning UDF + posexplode gets
+        # re-evaluated a second time for the optimizer's generate-pruning
+        # filter — observed in the physical plan, doubling the matmul)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["__q"].tolist(), dtype=np.int32)
+            p = m @ qt.value.T  # batch x q, exact int32
+            nb, nq = p.shape
+            yield pd.DataFrame(
+                {
+                    "__vid": pdf["__vid"].to_numpy().repeat(nq),
+                    "__qi": np.tile(np.arange(nq, dtype=np.int32), nb),
+                    "__pre": p.ravel(),
+                }
+            )
 
     # __qi -> query_id mapping (broadcast, q rows) keeps query ids fully
     # typed instead of baking them into an array literal.
@@ -658,7 +668,8 @@ def sq8_topk_batch(
         [(qid, vec) for qid, vec in qrows], [query_id_col, "__qvec"]
     )
     qvec = sq8_quantize_col(mins, scales, vec_col)
-    pre_w = Window.partitionBy(query_id_col).orderBy(F.desc("__pre"), F.col(id_col))
+    id_type = df.schema[id_col].dataType.simpleString()
+    pre_w = Window.partitionBy(query_id_col).orderBy(F.desc("__pre"), F.col("__vid"))
     cos_w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.col(id_col))
     # The ranking window shuffles n*q rows — project it down to
     # (query_id, id, int prescore) FIRST (a window cannot combine map-side,
@@ -667,12 +678,14 @@ def sq8_topk_batch(
     # vectors back for the tiny rescore pool (q * rescore * k rows) via
     # broadcast joins against a second pruned corpus scan.
     pool_ids = (
-        df.select(F.col(id_col), _prescores(qvec).alias("__ps"))
-        .select(id_col, F.posexplode("__ps").alias("__qi", "__pre"))
+        df.select(F.col(id_col).alias("__vid"), qvec.alias("__q"))
+        .mapInPandas(
+            _explode_prescores, schema=f"__vid {id_type}, __qi int, __pre int"
+        )
         .join(F.broadcast(qidx), "__qi")
         .withColumn("__prn", F.row_number().over(pre_w))
         .filter(F.col("__prn") <= int(rescore) * k)
-        .select(query_id_col, id_col)
+        .select(query_id_col, F.col("__vid").alias(id_col))
     )
     return (
         df.select(F.col(id_col), F.col(vec_col))

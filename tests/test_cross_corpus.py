@@ -81,3 +81,40 @@ def test_corpus_banding_is_split_invariant(spark, corpora):
         ).collect()
     }
     assert full == alone
+
+
+def test_cross_corpus_agrees_with_self_join_on_union(spark):
+    """Cross-validation against the verified self-join operator: a pair
+    (a in new, b in corpus) shares a band bucket in the two-table join iff
+    it does in near_dup_pairs over the UNION (signatures are per-doc), so
+    the cross-corpus pair set must equal the union self-join's output
+    restricted to cross pairs — same jaccard values."""
+    from bio_data_validation_spark.functions.dedup import near_dup_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "one two three four five six seven eight nine ten",
+        "one two three four five six seven eight nine ten eleven",
+        "totally different content with no overlap at all here",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (100 + i, t) for i, t in enumerate(texts[:4])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.filter("doc_id < 100")
+    corpus = df.filter("doc_id >= 100")
+
+    cross = {
+        (r.new_id, r.dup_of, r.jaccard)
+        for r in cross_corpus_near_dups(new, corpus, threshold=0.5).collect()
+    }
+    union_pairs = near_dup_pairs(df, threshold=0.5).collect()
+    expected = set()
+    for r in union_pairs:
+        a, b = r.doc_a, r.doc_b
+        if a < 100 <= b:
+            expected.add((a, b, r.jaccard))
+        elif b < 100 <= a:
+            expected.add((b, a, r.jaccard))
+    assert cross == expected and cross  # non-vacuous
