@@ -118,3 +118,56 @@ def test_cross_corpus_agrees_with_self_join_on_union(spark):
         elif b < 100 <= a:
             expected.add((b, a, r.jaccard))
     assert cross == expected and cross  # non-vacuous
+
+
+def test_band_bucket_join_skew_split_fires(spark):
+    """The cross-corpus candidate join's hot key is a boilerplate bucket
+    (one (band, bucket) holding a large share of both corpora). Under
+    forced-SMJ, test-sized skew thresholds, AQE must mark the hot
+    partition skew-split — the property that keeps one templated-page
+    bucket from pinning a single task at 100 TB. Run in the exact shape
+    cross_corpus_candidates produces: two banding relations joined on
+    (band, bucket)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n = 120_000
+        # hot (band 0, bucket 0) holds 50% of the NEW side; the corpus side
+        # matches it once (so the collected output stays small) and its
+        # tail buckets never match
+        bn = spark.range(n).select(
+            F.col("id").alias("new_id"),
+            F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 8).alias("band"),
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .cast("long")
+            .alias("bucket"),
+        )
+        bc = spark.range(1000).select(
+            (F.col("id") + 1_000_000).alias("dup_of"),
+            F.when(F.col("id") == 0, F.lit(0)).otherwise(F.col("id") % 8).alias("band"),
+            F.when(F.col("id") == 0, F.lit(0))
+            .otherwise(F.col("id") + 2_000_000)
+            .cast("long")
+            .alias("bucket"),
+        )
+        cands = bn.join(bc, ["band", "bucket"]).select("new_id", "dup_of")
+        rows = cands.collect()
+        assert len(rows) == n // 2  # every hot-bucket new doc matched once
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
