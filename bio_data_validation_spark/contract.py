@@ -3364,6 +3364,40 @@ SELECT * FROM agg, st
 """
 
 
+def q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling plan (functions.mixing.mix_plan): per-lang
+    keep rates realizing a uniform target mixture over the available
+    tokens — T = min(avail/share); keep_rate = share*T/avail (1.0 for the
+    binding domain). One combiner-compressed groupBy(lang) over the corpus
+    + window math over the lang-sized table."""
+    from .functions.mixing import mix_plan
+
+    return mix_plan(_t(spark, sf_dir, "documents"))
+
+
+SQL_MIX_PLAN = r"""
+WITH per AS (
+  SELECT lang AS domain, count(*) AS n_docs,
+         CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+s AS (SELECT per.*, CAST(1.0 AS DOUBLE) / count(*) OVER () AS share FROM per),
+t AS (SELECT s.*,
+             min(CASE WHEN share > 0 THEN n_tokens / share END) OVER () AS t_total
+      FROM s)
+SELECT domain, n_docs, n_tokens,
+       round(share, 6) AS target_share,
+       round(CASE WHEN share > 0
+                  THEN least(CAST(1.0 AS DOUBLE), share * t_total / n_tokens)
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS keep_rate,
+       CAST(floor(n_tokens * (CASE WHEN share > 0
+                  THEN least(CAST(1.0 AS DOUBLE), share * t_total / n_tokens)
+                  ELSE CAST(0.0 AS DOUBLE) END)) AS BIGINT) AS tokens_kept
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3488,6 +3522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_corpus_dedup": q_cross_corpus_dedup,
     "sequence_packing": q_sequence_packing,
     "packing_stats": q_packing_stats,
+    "mix_plan": q_mix_plan,
 }
 
 ORACLES: dict[str, str] = {
@@ -3576,4 +3611,5 @@ ORACLES: dict[str, str] = {
     "cross_corpus_dedup": _sql_cross_corpus_dedup(),
     "sequence_packing": _sql_sequence_packing(),
     "packing_stats": _sql_packing_stats(),
+    "mix_plan": SQL_MIX_PLAN,
 }

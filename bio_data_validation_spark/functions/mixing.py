@@ -1,0 +1,71 @@
+"""Domain-mixture planning: per-domain keep rates that realize a target
+mixture over the available corpus (the mixture-balancing step of
+DoReMi-family / Llama-style pipelines — Xie et al. 2023 choose the target
+weights, this computes the largest corpus realizing them).
+
+Given per-domain availability avail_d (tokens) and target shares share_d
+(sum to 1), the largest total T the corpus can realize without
+oversampling any domain satisfies share_d * T <= avail_d for every d, i.e.
+T = min_d(avail_d / share_d); the keep rate is then
+share_d * T / avail_d (exactly 1.0 for the binding domain).
+
+Scale shape: one combiner-compressed groupBy(domain) over the corpus, then
+pure window math over the DOMAIN-sized table (|domains| rows — the whole
+table fits one partition by construction, so the unpartitioned window is a
+driver-sized computation, not a corpus-sized one). The rates feed
+:func:`contract.q_stratified_sample`'s deterministic hash-mod predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mix_plan(
+    df: DataFrame,
+    targets: dict[str, float] | None = None,
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(domain, n_docs, n_tokens, target_share, keep_rate, tokens_kept):
+    the sampling plan realizing ``targets`` (domain -> share; default
+    uniform over observed domains). Domains absent from a non-None
+    ``targets`` get share 0.0 (dropped: keep_rate 0)."""
+    nt = F.when(
+        F.col(text_col).isNull() | (F.length(F.trim(F.col(text_col))) == 0), 0
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nt).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    if targets is None:
+        share: Column = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    else:
+        share = F.lit(0.0)
+        for d, s in targets.items():
+            share = F.when(F.col("domain") == d, float(s)).otherwise(share)
+    per = per.withColumn("target_share", share)
+    # T = min over domains with positive share of avail/share; domains with
+    # share 0 contribute nothing and keep nothing
+    t_total = F.min(
+        F.when(
+            F.col("target_share") > 0.0,
+            F.col("n_tokens").cast("double") / F.col("target_share"),
+        )
+    ).over(w)
+    keep_rate = F.when(F.col("target_share") > 0.0, F.least(
+        F.lit(1.0),
+        F.col("target_share") * t_total / F.col("n_tokens").cast("double"),
+    )).otherwise(F.lit(0.0))
+    return per.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round("target_share", 6).alias("target_share"),
+        F.round(keep_rate, 6).alias("keep_rate"),
+        F.floor(F.col("n_tokens").cast("double") * keep_rate).cast("long").alias(
+            "tokens_kept"
+        ),
+    )

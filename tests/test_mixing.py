@@ -1,0 +1,37 @@
+"""Domain-mixture planning: keep rates realizing a target mixture, on a
+hand-built fixture where the binding domain and exact rates are known."""
+
+from bio_data_validation_spark.functions.mixing import mix_plan
+
+
+def _docs(spark):
+    rows = []
+    did = 0
+    for lang, n_docs, words in (("en", 4, 100), ("de", 2, 50), ("fr", 1, 10)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join("w" for _ in range(words)), lang))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_uniform_mix_binding_domain(spark):
+    # avail: en=400, de=100, fr=10; uniform share 1/3 → T = 3*10 = 30
+    out = {r.domain: r for r in mix_plan(_docs(spark)).collect()}
+    assert out["fr"].keep_rate == 1.0  # binding domain keeps everything
+    assert abs(out["de"].keep_rate - 0.1) < 1e-9  # 10/100
+    assert abs(out["en"].keep_rate - 0.025) < 1e-9  # 10/400
+    assert out["fr"].tokens_kept == 10
+    assert out["en"].tokens_kept == 10 and out["de"].tokens_kept == 10
+    assert abs(out["en"].target_share - 1 / 3) < 1e-6
+
+
+def test_explicit_targets_and_zero_share(spark):
+    # 80/20 en/de, fr excluded: T = min(400/.8, 100/.2) = 500 → binding en
+    out = {
+        r.domain: r
+        for r in mix_plan(_docs(spark), targets={"en": 0.8, "de": 0.2}).collect()
+    }
+    assert out["en"].keep_rate == 1.0 and out["en"].tokens_kept == 400
+    assert abs(out["de"].keep_rate - 1.0) < 1e-9  # 100 demanded, 100 avail
+    assert out["fr"].keep_rate == 0.0 and out["fr"].tokens_kept == 0
+    assert out["fr"].target_share == 0.0
