@@ -388,38 +388,41 @@ def curate(
             "pii_redaction": redact_pii,
             "cross_corpus_dedup": against is not None,
         }
+        kept = base.join(decisions.filter("keep").select("doc_id"), "doc_id")
+        if redact_pii:
+            from ..functions.text import redact_pii as _redact
+
+            kept = kept.withColumn(text_col, _redact(F.col(text_col)))
+        if pack_budget is not None:
+            # Training-sequence packing of the KEPT corpus (post-redaction
+            # text, the bytes a trainer reads): run-sizing numbers in the
+            # stats dict always; the per-doc pack assignment parquet when
+            # out_dir is given.
+            from ..functions.packing import packing_stats
+
+            ps = packing_stats(
+                kept, pack_budget, pack_buckets, text_col, "doc_id"
+            ).collect()[0]
+            # `or 0`: an empty kept corpus aggregates to nulls
+            stats["packing"] = {
+                "budget": pack_budget,
+                "buckets": pack_buckets,
+                "n_tokens": int(ps["n_tokens"] or 0),
+                "n_sequences": int(ps["n_sequences"] or 0),
+                "last_seq_fill": float(ps["last_seq_fill"] or 0.0),
+                "n_straddlers": int(ps["n_straddlers"] or 0),
+            }
         if out_dir is not None:
             out = Path(out_dir)
             out.mkdir(parents=True, exist_ok=True)
             decisions.write.mode("overwrite").parquet(str(out / "decisions"))
-            kept = base.join(
-                decisions.filter("keep").select("doc_id"), "doc_id"
-            )
-            if redact_pii:
-                from ..functions.text import redact_pii as _redact
-
-                kept = kept.withColumn(text_col, _redact(F.col(text_col)))
             kept.write.mode("overwrite").parquet(str(out / "kept"))
             if pack_budget is not None:
-                # Training-sequence packing of the KEPT corpus (post-
-                # redaction text, the bytes a trainer reads): per-doc pack
-                # assignment + run-sizing numbers in the stats dict.
-                from ..functions.packing import pack_sequences, packing_stats
+                from ..functions.packing import pack_sequences
 
                 pack_sequences(
                     kept, pack_budget, pack_buckets, text_col, "doc_id"
                 ).write.mode("overwrite").parquet(str(out / "packs"))
-                ps = packing_stats(
-                    kept, pack_budget, pack_buckets, text_col, "doc_id"
-                ).collect()[0]
-                stats["packing"] = {
-                    "budget": pack_budget,
-                    "buckets": pack_buckets,
-                    "n_tokens": int(ps["n_tokens"]),
-                    "n_sequences": int(ps["n_sequences"]),
-                    "last_seq_fill": float(ps["last_seq_fill"]),
-                    "n_straddlers": int(ps["n_straddlers"]),
-                }
             (out / "curation_stats.json").write_text(
                 json.dumps(stats, indent=2, sort_keys=True)
             )

@@ -95,3 +95,20 @@ def test_curate_packs_kept_corpus(spark, docs, tmp_path):
     assert p["budget"] == BUDGET
     assert p["n_sequences"] >= 1
     assert p["n_tokens"] == sum(r.n_tok for r in packs.collect())
+
+
+def test_curate_packing_stats_without_out_dir(spark, docs):
+    """pack_budget alone (no out_dir) still yields run-sizing numbers —
+    the sizing answer shouldn't require writing the pack parquet."""
+    from bio_data_validation_spark.engine.curate import curate
+
+    stats = curate(spark, docs, pack_budget=BUDGET, pack_buckets=BUCKETS)
+    p = stats["packing"]
+    assert p["budget"] == BUDGET and p["n_sequences"] >= 1 and p["n_tokens"] > 0
+
+    # empty kept corpus: nulls coalesce to zeros, not a TypeError
+    empty = spark.createDataFrame(
+        [(0, None, "en")], "doc_id long, text string, lang string"
+    )
+    s2 = curate(spark, empty, pack_budget=BUDGET, pack_buckets=BUCKETS)
+    assert s2["packing"]["n_tokens"] == 0 and s2["packing"]["n_sequences"] == 0
