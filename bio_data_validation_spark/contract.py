@@ -1913,6 +1913,107 @@ FROM per_doc p LEFT JOIN hits t USING (doc_id)
 """
 
 
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-Bloom decontamination: same contract as
+    q_contamination_check, but the corpus grams NEVER shuffle.
+
+    The join formulation above is linear and skew-safe, yet still pays two
+    corpus-wide exchanges (the (doc,bench,h) pre-agg feeding groupBy(h) and
+    the h-join). At 100 TB the benchmark side is small by definition (an
+    eval set, ~10^6–10^7 grams) while the corpus side is ~10^12 grams — the
+    right plan is a map-only corpus scan against a broadcast summary:
+
+      1. benchmark grams → distinct (shuffle ∝ benchmark only)
+      2. distributed Bloom build: k seeded xxhash64 bit positions →
+         groupBy(word).bit_or(mask) → driver assembles the word vector
+         (collect bounded by k·n_bench rows, never the corpus)
+      3. corpus grams crossJoin(broadcast(one-row word vector)) →
+         membership = k element_at+bit-mask codegen terms → per-doc rollup
+         (the ONLY corpus-side exchange, map-side combinable on doc_id).
+
+    Sized at BLOOM_BITS_PER_ELEM=256 bits/element the FP rate is ~8e-13, so
+    on these corpora the output is bit-identical to the exact join — the
+    shared DuckDB oracle (raw gram-string membership, no hashing at all)
+    asserts exactly that. A production run would size down to ~14 bits/elem
+    (fpp ≈ 1e-3, 17 MB broadcast for 10^7 grams) and accept the ~0.1 %
+    over-removal, per published decontamination practice (GPT-3 App. C).
+    """
+    from .functions.bloom import (
+        bloom_hit,
+        bloom_num_bits,
+        bloom_relation,
+        build_bloom_words,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    w = d.select(
+        "doc_id",
+        (F.col("source") == CONTAM_BENCH_SOURCE).cast("int").alias("__bench"),
+        words.alias("__w"),
+    ).filter(F.size("__w") >= CONTAM_K)
+    n_g = F.size(F.col("__w")) - (CONTAM_K - 1)
+    g = F.arrays_zip(
+        *[F.slice(F.col("__w"), 1 + j, n_g).alias(f"w{j}") for j in range(CONTAM_K)]
+    )
+    grams = w.select("doc_id", "__bench", F.explode(g).alias("__g")).select(
+        "doc_id",
+        "__bench",
+        F.concat_ws(" ", *[F.col(f"__g.w{j}") for j in range(CONTAM_K)]).alias("__gs"),
+    )
+    # The bench gram set is tiny (eval-set sized); persist it so the m
+    # sizing count() and the bloom build don't each re-scan the corpus —
+    # the build side costs ONE filtered corpus scan total.
+    bench = grams.filter(F.col("__bench") == 1).select("__gs").distinct().persist()
+    try:
+        m_bits = bloom_num_bits(max(1, bench.count()))
+        bf = bloom_relation(spark, build_bloom_words(bench, "__gs", m_bits))
+    finally:
+        bench.unpersist()
+    return (
+        grams.filter(F.col("__bench") == 0)
+        .crossJoin(F.broadcast(bf))
+        .select("doc_id", bloom_hit("__gs", m_bits).cast("int").alias("__hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("__hit").cast("bigint").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            (F.col("n_overlap") > 0).alias("contaminated"),
+        )
+    )
+
+
+def _sql_contamination_bloom() -> str:
+    # Raw gram-STRING membership — no hashing at all: the oracle asserts the
+    # Bloom path is exact on this data (zero false positives at the
+    # paranoid sizing documented in functions/bloom.py).
+    gram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(CONTAM_K))
+    return rf"""
+WITH w AS (
+  SELECT doc_id, source, str_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id, source, g
+  FROM (SELECT doc_id, source, unnest(list_transform(
+              range(1, len(ws) - {CONTAM_K} + 2), i -> {gram})) AS g
+        FROM w WHERE len(ws) >= {CONTAM_K})),
+bench AS (SELECT DISTINCT g FROM g WHERE source = '{CONTAM_BENCH_SOURCE}'),
+cand AS (SELECT doc_id, g FROM g WHERE source <> '{CONTAM_BENCH_SOURCE}'),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY doc_id),
+hits AS (SELECT c.doc_id, count(*) AS n_overlap FROM cand c JOIN bench b USING (g)
+         GROUP BY c.doc_id)
+SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(t.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(t.n_overlap, 0) > 0 AS contaminated
+FROM per_doc p LEFT JOIN hits t USING (doc_id)
+"""
+
+
 SPAN_K = 16  # span shingle width (chars) — the char-level stand-in for the
 # ~50-token spans of substring-level training-data dedup
 SPAN_MOD = 4  # 0-mod-p winnowing: keep h % SPAN_MOD == 0 span positions
@@ -3523,6 +3624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "packing_stats": q_packing_stats,
     "mix_plan": q_mix_plan,
+    "contamination_bloom": q_contamination_bloom,
 }
 
 ORACLES: dict[str, str] = {
@@ -3612,4 +3714,5 @@ ORACLES: dict[str, str] = {
     "sequence_packing": _sql_sequence_packing(),
     "packing_stats": _sql_packing_stats(),
     "mix_plan": SQL_MIX_PLAN,
+    "contamination_bloom": _sql_contamination_bloom(),
 }

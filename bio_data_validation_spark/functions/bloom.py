@@ -1,0 +1,118 @@
+"""Broadcast Bloom-filter membership, built and probed entirely JVM-side.
+
+The scale story: benchmark decontamination joins the corpus gram stream
+against the (small) benchmark gram set. The join formulation shuffles every
+corpus gram on its hash — linear, skew-safe after the (doc, h) pre-agg, but
+still two full corpus-wide exchanges (see contract.q_contamination_check).
+At 100 TB the benchmark side is ~10^6–10^7 grams (an eval set, by
+definition small) while the corpus side is ~10^12 grams: the right plan is
+a MAP-ONLY corpus scan against a broadcast summary of the benchmark.
+
+This module builds that summary as a classic Bloom filter without ever
+leaving the DataFrame API or touching Python in the hot path:
+
+- build: benchmark grams → k seeded ``xxhash64(gram, seed_i)`` bit
+  positions → ``(word_idx, or-mask)`` rows → ``groupBy(word_idx).agg
+  (bit_or)`` (map-side combinable; output ≤ k·n rows) → driver assembles
+  the ``array<long>`` word vector. The only collect is the combined word
+  rows, bounded by the benchmark size — never the corpus.
+- probe: the word vector rides a one-row broadcast relation
+  (``crossJoin(broadcast(...))``); membership is k ``element_at`` +
+  bit-mask expressions, all whole-stage codegen. The corpus side never
+  shuffles for membership; the only remaining exchange is the per-doc
+  rollup, map-side combinable on doc_id.
+
+False positives: sized at BLOOM_BITS_PER_ELEM bits/element with BLOOM_K
+probes the per-lookup FP rate is (1 - exp(-k/bpe))^k ≈ 8e-13, so on the
+test corpora (≤ 10^7 probed grams) the expected FP count is ~1e-5 and the
+output is empirically bit-identical to the exact join (asserted in
+tests/test_bloom.py and by the shared DuckDB oracle). A production run
+trading memory for an accepted over-removal rate (the usual practice —
+GPT-3's decontamination removed ~1% extra) would size bpe down to ~14
+(fpp ≈ 1e-3, 17 MB for 10^7 grams).
+
+Spark's own ``DataFrame.stat.bloomFilter`` is not used: its JVM
+``BloomFilter`` object has no Column-expression probe, so applying it
+row-wise from PySpark would force a Python UDF into the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BLOOM_K = 8  # probes per element
+BLOOM_BITS_PER_ELEM = 256  # paranoid sizing: fpp ~ 8e-13 (see module doc)
+BLOOM_SEED_BASE = 7101  # xxhash64 tuple-seed base for the k probe hashes
+BLOOM_MIN_BITS = 1 << 20
+
+
+def bloom_num_bits(n_elems: int, bits_per_elem: int = BLOOM_BITS_PER_ELEM) -> int:
+    """Power-of-two bit count for ``n_elems`` at ``bits_per_elem``."""
+    want = max(BLOOM_MIN_BITS, n_elems * bits_per_elem)
+    return 1 << math.ceil(math.log2(want))
+
+
+def _bit_positions(col: Column, m_bits: int, k: int = BLOOM_K) -> list[Column]:
+    """The k probe bit-positions of ``col`` — pmod(xxhash64(col, seed_i), m).
+
+    Seeding via the hashed tuple ``(col, lit(seed_i))`` (the same trick as
+    dedup.token_hash) yields k independent 64-bit hashes per value with no
+    Python involvement."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(BLOOM_SEED_BASE + i)), F.lit(m_bits))
+        for i in range(k)
+    ]
+
+
+def build_bloom_words(
+    elems: DataFrame, col: str, m_bits: int, k: int = BLOOM_K
+) -> list[int]:
+    """Distributed Bloom build: returns the ``m_bits/64``-long word vector.
+
+    ``elems`` is the (small) element set — one row per candidate element,
+    duplicates tolerated. The aggregation is ``groupBy(word).bit_or(mask)``
+    so the collect is bounded by min(m_bits/64, k·n_elems) rows.
+    """
+    pos = elems.select(
+        F.explode(F.array(*_bit_positions(F.col(col), m_bits, k))).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright(F.col("pos"), 6).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    return arr
+
+
+def bloom_relation(spark: SparkSession, words: list[int]) -> DataFrame:
+    """One-row relation carrying the word vector, for crossJoin(broadcast)."""
+    return spark.createDataFrame([(words,)], "__bloom array<bigint>")
+
+
+def bloom_hit(col: str, m_bits: int, k: int = BLOOM_K) -> Column:
+    """Membership probe of string column ``col`` against the ``__bloom``
+    array column (joined in via bloom_relation) — pure codegen: k
+    (xxhash64 + element_at + bit-and) terms ANDed together.
+
+    Implemented with ``F.expr`` because the shift amount (pos % 64) is
+    column-valued and the Python ``shiftleft`` wrapper only takes literals.
+    """
+    terms = []
+    for i in range(k):
+        pos = f"pmod(xxhash64({col}, {BLOOM_SEED_BASE + i}), {m_bits}L)"
+        term = (
+            f"(element_at(__bloom, cast(shiftright({pos}, 6) as int) + 1)"
+            f" & shiftleft(1L, cast(pmod({pos}, 64) as int))) != 0L"
+        )
+        terms.append(term)
+    return F.expr(" AND ".join(terms))

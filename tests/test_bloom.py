@@ -1,0 +1,87 @@
+"""Broadcast-Bloom decontamination: exactness vs the join formulation,
+Bloom primitive guarantees, and the map-only plan shape.
+
+The operator's contract (functions/bloom.py) is: at the paranoid sizing
+(256 bits/elem, k=8) the Bloom path is *bit-identical* to the exact
+gram-membership join on corpora up to ~10^7 probed grams — false negatives
+are impossible by construction, and the expected false-positive count is
+~1e-5. The driver's DuckDB oracle (raw gram strings, no hashing) enforces
+the same equality at sf0.01 every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.contract import (
+    q_contamination_bloom,
+    q_contamination_check,
+)
+from bio_data_validation_spark.functions.bloom import (
+    bloom_hit,
+    bloom_num_bits,
+    bloom_relation,
+    build_bloom_words,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bloom_no_false_negatives_and_sized_fp_rate(spark):
+    """Every inserted element must probe true; non-members must (at this
+    paranoid sizing, on 5k probes) produce zero false positives."""
+    members = spark.range(1000).select(F.concat(F.lit("in-"), "id").alias("s"))
+    m_bits = bloom_num_bits(1000)
+    bf = bloom_relation(spark, build_bloom_words(members, "s", m_bits))
+
+    probe_in = members.crossJoin(F.broadcast(bf)).select(
+        bloom_hit("s", m_bits).alias("hit")
+    )
+    assert probe_in.filter(~F.col("hit")).count() == 0  # no false negatives
+
+    outsiders = spark.range(5000).select(F.concat(F.lit("out-"), "id").alias("s"))
+    probe_out = outsiders.crossJoin(F.broadcast(bf)).select(
+        bloom_hit("s", m_bits).alias("hit")
+    )
+    assert probe_out.filter(F.col("hit")).count() == 0
+
+
+def test_bloom_build_is_deterministic(spark):
+    members = spark.range(500).select(F.concat(F.lit("x"), "id").alias("s"))
+    m_bits = bloom_num_bits(500)
+    w1 = build_bloom_words(members, "s", m_bits)
+    w2 = build_bloom_words(members.repartition(7), "s", m_bits)
+    assert w1 == w2  # partitioning-independent (bit_or is commutative)
+
+
+def test_contamination_bloom_matches_exact_join(spark):
+    got = (
+        q_contamination_bloom(spark, SF_DIR)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        q_contamination_check(spark, SF_DIR)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    assert bool(got["contaminated"].any())  # fixture actually exercises hits
+
+
+def test_contamination_bloom_plan_is_map_only(spark):
+    """The corpus side must be scanned ONCE, never shuffled on the gram
+    hash: the only exchanges are the one-row bloom broadcast and the
+    map-side-combinable per-doc rollup."""
+    df = q_contamination_bloom(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" in p  # the one-row bloom relation
+    assert "Window" not in p and "SortMergeJoin" not in p
+    exchanges = [l for l in p.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 2  # broadcast + doc_id rollup, nothing else
+    assert any("hashpartitioning(doc_id" in l for l in exchanges)
+    assert not any("hashpartitioning(h" in l for l in exchanges)
