@@ -3499,6 +3499,56 @@ FROM t
 """
 
 
+BUDGET_LEVEL_CAP = 4095  # ranking-key quantization (≤ 4096 level-histogram rows)
+BUDGET_FRACTION = 0.5  # select the top half of corpus tokens
+
+
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget corpus selection: the docs filling BUDGET_FRACTION
+    of total corpus tokens in (level DESC, doc_id ASC) priority order, where
+    level = min(n_tokens, BUDGET_LEVEL_CAP) — a length-priority curriculum;
+    any integer quality key plugs into the same machinery.
+
+    Scale shape (functions/selection.budget_select): the oracle states this
+    as a global cumulative-sum window — ONE partition sorting the corpus
+    through one task, the canonical scale-killer. The engine instead runs
+    two histogram refinement rounds (per-level sums → per-id-range-bucket
+    sums within the cutoff level, both map-side-combinable aggs with
+    ≤ 4096-row collects) and confines the only window to the single cutoff
+    cell (~|corpus| / 16M rows at defaults). Bit-identical results, no
+    global sort."""
+    from .functions.selection import budget_select
+
+    d = _t(spark, sf_dir, "documents")
+    nt = T.token_count(F.col("text"))
+    base = d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        F.least(nt, F.lit(BUDGET_LEVEL_CAP)).cast("int").alias("level"),
+    )
+    total = base.agg(F.sum("n_tokens")).first()[0] or 0
+    budget = int(total * BUDGET_FRACTION)  # == floor for integer totals
+    return budget_select(base, budget)
+
+
+def _sql_token_budget_selection() -> str:
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+  FROM documents),
+l AS (SELECT doc_id, nt, least(nt, {BUDGET_LEVEL_CAP}) AS level FROM d),
+b AS (SELECT CAST(floor({BUDGET_FRACTION} * sum(nt)) AS BIGINT) AS budget FROM l),
+c AS (SELECT doc_id, nt, level,
+             sum(nt) OVER (ORDER BY level DESC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM l)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, CAST(level AS INT) AS level
+FROM c, b WHERE c.cum <= b.budget
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3625,6 +3675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packing_stats": q_packing_stats,
     "mix_plan": q_mix_plan,
     "contamination_bloom": q_contamination_bloom,
+    "token_budget_selection": q_token_budget_selection,
 }
 
 ORACLES: dict[str, str] = {
@@ -3715,4 +3766,5 @@ ORACLES: dict[str, str] = {
     "packing_stats": _sql_packing_stats(),
     "mix_plan": SQL_MIX_PLAN,
     "contamination_bloom": _sql_contamination_bloom(),
+    "token_budget_selection": _sql_token_budget_selection(),
 }

@@ -1,0 +1,110 @@
+"""Exact budgeted prefix selection without a global sort.
+
+The task: select documents in a fixed priority order (level DESC, id ASC)
+until a weight budget is exhausted — "fill a 10B-token training budget with
+the highest-ranked docs". The naive plan is a global window
+(``sum(w) OVER (ORDER BY level DESC, id)``): Spark compiles that to ONE
+partition sorting the whole corpus through a single task — the canonical
+scale-killer this module avoids.
+
+Instead, a two-round histogram refinement finds the exact cut point with
+only driver-sized collects:
+
+1. **Level histogram** — ``groupBy(level)`` weight sums (≤ n_levels rows,
+   map-side combinable). A driver prefix-scan over the descending levels
+   finds the cutoff level L: every level above L is fully selected.
+2. **Bucket histogram within L** — ids of level-L docs are RANGE-bucketed
+   (order-preserving integer math over min/max), ``groupBy(bucket)`` weight
+   sums (≤ n_buckets rows). The driver prefix finds the cutoff bucket B:
+   buckets before B are fully selected.
+3. **The cell (L, B)** — now provably ≤ |level L| / n_buckets rows — is the
+   only place a cumulative-sum window runs, with the already-consumed
+   budget as an offset. Its exchange is hashpartitioning(level, bucket),
+   one bounded partition, not a corpus-wide SinglePartition.
+
+Every shuffle is an aggregation (combiner-compressed); the corpus is never
+globally sorted. Selection semantics are exactly the inclusive prefix
+``cum(w) ≤ budget`` of the total order (level DESC, id ASC) — the DuckDB
+oracle states it as the global window and must agree bit-for-bit.
+
+At 10^12 docs: histogram collects are ≤ 4096 rows each; the final cell is
+~|corpus|/(n_levels·n_buckets). A production run would persist the
+(id, weight, level) projection between rounds (it is ~16 B/doc, tiny next
+to the text column, which only the first projection reads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 4096
+
+
+def budget_select(
+    base: DataFrame,
+    budget: int,
+    level_col: str = "level",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Rows of ``base`` in the inclusive budget prefix of
+    (level DESC, id ASC) order. ``id_col`` must be a unique integer column
+    (the range bucketing relies on integer order); ``weight_col`` must be
+    non-negative."""
+    # Round 1: per-level weight sums + the level-L id range for round 2.
+    hist = (
+        base.groupBy(level_col)
+        .agg(
+            F.sum(weight_col).alias("w"),
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+        )
+        .collect()
+    )
+    cum = 0
+    cut = None  # (level, offset, lo, hi) of the first level that overflows
+    for r in sorted(hist, key=lambda r: -r[level_col]):
+        if cum + r["w"] > budget:
+            cut = (r[level_col], cum, r["lo"], r["hi"])
+            break
+        cum += r["w"]
+    if cut is None:  # everything fits
+        return base
+    lvl, offset, lo, hi = cut
+    full_levels = base.filter(F.col(level_col) > lvl)
+
+    # Round 2: range-bucket level-L ids (order-preserving), per-bucket sums.
+    width = max(1, -((lo - hi - 1) // n_buckets))  # ceil((hi-lo+1)/n_buckets)
+    in_level = base.filter(F.col(level_col) == lvl)
+    # integer `div`, not float `/`: ids can exceed double's exact range
+    bucket = F.expr(f"({id_col} - {lo}L) div {width}L")
+    bhist = (
+        in_level.groupBy(bucket.alias("b")).agg(F.sum(weight_col).alias("w")).collect()
+    )
+    bcut = None
+    for r in sorted(bhist, key=lambda r: r["b"]):
+        if offset + r["w"] > budget:
+            bcut = r["b"]
+            break
+        offset += r["w"]
+    if bcut is None:
+        # only reachable when the overflow weight sits on rows the level
+        # histogram saw but the bucket pass didn't (i.e. never, with a
+        # consistent snapshot) — keep the safe exact answer anyway
+        return full_levels.unionByName(in_level)
+
+    full_buckets = in_level.filter(bucket < bcut)
+    # Round 3: the single bounded cell — the only window in the plan, and
+    # its partition key (level, bucket) confines it to the cell's rows.
+    cell = in_level.filter(bucket == bcut).withColumn("__b", bucket)
+    w = Window.partitionBy(level_col, "__b").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    partial = (
+        cell.withColumn("__cum", F.sum(weight_col).over(w))
+        .filter(F.col("__cum") + F.lit(offset) <= F.lit(budget))
+        .drop("__b", "__cum")
+    )
+    return full_levels.unionByName(full_buckets).unionByName(partial)

@@ -1,0 +1,91 @@
+"""budget_select: exactness vs a pandas global-prefix twin (including
+boundary budgets), scale sweep vs the DuckDB oracle, and the no-global-sort
+plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.contract import (
+    ORACLES,
+    q_token_budget_selection,
+)
+from bio_data_validation_spark.functions.selection import budget_select
+
+
+def _pandas_prefix(pdf: pd.DataFrame, budget: int) -> set[int]:
+    o = pdf.sort_values(["level", "doc_id"], ascending=[False, True])
+    return set(o.loc[o["n_tokens"].cumsum() <= budget, "doc_id"])
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    rows = [
+        # (doc_id, n_tokens, level) — ids deliberately sparse/unsorted,
+        # several docs per level, zero-weight docs at the bottom level
+        (101, 40, 3), (7, 10, 3), (503, 25, 3),
+        (2, 30, 2), (999, 5, 2), (50, 0, 0), (51, 0, 0), (12, 8, 1),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long, level int")
+
+
+@pytest.mark.parametrize("budget", [0, 9, 10, 74, 75, 110, 117, 118, 1000])
+def test_budget_select_matches_global_prefix(spark, base, budget):
+    got = {r["doc_id"] for r in budget_select(base, budget, n_buckets=4).collect()}
+    want = _pandas_prefix(base.toPandas(), budget)
+    assert got == want, f"budget={budget}"
+
+
+def test_budget_select_cut_inside_one_bucket(spark):
+    # 1000 docs, all the same level: the cut lands inside a single range
+    # bucket and the windowed cell must resolve it exactly.
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+        F.lit(1).alias("level"),
+    )
+    pdf = df.toPandas()
+    budget = int(pdf["n_tokens"].sum()) // 3
+    got = {r["doc_id"] for r in budget_select(df, budget, n_buckets=16).collect()}
+    assert got == _pandas_prefix(pdf, budget)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_token_budget_selection_matches_oracle(spark, sf_dir):
+    got = (
+        q_token_budget_selection(spark, sf_dir)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.execute(ORACLES["token_budget_selection"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    assert (got["n_tokens"].values == want["n_tokens"].values).all()
+
+
+def test_token_budget_selection_plan_has_no_global_sort(spark):
+    df = q_token_budget_selection(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # the window must be confined to the (level, bucket) cutoff cell —
+    # never a corpus-wide single-partition sort
+    assert "SinglePartition" not in p
+    if "Window" in p:
+        assert "hashpartitioning(level" in p
+    # scans prune to the 2 needed source columns
+    read_schema = p[p.index("ReadSchema"):].split("\n")[0]
+    assert "lang" not in read_schema and "source" not in read_schema
