@@ -99,6 +99,43 @@ def bloom_relation(spark: SparkSession, words: list[int]) -> DataFrame:
     return spark.createDataFrame([(words,)], "__bloom array<bigint>")
 
 
+def bloom_hit_any(grams_col: str, m_bits: int, k: int = BLOOM_K) -> Column:
+    """True iff ANY element of the array<string> column ``grams_col``
+    probes the ``__bloom`` word vector as a member.
+
+    A SQL ``exists()`` higher-order function — interpreted, not codegen,
+    but it keeps the probe STATELESS: no explode, no re-aggregation. That
+    is what makes Bloom decontamination streaming-expressible (the exact
+    join formulation needs a per-doc regroup, i.e. streaming agg state);
+    in batch hot paths prefer the exploded probe in contamination_bloom.
+    Short-circuits on the first member gram."""
+    terms = []
+    for i in range(k):
+        pos = f"pmod(xxhash64(g, {BLOOM_SEED_BASE + i}), {m_bits}L)"
+        terms.append(
+            f"(element_at(__bloom, cast(shiftright({pos}, 6) as int) + 1)"
+            f" & shiftleft(1L, cast(pmod({pos}, 64) as int))) != 0L"
+        )
+    return F.expr(f"exists({grams_col}, g -> {' AND '.join(terms)})")
+
+
+def word_grams_array(text_col: str, k: int) -> Column:
+    """array<string> of the word k-grams of ``text_col`` (lowercased,
+    whitespace-tokenized — the same normalization as the batch
+    decontamination operators); empty array when the doc has < k words.
+    Built with arrays_zip over staggered slices + one transform; the
+    single HOF lambda is fine in the streaming filter path this feeds."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_g = F.size(words) - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(words, 1 + j, n_g).alias(f"w{j}") for j in range(k)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])
+    )
+    return F.when(F.size(words) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def bloom_hit(col: str, m_bits: int, k: int = BLOOM_K) -> Column:
     """Membership probe of string column ``col`` against the ``__bloom``
     array column (joined in via bloom_relation) — pure codegen: k

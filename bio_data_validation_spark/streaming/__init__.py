@@ -155,6 +155,7 @@ def curate_stream(
     watermark: str = "10 minutes",
     hash_fn: str = "xxhash64",
     against: DataFrame | None = None,
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming curation: the streaming-expressible subset of
     engine.curate with IDENTICAL thresholds and semantics — per-record
@@ -173,7 +174,16 @@ def curate_stream(
     ``against``: a static standing-corpus DataFrame — records whose content
     sha256 already exists there are dropped via a stream-static left-anti
     join (exact-dup crawl-refresh screen; near-dup vs the corpus stays
-    batch, engine.curate ``against=``)."""
+    batch, engine.curate ``against=``).
+
+    ``benchmark``: a static benchmark DataFrame — records sharing any word
+    CONTAM_K-gram with it are dropped via a broadcast Bloom membership
+    probe (functions/bloom.py). The Bloom is what makes decontamination
+    streaming-expressible at all: the batch join formulation regroups
+    grams per doc (streaming agg state), while the Bloom probe is a pure
+    stateless filter built once at stream-definition time. At the shipped
+    paranoid sizing the probe is exact on these corpora; production sizing
+    trades broadcast bytes for a documented over-removal rate."""
     from ..engine.curate import DEFAULT_QUALITY
     from ..functions.dedup import token_hash
 
@@ -230,6 +240,35 @@ def curate_stream(
                 "left_anti",
             )
             .drop("__sha")
+        )
+    if benchmark is not None:
+        from ..engine.curate import CONTAM_K
+        from ..functions.bloom import (
+            bloom_hit_any,
+            bloom_num_bits,
+            build_bloom_words,
+            word_grams_array,
+        )
+
+        # Build the Bloom ONCE at stream-definition time (batch jobs over
+        # the static benchmark side); the word vector rides the plan as a
+        # literal column, so each micro-batch pays only the probe.
+        bgrams = (
+            benchmark.filter(F.col(text_col).isNotNull())
+            .select(F.explode(word_grams_array(text_col, CONTAM_K)).alias("__gs"))
+            .distinct()
+            .persist()
+        )
+        try:
+            m_bits = bloom_num_bits(max(1, bgrams.count()))
+            words_vec = build_bloom_words(bgrams, "__gs", m_bits)
+        finally:
+            bgrams.unpersist()
+        kept = (
+            kept.withColumn("__bloom", F.lit(words_vec))
+            .withColumn("__grams", word_grams_array(text_col, CONTAM_K))
+            .filter(~bloom_hit_any("__grams", m_bits))
+            .drop("__bloom", "__grams")
         )
     return kept
 

@@ -97,6 +97,29 @@ def main() -> int:
             formatted(QUERIES["contamination_check"](spark, SF_DIR)),
         ),
         (
+            "contamination_bloom — map-only decontamination (broadcast Bloom)",
+            "The 100 TB plan: the benchmark gram set is summarized into a "
+            "Bloom word vector built distributed (k seeded xxhash64 bit "
+            "positions, bit_or word agg, driver collect bounded by the "
+            "benchmark — never the corpus) and shipped as a ONE-ROW "
+            "broadcast relation. Corpus grams are probed with element_at + "
+            "bit-mask codegen and never shuffle: the only corpus-side "
+            "exchange is the map-side-combinable per-doc rollup. "
+            "Bit-identical to the exact join at the 256-bits/elem sizing "
+            "(shared raw-string oracle).",
+            formatted(QUERIES["contamination_bloom"](spark, SF_DIR)),
+        ),
+        (
+            "token_budget_selection — budgeted prefix without a global sort",
+            "The oracle is a global cumsum window (one task sorts the "
+            "corpus). The engine refines the cut through two combiner-"
+            "compressed histogram rounds (per-level sums, then order-"
+            "preserving id-range buckets inside the cutoff level; <=4096-"
+            "row collects) and the only Window partitions by (level, "
+            "bucket) — confined to the single cutoff cell.",
+            formatted(QUERIES["token_budget_selection"](spark, SF_DIR)),
+        ),
+        (
             "lsh_topk_batch — one scoring job for 100 ANN queries",
             "One corpus scan with the bucket as a column expression, "
             "broadcast probe table + broadcast query matrix, per-query "

@@ -402,3 +402,58 @@ def test_curate_stream_against_standing_corpus(spark, tmp_path):
         q.stop()
     assert {r["doc_id"] for r in got} == {1}
     assert "__sha" not in got[0].asDict() and "__corpus_sha" not in got[0].asDict()
+
+
+def test_curate_stream_benchmark_decontamination(spark, tmp_path):
+    """Stateless Bloom decontamination on a stream: records sharing any
+    word CONTAM_K-gram (k=8) with the static benchmark are dropped; the
+    kept doc_id set MUST equal the batch pipeline's
+    (curation_decisions(benchmark=...)) on the same input."""
+    from bio_data_validation_spark.engine.curate import curation_decisions
+    from bio_data_validation_spark.streaming import curate_stream
+
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    bench_text = "q1 q2 q3 q4 q5 q6 q7 q8 trailing benchmark words"
+    rows = [
+        # contains the benchmark's first 8-gram verbatim inside other text
+        (0, "prefix words q1 q2 q3 q4 q5 q6 q7 q8 suffix words", "en",
+         datetime.fromisoformat("2024-01-01 00:00:10")),
+        # clean, disjoint vocabulary
+        (1, "clean doc alpha beta gamma delta epsilon zeta eta theta", "en",
+         datetime.fromisoformat("2024-01-01 00:00:11")),
+        # shares 7 consecutive words only — below k, must be KEPT
+        (2, "start q2 q3 q4 q5 q6 q7 q8 ending here differently now", "en",
+         datetime.fromisoformat("2024-01-01 00:00:12")),
+    ]
+    d = tmp_path / "cs_bench_in"
+    df = spark.createDataFrame(rows, schema)
+    df.write.parquet(str(d))
+    benchmark = spark.createDataFrame(
+        [(900, bench_text, "en")], "doc_id long, text string, lang string"
+    )
+
+    batch_kept = {
+        r["doc_id"]
+        for r in curation_decisions(
+            df, benchmark=benchmark, lsh_bands=1, lsh_num_hashes=4
+        )
+        .filter("keep")
+        .collect()
+    }
+
+    src = spark.readStream.schema(schema).parquet(str(d))
+    out = curate_stream(src, "ts", benchmark=benchmark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cs_bench")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from cs_bench").collect()
+    finally:
+        q.stop()
+    stream_kept = {r["doc_id"] for r in got}
+    assert stream_kept == {1, 2} == batch_kept
+    assert "__bloom" not in got[0].asDict() and "__grams" not in got[0].asDict()
