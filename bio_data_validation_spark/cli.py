@@ -102,6 +102,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--against-threshold", type=float, default=0.8)
     c.add_argument(
+        "--contam-bloom", action="store_true",
+        help="decontaminate via the broadcast Bloom probe (map-only corpus "
+        "scan, the 100 TB path) instead of the gram join",
+    )
+    c.add_argument(
         "--redact-pii", action="store_true",
         help="rewrite kept-corpus text through PII redaction "
         "(email/IPv4/phone -> typed placeholders)",
@@ -208,6 +213,7 @@ def main(argv: list[str] | None = None) -> int:
             against_threshold=args.against_threshold,
             pack_budget=args.pack_budget,
             pack_buckets=args.pack_buckets,
+            contam_mode="bloom" if args.contam_bloom else "join",
         )
         print(json.dumps(stats, default=str))
         return 0

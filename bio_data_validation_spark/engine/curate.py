@@ -134,15 +134,28 @@ def contamination_flags(
     text_col: str = "text",
     k: int = CONTAM_K,
     hash_fn: str = "xxhash64",
+    mode: str = "join",
 ) -> DataFrame:
     """(doc_id, contaminated) for every df doc: true iff it shares any
-    word k-gram with ``bench``. Union both sides' grams, pre-aggregate
-    keyed by (doc, bench, h) — hot hashes spread across docs, map-side
-    combinable — then a combiner-compressed groupBy(h) marks benchmark
-    hashes and joins back on h (AQE skew-splittable; the shared pre-agg
-    exchange is reused so each side is shingled once). Replaces a
-    window-partitionBy(h), which put every occurrence of a hot gram —
-    license boilerplate, templated headers — into a single task."""
+    word k-gram with ``bench``.
+
+    ``mode="join"`` (default, oracle-verified composition): union both
+    sides' grams, pre-aggregate keyed by (doc, bench, h) — hot hashes
+    spread across docs, map-side combinable — then a combiner-compressed
+    groupBy(h) marks benchmark hashes and joins back on h (AQE
+    skew-splittable; the shared pre-agg exchange is reused so each side is
+    shingled once). Replaces a window-partitionBy(h), which put every
+    occurrence of a hot gram — license boilerplate, templated headers —
+    into a single task.
+
+    ``mode="bloom"`` (the 100 TB path, contract.q_contamination_bloom's
+    shape): the benchmark gram hashes become a broadcast Bloom word vector
+    (functions/bloom.py) and the corpus grams are probed map-only — they
+    never shuffle; the only corpus-side exchange is the per-doc rollup.
+    The Bloom is built over the same token_hash values the join keys on,
+    so at the shipped paranoid sizing the flags are identical (asserted in
+    test_curate.py); production sizing trades broadcast bytes for a
+    documented over-removal rate."""
 
     def grams(src: DataFrame, mark: int) -> DataFrame:
         words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -164,6 +177,29 @@ def contamination_flags(
             )
         )
 
+    if mode == "bloom":
+        from ..functions.bloom import (
+            bloom_hit,
+            bloom_num_bits,
+            bloom_relation,
+            build_bloom_words,
+        )
+
+        bh = grams(bench, 1).select("h").distinct().persist()
+        try:
+            m_bits = bloom_num_bits(max(1, bh.count()))
+            bf = bloom_relation(df.sparkSession, build_bloom_words(bh, "h", m_bits))
+        finally:
+            bh.unpersist()
+        return (
+            grams(df, 0)
+            .crossJoin(F.broadcast(bf))
+            .select("doc_id", bloom_hit("h", m_bits).cast("int").alias("__hit"))
+            .groupBy("doc_id")
+            .agg((F.sum("__hit") > 0).alias("contaminated"))
+        )
+    if mode != "join":
+        raise ValueError(f"contamination_flags: unknown mode {mode!r}")
     allg = grams(df, 0).unionByName(grams(bench, 1))
     gh = allg.groupBy("doc_id", "__bench", "h").agg(F.count(F.lit(1)).alias("c"))
     hits = gh.groupBy("h").agg(F.max("__bench").alias("__hit"))
@@ -188,6 +224,7 @@ def curation_decisions(
     hash_fn: str = "xxhash64",
     against: DataFrame | None = None,
     against_threshold: float = 0.8,
+    contam_mode: str = "join",
 ) -> DataFrame:
     """The declarative core of :func:`curate`: one decision row per input
     doc — (doc_id, lang, n_words, dup_word_frac, dup_bigram_frac,
@@ -223,7 +260,9 @@ def curation_decisions(
 
     # contamination (optional)
     contam = (
-        contamination_flags(nonnull, benchmark, text_col, hash_fn=hash_fn)
+        contamination_flags(
+            nonnull, benchmark, text_col, hash_fn=hash_fn, mode=contam_mode
+        )
         if benchmark is not None
         else None
     )
@@ -330,6 +369,7 @@ def curate(
     against_threshold: float = 0.8,
     pack_budget: int | None = None,
     pack_buckets: int = 64,
+    contam_mode: str = "join",
 ) -> dict:
     """Run the curation pipeline; returns the stats dict (and, when
     ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
@@ -361,6 +401,7 @@ def curate(
         lsh_bands=lsh_bands,
         against=against,
         against_threshold=against_threshold,
+        contam_mode=contam_mode,
     )
 
     decisions = decisions.persist()
@@ -385,6 +426,7 @@ def curate(
             "sample_default": sample_default,
             "lsh": {"num_hashes": lsh_num_hashes, "bands": lsh_bands},
             "benchmark_decontamination": benchmark is not None,
+            "contam_mode": contam_mode if benchmark is not None else None,
             "pii_redaction": redact_pii,
             "cross_corpus_dedup": against is not None,
         }

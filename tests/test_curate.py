@@ -222,3 +222,43 @@ def test_curate_against_standing_corpus(spark, corpus, tmp_path):
     base = curate(spark, corpus)
     assert "corpus_dup" not in base["dropped_by_reason"]
     assert base["cross_corpus_dedup"] is False
+
+
+def test_contamination_flags_bloom_mode_matches_join(spark, corpus):
+    """mode='bloom' must produce exactly the join formulation's flags (the
+    Bloom is built over the same token_hash values the join keys on; zero
+    FPs at the paranoid sizing) — on the fixture corpus and on the sf0.001
+    documents table, for both hash functions."""
+    bench = corpus.filter(F.col("doc_id") == 7).select("doc_id", "text")
+    cand = corpus.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+    for hash_fn in ("xxhash64", "md5_60"):
+        j = {r["doc_id"]: r["contaminated"] for r in
+             contamination_flags(cand, bench, hash_fn=hash_fn).collect()}
+        b = {r["doc_id"]: r["contaminated"] for r in
+             contamination_flags(cand, bench, hash_fn=hash_fn, mode="bloom").collect()}
+        assert j == b and any(j.values())
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.filter(F.col("text").isNotNull())
+    bench2 = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    cand2 = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    j2 = contamination_flags(cand2, bench2).orderBy("doc_id").collect()
+    b2 = contamination_flags(cand2, bench2, mode="bloom").orderBy("doc_id").collect()
+    assert j2 == b2
+
+
+def test_curate_contam_bloom_mode_end_to_end(spark, corpus):
+    bench = corpus.filter(F.col("doc_id") == 7).select("doc_id", "text")
+    join_stats = curate(spark, corpus, benchmark=bench)
+    bloom_stats = curate(spark, corpus, benchmark=bench, contam_mode="bloom")
+    assert bloom_stats["contam_mode"] == "bloom"
+    assert join_stats["dropped_by_reason"] == bloom_stats["dropped_by_reason"]
+    assert join_stats["n_kept"] == bloom_stats["n_kept"]
+
+
+def test_contamination_flags_unknown_mode_raises(spark, corpus):
+    bench = corpus.limit(1).select("doc_id", "text")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown mode"):
+        contamination_flags(corpus, bench, mode="nope").collect()
