@@ -117,6 +117,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "tokens (writes packs/ parquet + packing stats)",
     )
     c.add_argument("--pack-buckets", type=int, default=64)
+    c.add_argument(
+        "--token-budget", type=int, default=None,
+        help="cap the kept corpus at this many whitespace tokens, keeping "
+        "the highest-priority docs (longer first, doc_id tiebreak); "
+        "overflow drops as over_budget",
+    )
     c.add_argument("--master", dest="curate_master", default=None)
 
     r = sub.add_parser("review", help="list / resolve human-review queue tasks")
@@ -214,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
             pack_budget=args.pack_budget,
             pack_buckets=args.pack_buckets,
             contam_mode="bloom" if args.contam_bloom else "join",
+            token_budget=args.token_budget,
         )
         print(json.dumps(stats, default=str))
         return 0

@@ -370,6 +370,7 @@ def curate(
     pack_budget: int | None = None,
     pack_buckets: int = 64,
     contam_mode: str = "join",
+    token_budget: int | None = None,
 ) -> dict:
     """Run the curation pipeline; returns the stats dict (and, when
     ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
@@ -404,6 +405,40 @@ def curate(
         contam_mode=contam_mode,
     )
 
+    pre_budget = None
+    if token_budget is not None:
+        # Budget cap on the KEPT set: highest-priority docs (longer first,
+        # level = min(n_words, 4095), doc_id tiebreak) up to token_budget
+        # whitespace tokens — the exact histogram-refinement selection of
+        # functions/selection.budget_select (no global sort; the same
+        # machinery as contract.q_token_budget_selection). Persist the
+        # pre-budget decisions first: the selection's two histogram rounds
+        # would otherwise recompute the whole decision DAG (LSH clusters
+        # included) once per round.
+        from ..functions.selection import budget_select
+
+        pre_budget = decisions.persist()
+        kept_base = pre_budget.filter("keep").select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("__w"),
+            F.least(F.col("n_words"), F.lit(4095)).cast("int").alias("__lvl"),
+        )
+        selected = budget_select(
+            kept_base, int(token_budget),
+            level_col="__lvl", weight_col="__w", id_col="doc_id",
+        ).select("doc_id", F.lit(True).alias("__in_budget"))
+        decisions = (
+            pre_budget.join(selected, "doc_id", "left")
+            .withColumn(
+                "drop_reason",
+                F.when(
+                    F.col("keep") & F.col("__in_budget").isNull(), "over_budget"
+                ).otherwise(F.col("drop_reason")),
+            )
+            .withColumn("keep", F.col("drop_reason").isNull())
+            .drop("__in_budget")
+        )
+
     decisions = decisions.persist()
     try:
         reason_counts = {
@@ -429,6 +464,7 @@ def curate(
             "contam_mode": contam_mode if benchmark is not None else None,
             "pii_redaction": redact_pii,
             "cross_corpus_dedup": against is not None,
+            "token_budget": token_budget,
         }
         kept = base.join(decisions.filter("keep").select("doc_id"), "doc_id")
         if redact_pii:
@@ -471,3 +507,5 @@ def curate(
         return stats
     finally:
         decisions.unpersist()
+        if pre_budget is not None:
+            pre_budget.unpersist()

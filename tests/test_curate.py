@@ -262,3 +262,37 @@ def test_contamination_flags_unknown_mode_raises(spark, corpus):
 
     with _pytest.raises(ValueError, match="unknown mode"):
         contamination_flags(corpus, bench, mode="nope").collect()
+
+
+def test_curate_token_budget_caps_kept_corpus(spark, corpus):
+    """token_budget keeps the highest-priority (longest-first, doc_id
+    tiebreak) prefix of the kept set and drops the overflow as
+    over_budget; the kept token sum never exceeds the budget and matches
+    a pandas prefix twin."""
+    import pandas as pd
+
+    full = curate(spark, corpus)
+    assert full["n_kept"] == 3  # docs 0, 7, 8
+
+    # tight budget: only the single longest kept doc fits
+    sig = {
+        r["doc_id"]: r["n_words"]
+        for r in quality_signals(
+            corpus.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        ).collect()
+    }
+    kept_ids = [0, 7, 8]
+    order = sorted(kept_ids, key=lambda i: (-min(sig[i], 4095), i))
+    budget = sig[order[0]]  # exactly the first doc's tokens
+    capped = curate(spark, corpus, token_budget=budget)
+    assert capped["token_budget"] == budget
+    assert capped["n_kept"] == 1
+    assert capped["dropped_by_reason"]["over_budget"] == 2
+    # everything else unchanged
+    assert {k: v for k, v in capped["dropped_by_reason"].items() if k != "over_budget"} \
+        == full["dropped_by_reason"]
+
+    # huge budget: no over_budget drops, stats identical to uncapped
+    loose = curate(spark, corpus, token_budget=10_000)
+    assert loose["n_kept"] == 3
+    assert "over_budget" not in loose["dropped_by_reason"]
