@@ -3499,6 +3499,121 @@ FROM t
 """
 
 
+QUANTILE_QS = (0.5, 0.9, 0.99)
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete quantiles of doc length (smallest v with
+    cum_count >= ceil(q·n)) with no global sort: doc length is a
+    bounded-domain integer, so ONE map-side-combinable groupBy(n_chars)
+    histogram (≤ distinct-lengths rows collected) and a driver prefix scan
+    give the exact answer — the degenerate one-round case of the
+    histogram-refinement selection in functions/selection.py. approx
+    quantiles have an error knob; corpus length screens (LEN_* rules, C4's
+    3-sentence rule calibration) want the exact cut. For unbounded or
+    continuous domains, bucket first and refine (budget_select's pattern);
+    the oracle states the same semantics as a cumulative window."""
+    import math
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    hist = sorted(
+        (r["n_chars"], r["c"])
+        for r in d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    n = sum(c for _, c in hist)
+    rows, cum, qi = [], 0, 0
+    targets = [(q, math.ceil(q * n)) for q in QUANTILE_QS]
+    for v, c in hist:
+        cum += c
+        while qi < len(targets) and cum >= targets[qi][1]:
+            rows.append((targets[qi][0], v, n))
+            qi += 1
+        if qi == len(targets):
+            break
+    return spark.createDataFrame(rows, "q double, value bigint, n bigint")
+
+
+def _sql_length_quantiles() -> str:
+    qs = ", ".join(f"({q})" for q in QUANTILE_QS)
+    return rf"""
+WITH d AS (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL),
+tot AS (SELECT count(*) AS n FROM d),
+h AS (SELECT n_chars AS v, count(*) AS c FROM d GROUP BY n_chars),
+c AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h)
+SELECT q, CAST(min(v) AS BIGINT) AS value, CAST(n AS BIGINT) AS n
+FROM c, tot, (VALUES {qs}) t(q)
+WHERE cum >= ceil(q * n)
+GROUP BY q, n
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot corpus diff — the ops rollup a crawl refresh
+    reports: per-status (added / removed / changed / unchanged) doc counts
+    and byte volume, where status compares content sha256 under the same
+    doc_id. Two deterministic snapshot views are derived from the
+    documents table (old = doc_id%10 != 9, new = doc_id%10 != 0 with
+    doc_id%7 == 3 texts revised) — the same derived-view pattern the line
+    ops use.
+
+    Scale shape: ONE full-outer equi-join on doc_id (linear, AQE-managed;
+    Exchange-free when both snapshots are bucketed by the id — see
+    sources.write_bucketed) feeding a 4-group combinable aggregation.
+    Content comparison joins 32-byte shas, never text bytes."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    old = d.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("__osha"),
+        F.length("text").alias("__olen"),
+    )
+    new = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")).alias("__t"),
+    ).select(
+        "doc_id",
+        F.sha2(F.col("__t"), 256).alias("__nsha"),
+        F.length("__t").alias("__nlen"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("__osha").isNull(), "added")
+        .when(F.col("__nsha").isNull(), "removed")
+        .when(F.col("__osha") != F.col("__nsha"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"), F.coalesce("__nlen", "__olen").alias("__len"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__len").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+def _sql_corpus_diff() -> str:
+    return r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+old AS (SELECT doc_id, sha256(text) AS osha, length(text) AS olen
+        FROM d WHERE doc_id % 10 <> 9),
+new AS (SELECT doc_id, sha256(t) AS nsha, length(t) AS nlen FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END AS t
+          FROM d WHERE doc_id % 10 <> 0)),
+j AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, osha, olen, nsha, nlen
+      FROM old FULL OUTER JOIN new USING (doc_id))
+SELECT CASE WHEN osha IS NULL THEN 'added'
+            WHEN nsha IS NULL THEN 'removed'
+            WHEN osha <> nsha THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(nlen, olen)) AS BIGINT) AS n_chars
+FROM j GROUP BY 1
+"""
+
+
 BUDGET_LEVEL_CAP = 4095  # ranking-key quantization (≤ 4096 level-histogram rows)
 BUDGET_FRACTION = 0.5  # select the top half of corpus tokens
 
@@ -3676,6 +3791,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_plan": q_mix_plan,
     "contamination_bloom": q_contamination_bloom,
     "token_budget_selection": q_token_budget_selection,
+    "length_quantiles": q_length_quantiles,
+    "corpus_diff": q_corpus_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -3767,4 +3884,6 @@ ORACLES: dict[str, str] = {
     "mix_plan": SQL_MIX_PLAN,
     "contamination_bloom": _sql_contamination_bloom(),
     "token_budget_selection": _sql_token_budget_selection(),
+    "length_quantiles": _sql_length_quantiles(),
+    "corpus_diff": _sql_corpus_diff(),
 }
