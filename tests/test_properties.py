@@ -91,3 +91,43 @@ def test_pid_fingerprint_is_multiset_function(spark, rows, parts):
     assert fp(df.repartition(parts)) == fp(df.orderBy(F.desc("path")))
     if len(rows) > 1:
         assert fp(df.limit(len(rows) - 1)) != fp(df)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),  # doc_id (deduped below)
+            st.integers(0, 50),      # weight
+            st.integers(0, 5),       # level
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    budget_frac=st.floats(0.0, 1.2),
+    n_buckets=st.sampled_from([1, 2, 4, 16]),
+)
+def test_budget_select_equals_global_prefix(spark, docs, budget_frac, n_buckets):
+    """budget_select == the inclusive cum(w) <= budget prefix of
+    (level DESC, id ASC) order, for arbitrary sparse ids, zero weights,
+    degenerate bucket counts, and budgets from 0 to beyond-total."""
+    from bio_data_validation_spark.functions.selection import budget_select
+
+    seen, rows = set(), []
+    for i, w, lvl in docs:
+        if i not in seen:
+            seen.add(i)
+            rows.append((i, w, lvl))
+    budget = int(sum(w for _, w, _ in rows) * budget_frac)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, level int")
+    got = {
+        r["doc_id"]
+        for r in budget_select(df, budget, n_buckets=n_buckets).collect()
+    }
+    want, cum = set(), 0
+    for i, w, lvl in sorted(rows, key=lambda r: (-r[2], r[0])):
+        cum += w
+        if cum > budget:
+            break
+        want.add(i)
+    assert got == want
