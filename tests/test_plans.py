@@ -314,3 +314,26 @@ def test_packing_and_cross_corpus_plans_are_scale_shaped(spark):
     p = _plan(QUERIES["cross_corpus_dedup"](spark, sf))
     assert "Window" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_corpus_diff_and_quantile_plans_are_scale_shaped(spark):
+    """corpus_diff: one equi-join on doc_id (no cartesian/BNLJ), content
+    compared via 32-byte shas — text bytes never shuffle (ReadSchema keeps
+    text only at the scan; join columns are doc_id+sha+len). token budget
+    / quantile machinery: no corpus-wide SinglePartition anywhere."""
+    from bio_data_validation_spark.contract import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(QUERIES["corpus_diff"](spark, sf))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p and "SinglePartition" not in p
+    # shuffled join rows carry sha/len, never the text column
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+    p = _plan(QUERIES["length_quantiles"](spark, sf))
+    # the histogram agg already ran at build time; the returned relation is
+    # the 3-row exact answer — nothing heavy left in this plan
+    assert "Scan parquet" not in p
