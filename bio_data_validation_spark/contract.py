@@ -1848,31 +1848,17 @@ def q_contamination_check(
     gram (license boilerplate in 10^7 docs) no longer pins every occurrence
     to one task, because the reduce side of groupBy(h) receives at most one
     combined row per map partition per hash."""
+    from .functions.text import word_grams_exploded
+
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    w = d.select(
+    marked = d.select(
         "doc_id",
         (F.col("source") == CONTAM_BENCH_SOURCE).cast("int").alias("__bench"),
-        words.alias("__w"),
-    ).filter(F.size("__w") >= CONTAM_K)
-    # lambda-free n-gram build (HOF lambdas drop out of codegen): zip
-    # CONTAM_K staggered slices of the word array into an array of structs,
-    # explode, then join the struct fields — all native expressions.
-    n_g = F.size(F.col("__w")) - (CONTAM_K - 1)
-    g = F.arrays_zip(
-        *[F.slice(F.col("__w"), 1 + j, n_g).alias(f"w{j}") for j in range(CONTAM_K)]
+        "text",
     )
-    grams = (
-        w.select("doc_id", "__bench", F.explode(g).alias("__g"))
-        .select(
-            "doc_id",
-            "__bench",
-            F.concat_ws(
-                " ", *[F.col(f"__g.w{j}") for j in range(CONTAM_K)]
-            ).alias("__gs"),
-        )
-        .select("doc_id", "__bench", token_hash(F.col("__gs"), 0, hash_fn).alias("h"))
-    )
+    grams = word_grams_exploded(
+        marked, CONTAM_K, carry=("doc_id", "__bench")
+    ).select("doc_id", "__bench", token_hash(F.col("__gs"), 0, hash_fn).alias("h"))
     gh = grams.groupBy("doc_id", "__bench", "h").agg(F.count(F.lit(1)).alias("c"))
     hits = gh.groupBy("h").agg(F.max("__bench").alias("__hit"))
     return (
@@ -1945,22 +1931,15 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_bloom_words,
     )
 
+    from .functions.text import word_grams_exploded
+
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    w = d.select(
+    marked = d.select(
         "doc_id",
         (F.col("source") == CONTAM_BENCH_SOURCE).cast("int").alias("__bench"),
-        words.alias("__w"),
-    ).filter(F.size("__w") >= CONTAM_K)
-    n_g = F.size(F.col("__w")) - (CONTAM_K - 1)
-    g = F.arrays_zip(
-        *[F.slice(F.col("__w"), 1 + j, n_g).alias(f"w{j}") for j in range(CONTAM_K)]
+        "text",
     )
-    grams = w.select("doc_id", "__bench", F.explode(g).alias("__g")).select(
-        "doc_id",
-        "__bench",
-        F.concat_ws(" ", *[F.col(f"__g.w{j}") for j in range(CONTAM_K)]).alias("__gs"),
-    )
+    grams = word_grams_exploded(marked, CONTAM_K, carry=("doc_id", "__bench"))
     # The bench gram set is tiny (eval-set sized); persist it so the m
     # sizing count() and the bloom build don't each re-scan the corpus —
     # the build side costs ONE filtered corpus scan total.
@@ -2668,7 +2647,7 @@ SQL_URL_DOMAIN_STATS = r"""
 SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
        count(DISTINCT doc_id) AS n_docs
 FROM (SELECT doc_id,
-             unnest(regexp_extract_all(lower(text), 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+             unnest(regexp_extract_all(lower(text), 'https?://(?:[a-z0-9._%+:-]+@)?([a-z0-9._-]+)', 1)) AS domain
       FROM documents WHERE text IS NOT NULL)
 GROUP BY domain
 """
@@ -3124,6 +3103,8 @@ FROM p GROUP BY source
 
 DSIR_BUCKETS = 1024  # hashed n-gram feature space (Xie et al. 2023 use 10k)
 DSIR_TARGET_SOURCE = "src0"  # the held-out "target domain" slice
+DSIR_LLR_SCALE = 1 << 24  # log-ratio quantization grid (power of two: the
+# scale/descale multiplications are exact exponent shifts — see docstring)
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3142,8 +3123,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring join hang off that one exchange (ReuseExchange), the ratio
     table is at most DSIR_BUCKETS rows so AQE broadcasts the scoring join,
     and the totals are a broadcast scalar — the same shared-exchange shape
-    as unigram_logprob. Integer weight buckets (width 1.0 in log space)
-    keep the oracle comparison robust to float summation order.
+    as unigram_logprob.
+
+    Determinism: each bucket's log-ratio is quantized ONCE on the
+    <= DSIR_BUCKETS-row table — llr_q = floor(llr * 2^24), exact because
+    scaling by a power of two only shifts the exponent — and the per-doc
+    weight is the INTEGER sum(c * llr_q), immune to float summation order
+    (a raw double sum(c*llr) floors differently run-to-run when a doc's
+    weight lands within accumulated rounding of an integer boundary).
+    w_bucket = floor(wq / 2^24) is again exact power-of-two division, so
+    Spark and the oracle agree bit-for-bit on every bucket edge.
 
     Reference precedent for distribution-vs-reference screens:
     statistical_heuristics.py (drift/imbalance); the importance-weight
@@ -3181,16 +3170,19 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()
     llr = bc.select(
         "b",
-        (
-            F.log(
-                (F.col("nt") + 1).cast("double")
-                / (F.sum("nt").over(w_all) + DSIR_BUCKETS).cast("double")
+        F.floor(
+            (
+                F.log(
+                    (F.col("nt") + 1).cast("double")
+                    / (F.sum("nt").over(w_all) + DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("nr") + 1).cast("double")
+                    / (F.sum("nr").over(w_all) + DSIR_BUCKETS).cast("double")
+                )
             )
-            - F.log(
-                (F.col("nr") + 1).cast("double")
-                / (F.sum("nr").over(w_all) + DSIR_BUCKETS).cast("double")
-            )
-        ).alias("llr"),
+            * F.lit(float(DSIR_LLR_SCALE))
+        ).alias("llr_q"),
     )
     # Unhinted on purpose: AQE broadcasts the <=DSIR_BUCKETS-row ratio
     # table here and would fall back to a skew-splittable shuffle join if
@@ -3198,10 +3190,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = (
         dbc.join(llr, "b")
         .groupBy("doc_id", "source")
-        .agg(F.sum(F.col("c").cast("double") * F.col("llr")).alias("wgt"))
+        .agg(F.sum(F.col("c") * F.col("llr_q")).alias("wq"))
     )
     return doc.groupBy(
-        "source", F.floor(F.col("wgt")).cast("long").alias("w_bucket")
+        "source",
+        F.floor(F.col("wq").cast("double") / F.lit(float(DSIR_LLR_SCALE)))
+        .cast("long")
+        .alias("w_bucket"),
     ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
@@ -3222,13 +3217,18 @@ bc AS (
 tot AS (SELECT sum(nt) AS tt, sum(nr) AS tr FROM bc),
 llr AS (
   SELECT b,
-         ln(CAST(nt + 1 AS DOUBLE) / CAST(tt + {DSIR_BUCKETS} AS DOUBLE))
-         - ln(CAST(nr + 1 AS DOUBLE) / CAST(tr + {DSIR_BUCKETS} AS DOUBLE)) AS llr
+         CAST(floor((
+           ln(CAST(nt + 1 AS DOUBLE) / CAST(tt + {DSIR_BUCKETS} AS DOUBLE))
+           - ln(CAST(nr + 1 AS DOUBLE) / CAST(tr + {DSIR_BUCKETS} AS DOUBLE))
+         ) * {float(DSIR_LLR_SCALE)}) AS BIGINT) AS llr_q
   FROM bc, tot),
 doc AS (
-  SELECT doc_id, source, sum(CAST(c AS DOUBLE) * llr) AS wgt
+  SELECT doc_id, source, sum(c * llr_q) AS wq
   FROM dbc JOIN llr USING (b) GROUP BY 1, 2)
-SELECT source, CAST(floor(wgt) AS BIGINT) AS w_bucket, count(*) AS n_docs
+SELECT source,
+       CAST(floor(CAST(wq AS DOUBLE) / {float(DSIR_LLR_SCALE)}) AS BIGINT)
+         AS w_bucket,
+       count(*) AS n_docs
 FROM doc GROUP BY 1, 2
 """
 
@@ -3260,7 +3260,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one (sum, count) row per doc map-side, one shuffle, zero joins.
     Weight derivation is a deterministic stand-in for trained weights (see
     _qc_weight). Reference precedent for score-threshold screens:
-    statistical_heuristics.py."""
+    statistical_heuristics.py.
+
+    Determinism: the per-doc aggregate is the INTEGER sum of the unscaled
+    weights v = (bucket % 1001) - 500 (exact, summation-order-free; a
+    float avg of v/500 floors differently run-to-run at bucket
+    boundaries). score = sv/(500*n) and score_bucket = floor(score*20)
+    = floor(sv / (25*n)) — ONE IEEE double division on identical integer
+    operands, so Spark and the oracle agree bit-for-bit; score > 0 is the
+    integer test sv > 0."""
     d = _t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
     )
@@ -3269,15 +3277,18 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
     ).filter(F.length("w") > 0)
-    wt = _qc_weight(token_hash(F.col("w"), 7, "md5_60") % QC_BUCKETS)
-    doc = toks.select("doc_id", "source", wt.alias("wt")).groupBy(
+    v = (token_hash(F.col("w"), 7, "md5_60") % QC_BUCKETS) % 1001 - 500
+    doc = toks.select("doc_id", "source", v.alias("v")).groupBy(
         "doc_id", "source"
-    ).agg(F.avg("wt").alias("score"))
+    ).agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("nt"))
+    bucket = F.floor(
+        F.col("sv").cast("double") / (F.lit(25.0) * F.col("nt").cast("double"))
+    )
     return doc.groupBy(
-        "source", F.floor(F.col("score") * 20).cast("long").alias("score_bucket")
+        "source", bucket.cast("long").alias("score_bucket")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("score") > 0).cast("long")).cast("long").alias("n_positive"),
+        F.sum((F.col("sv") > 0).cast("long")).cast("long").alias("n_positive"),
     )
 
 
@@ -3288,12 +3299,14 @@ WITH toks AS (
   FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
 f AS (
   SELECT doc_id, source,
-         CAST(({_sql_md5h(7, 'w')} % {QC_BUCKETS}) % 1001 - 500 AS DOUBLE) / 500.0 AS wt
+         ({_sql_md5h(7, 'w')} % {QC_BUCKETS}) % 1001 - 500 AS v
   FROM toks WHERE length(w) > 0),
-doc AS (SELECT doc_id, source, avg(wt) AS score FROM f GROUP BY 1, 2)
-SELECT source, CAST(floor(score * 20) AS BIGINT) AS score_bucket,
+doc AS (SELECT doc_id, source, sum(v) AS sv, count(*) AS nt FROM f GROUP BY 1, 2)
+SELECT source,
+       CAST(floor(CAST(sv AS DOUBLE) / (25.0 * CAST(nt AS DOUBLE))) AS BIGINT)
+         AS score_bucket,
        count(*) AS n_docs,
-       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+       CAST(sum(CASE WHEN sv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
 FROM doc GROUP BY 1, 2
 """
 

@@ -157,24 +157,13 @@ def contamination_flags(
     test_curate.py); production sizing trades broadcast bytes for a
     documented over-removal rate."""
 
+    from ..functions.text import word_grams_exploded
+
     def grams(src: DataFrame, mark: int) -> DataFrame:
-        words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        w = src.select("doc_id", words.alias("__w")).filter(F.size("__w") >= k)
-        n_g = F.size(F.col("__w")) - (k - 1)
-        g = F.arrays_zip(
-            *[F.slice(F.col("__w"), 1 + j, n_g).alias(f"w{j}") for j in range(k)]
-        )
-        return (
-            w.select("doc_id", F.explode(g).alias("__g"))
-            .select(
-                "doc_id",
-                token_hash(
-                    F.concat_ws(" ", *[F.col(f"__g.w{j}") for j in range(k)]),
-                    0,
-                    hash_fn,
-                ).alias("h"),
-                F.lit(mark).alias("__bench"),
-            )
+        return word_grams_exploded(src, k, text_col=text_col).select(
+            "doc_id",
+            token_hash(F.col("__gs"), 0, hash_fn).alias("h"),
+            F.lit(mark).alias("__bench"),
         )
 
     if mode == "bloom":

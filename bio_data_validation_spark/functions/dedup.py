@@ -557,10 +557,18 @@ def cross_corpus_near_dups(
     trade. ``corpus_banded``: precomputed corpus banding relation (see
     :func:`cross_corpus_candidates`); the rescore still reads corpus text,
     but only for docs that landed in a candidate pair."""
+    # The candidate pair set feeds TWO consumers (the corpus-side semi-join
+    # restriction below and the intersection join); unpersisted, Spark
+    # re-evaluates the banding + (band,bucket) join subtree — the most
+    # expensive stage of a crawl refresh — once per consumer. Persist the
+    # (new_id, dup_of) pairs (narrow rows, bounded by candidate count);
+    # the block is reclaimed by the ContextCleaner when the plan is
+    # dropped, or callers holding the session long-term can
+    # spark.catalog.clearCache() between refreshes.
     cands = cross_corpus_candidates(
         new_df, corpus_df, text_col, id_col, num_hashes, bands, hash_fn,
         corpus_banded=corpus_banded,
-    )
+    ).persist()
     # Tokenize only the corpus docs that landed in a candidate pair — a
     # left-semi restriction before the explode. Without it the rescore
     # shingles the full standing corpus every crawl, which dwarfs the crawl

@@ -248,6 +248,64 @@ def _python_dist2(vec: list[float], c: list[float]) -> float:
     return acc
 
 
+def _collect_query_rows(
+    queries: "list[tuple] | DataFrame",
+    vec_col: str,
+    query_id_col: str,
+    fn_name: str,
+) -> list[tuple]:
+    """Normalize a batched-ANN query set to [(query_id, [float, ...])].
+    Accepts a (query_id, vector) DataFrame (vector column named ``vec_col``
+    or second-positional) or a list of (id, vector) tuples; raises on an
+    empty set. Shared by every *_topk_batch entry point."""
+    if isinstance(queries, DataFrame):
+        cols = queries.columns
+        qv = vec_col if vec_col in cols else cols[1]
+        qrows = [
+            (r[query_id_col], [float(x) for x in r[qv]])
+            for r in queries.select(query_id_col, qv).collect()
+        ]
+    else:
+        qrows = [(qid, [float(x) for x in v]) for qid, v in queries]
+    if not qrows:
+        raise ValueError(f"{fn_name}: empty query set")
+    return qrows
+
+
+def _pool_rescore(
+    df: DataFrame,
+    pool_ids: DataFrame,
+    qvec_df: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Float-cosine rescore of a narrow (query_id, id) candidate pool:
+    fetch the float vectors back via a broadcast join against a second
+    pruned corpus scan, exact cosine, per-query top-k window with the
+    fixed (cos DESC, id ASC) tie-break. ``qvec_df`` carries
+    (query_id_col, __qvec). The pool is q * rescore * k rows — broadcast
+    fodder by construction — so neither join shuffles the corpus. Shared
+    tail of sq8_topk_batch and ivf_sq8_topk_batch."""
+    from pyspark.sql import Window
+
+    cos_w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.col(id_col))
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(pool_ids), id_col)
+        .join(F.broadcast(qvec_df), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qvec")).alias("__cos"),
+        )
+        .withColumn("__rn", F.row_number().over(cos_w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, F.round("__cos", 4).alias("cos"))
+    )
+
+
 def ivf_seeded_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -295,17 +353,7 @@ def ivf_seeded_topk_batch(
     bit-identical to q independent ivf_seeded_topk calls."""
     from pyspark.sql import Window
 
-    if isinstance(queries, DataFrame):
-        cols = queries.columns
-        qv = vec_col if vec_col in cols else cols[1]
-        qrows = [
-            (r[query_id_col], [float(x) for x in r[qv]])
-            for r in queries.select(query_id_col, qv).collect()
-        ]
-    else:
-        qrows = [(qid, [float(x) for x in v]) for qid, v in queries]
-    if not qrows:
-        raise ValueError("ivf_seeded_topk_batch: empty query set")
+    qrows = _collect_query_rows(queries, vec_col, query_id_col, "ivf_seeded_topk_batch")
     spark = df.sparkSession
 
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
@@ -397,17 +445,7 @@ def lsh_topk_batch(
     each query's candidate count is bucket-bounded)."""
     from pyspark.sql import Window
 
-    if isinstance(queries, DataFrame):
-        cols = queries.columns
-        qv = vec_col if vec_col in cols else cols[1]
-        qrows = [
-            (r[query_id_col], [float(x) for x in r[qv]])
-            for r in queries.select(query_id_col, qv).collect()
-        ]
-    else:
-        qrows = [(qid, [float(x) for x in v]) for qid, v in queries]
-    if not qrows:
-        raise ValueError("lsh_topk_batch: empty query set")
+    qrows = _collect_query_rows(queries, vec_col, query_id_col, "lsh_topk_batch")
     dims = len(qrows[0][1])
     planes = _lsh_planes(dims, n_planes)
     spark = df.sparkSession
@@ -619,24 +657,24 @@ def sq8_topk_batch(
     import pandas as pd
     from pyspark.sql import Window
 
-    if isinstance(queries, DataFrame):
-        cols = queries.columns
-        qv = vec_col if vec_col in cols else cols[1]
-        qrows = [
-            (r[query_id_col], [float(x) for x in r[qv]])
-            for r in queries.select(query_id_col, qv).collect()
-        ]
-    else:
-        qrows = [(qid, [float(x) for x in v]) for qid, v in queries]
-    if not qrows:
-        raise ValueError("sq8_topk_batch: empty query set")
+    qrows = _collect_query_rows(queries, vec_col, query_id_col, "sq8_topk_batch")
     spark = df.sparkSession
 
     mins, scales = sq8_codebook(df, id_col, vec_col)
     qmat = np.array(
         [_python_sq8(vec, mins, scales) for _, vec in qrows], dtype=np.int32
     )
-    qt = spark.sparkContext.broadcast(qmat)
+    # Small query matrices ride the task closure directly (serialized once
+    # per task set, nothing to clean up). Only genuinely large batches use
+    # a Broadcast object — which Spark keeps on executors until the
+    # ContextCleaner GCs it, so a long-lived service should not mint one
+    # per call for KB-sized matrices (that was a slow leak).
+    if qmat.nbytes > (4 << 20):
+        qt = spark.sparkContext.broadcast(qmat)
+        qlocal = None
+    else:
+        qt = None
+        qlocal = qmat
 
     def _explode_prescores(batches):
         # quantized codes arrive from the JVM-side sq8_quantize_col
@@ -645,11 +683,12 @@ def sq8_topk_batch(
         # exactly once (a scalar array-returning UDF + posexplode gets
         # re-evaluated a second time for the optimizer's generate-pruning
         # filter — observed in the physical plan, doubling the matmul)
+        qm = qt.value if qt is not None else qlocal
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.array(pdf["__q"].tolist(), dtype=np.int32)
-            p = m @ qt.value.T  # batch x q, exact int32
+            p = m @ qm.T  # batch x q, exact int32
             nb, nq = p.shape
             yield pd.DataFrame(
                 {
@@ -670,13 +709,12 @@ def sq8_topk_batch(
     qvec = sq8_quantize_col(mins, scales, vec_col)
     id_type = df.schema[id_col].dataType.simpleString()
     pre_w = Window.partitionBy(query_id_col).orderBy(F.desc("__pre"), F.col("__vid"))
-    cos_w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.col(id_col))
     # The ranking window shuffles n*q rows — project it down to
     # (query_id, id, int prescore) FIRST (a window cannot combine map-side,
     # but it can be narrow: ~20 B/row instead of the ~1 KB/row it costs to
     # carry both float vectors through the exchange), then fetch the float
     # vectors back for the tiny rescore pool (q * rescore * k rows) via
-    # broadcast joins against a second pruned corpus scan.
+    # broadcast joins against a second pruned corpus scan (_pool_rescore).
     pool_ids = (
         df.select(F.col(id_col).alias("__vid"), qvec.alias("__q"))
         .mapInPandas(
@@ -687,19 +725,7 @@ def sq8_topk_batch(
         .filter(F.col("__prn") <= int(rescore) * k)
         .select(query_id_col, F.col("__vid").alias(id_col))
     )
-    return (
-        df.select(F.col(id_col), F.col(vec_col))
-        .join(F.broadcast(pool_ids), id_col)
-        .join(F.broadcast(qvec_df), query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            cosine(F.col(vec_col), F.col("__qvec")).alias("__cos"),
-        )
-        .withColumn("__rn", F.row_number().over(cos_w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, id_col, F.round("__cos", 4).alias("cos"))
-    )
+    return _pool_rescore(df, pool_ids, qvec_df, k, id_col, vec_col, query_id_col)
 
 
 def ivf_sq8_topk_batch(
@@ -728,17 +754,7 @@ def ivf_sq8_topk_batch(
     prescore, fixed id tie-breaks."""
     from pyspark.sql import Window
 
-    if isinstance(queries, DataFrame):
-        cols = queries.columns
-        qv = vec_col if vec_col in cols else cols[1]
-        qrows = [
-            (r[query_id_col], [float(x) for x in r[qv]])
-            for r in queries.select(query_id_col, qv).collect()
-        ]
-    else:
-        qrows = [(qid, [float(x) for x in v]) for qid, v in queries]
-    if not qrows:
-        raise ValueError("ivf_sq8_topk_batch: empty query set")
+    qrows = _collect_query_rows(queries, vec_col, query_id_col, "ivf_sq8_topk_batch")
     spark = df.sparkSession
 
     mins, scales = sq8_codebook(df, id_col, vec_col)
@@ -757,7 +773,6 @@ def ivf_sq8_topk_batch(
     )
 
     pre_w = Window.partitionBy(query_id_col).orderBy(F.desc("__pre"), F.col(id_col))
-    cos_w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.col(id_col))
     pool_ids = (
         df.select(
             F.col(id_col),
@@ -781,18 +796,9 @@ def ivf_sq8_topk_batch(
         .filter(F.col("__prn") <= int(rescore) * k)
         .select(query_id_col, id_col)
     )
-    return (
-        df.select(F.col(id_col), F.col(vec_col))
-        .join(F.broadcast(pool_ids), id_col)
-        .join(F.broadcast(qdf.select(query_id_col, "__qvec")), query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            cosine(F.col(vec_col), F.col("__qvec")).alias("__cos"),
-        )
-        .withColumn("__rn", F.row_number().over(cos_w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, id_col, F.round("__cos", 4).alias("cos"))
+    return _pool_rescore(
+        df, pool_ids, qdf.select(query_id_col, "__qvec"), k, id_col, vec_col,
+        query_id_col,
     )
 
 

@@ -132,8 +132,13 @@ def redact_pii(text: Column) -> Column:
 # Capture group 1 of this pattern is the host; group-indexed extraction is
 # supported identically by Spark's regexp_extract_all and DuckDB's
 # regexp_extract_all(..., 1) — keep the string in sync with
-# SQL_URL_DOMAIN_STATS in contract.py.
-URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+# SQL_URL_DOMAIN_STATS in contract.py. The optional non-capturing
+# userinfo part ("user:pass@") is consumed BEFORE the host capture —
+# without it "http://login@evil.com" captures "login" and a blocklisted
+# domain rides through the filter. Hosts may contain '_' (seen in the
+# wild on subdomains); the class is lowercase-only because the text is
+# lowered before extraction on both engines.
+URL_DOMAIN_PATTERN = r"https?://(?:[a-z0-9._%+:-]+@)?([a-z0-9._-]+)"
 
 
 def extract_url_domains(text: Column) -> Column:
@@ -224,10 +229,17 @@ def kept_line_count(text: Column, min_words: int = 5) -> Column:
     """C4's per-line keep rule: terminal punctuation AND >= min_words words.
     One higher-order filter over the line array (the two-condition per-line
     predicate has no single-regex form); everything else in this module
-    stays regex-only."""
+    stays regex-only.
+
+    The anchor is ``\\z`` (end of input), not ``$``: Java's ``$`` also
+    matches BEFORE a final line terminator, so a CRLF document — whose
+    split('\\n') lines end in '\\r' — would count "....\\r" as kept while
+    the RE2 oracle (where ``$`` means end-of-text only) and
+    terminal_line_count (which requires a literal '\\n' after the
+    punctuation) both reject it. ``\\z`` gives all three the same answer."""
     kept = F.filter(
         line_array(text),
-        lambda l: l.rlike('[.!?"]$')
+        lambda l: l.rlike(r'[.!?"]\z')
         & (F.size(F.split(F.trim(l), " ")) >= min_words),
     )
     return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
@@ -244,6 +256,33 @@ def duplicate_line_count(text: Column) -> Column:
     )
 
 
+def word_grams_exploded(
+    df, k: int, text_col: str = "text", carry: tuple = ("doc_id",),
+    out_col: str = "__gs",
+):
+    """One row per word k-gram of ``text_col``: lowercased,
+    whitespace-tokenized — THE shared decontamination shingling (the join,
+    Bloom, curate, and streaming paths must stay bit-identical on it;
+    bloom.word_grams_array is the array-valued form of the same
+    normalization for stateless streaming filters). Docs with < k words
+    emit nothing.
+
+    Lambda-free on purpose: arrays_zip of k staggered slices, explode,
+    concat_ws — all native expressions that stay in whole-stage codegen
+    (HOF lambdas drop out of codegen; measured 4-6x slower on the
+    repetition profile)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    w = df.select(*carry, words.alias("__w")).filter(F.size("__w") >= k)
+    n_g = F.size(F.col("__w")) - (k - 1)
+    g = F.arrays_zip(
+        *[F.slice(F.col("__w"), 1 + j, n_g).alias(f"w{j}") for j in range(k)]
+    )
+    return w.select(*carry, F.explode(g).alias("__g")).select(
+        *carry,
+        F.concat_ws(" ", *[F.col(f"__g.w{j}") for j in range(k)]).alias(out_col),
+    )
+
+
 def domain_blocklist_filter(
     df, blocklist: list[str], text_col: str = "text", id_col: str = "doc_id"
 ):
@@ -251,7 +290,10 @@ def domain_blocklist_filter(
     — the RefinedWeb-style domain screen. The blocklist is a
     dimension-sized relation: broadcast to every executor, matched with one
     explode + join, and the surviving ids come back as a broadcast-able
-    anti-join set. No O(corpus) driver traffic."""
+    anti-join set. No O(corpus) driver traffic. An empty blocklist is a
+    no-op (config-driven pipelines ship empty lists)."""
+    if not blocklist:
+        return df
     spark = df.sparkSession
     bl = spark.createDataFrame([(d.lower(),) for d in blocklist], ["__domain"])
     hits = (

@@ -108,3 +108,24 @@ def test_line_dedup_cross_doc(spark, tmp_path):
     assert out["s1"]["n_shared_lines"] == 2
     assert out["s1"]["docs_majority_shared"] == 1  # doc 2 (1/1 shared)
     assert out["s2"]["n_shared_lines"] == 0
+
+
+def test_kept_line_count_crlf(spark):
+    # Review finding (r4): Java's '$' matches before a final '\r', so CRLF
+    # docs counted "....\r" lines as kept while the RE2 oracle rejected
+    # them; the \z anchor keeps Spark, the oracle, and terminal_line_count
+    # in agreement (a kept line must end the split cleanly, no stray \r).
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha beta gamma delta end.\r\nSecond line words here too.\r\n"),
+            (2, "Alpha beta gamma delta end.\nSecond line words here too.\n"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["k"]
+        for r in docs.select(
+            "doc_id", T.kept_line_count(F.col("text")).alias("k")
+        ).collect()
+    }
+    assert got == {1: 0, 2: 2}

@@ -172,3 +172,38 @@ def test_url_domain_extraction_and_blocklist(spark):
         for r in domain_blocklist_filter(docs, ["Spam.example.com"]).collect()
     )
     assert kept == [2, 3, 4]  # doc 1 dropped; null/url-free docs survive
+
+
+def test_url_userinfo_and_empty_blocklist(spark):
+    # Review finding (r4): 'http://login@evil.com' used to capture 'login'
+    # as the domain, letting a blocklisted host ride through the filter;
+    # an empty blocklist used to crash on createDataFrame([]).
+    from bio_data_validation_spark.functions.text import (
+        domain_blocklist_filter,
+        extract_url_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "creds http://login@evil.com/page here"),
+            (2, "pair http://user:pw@evil.com/x and https://snake_case.host.org/y"),
+            (3, "clean https://ok.org/z"),
+        ],
+        "doc_id long, text string",
+    )
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in docs.select(
+            "doc_id", extract_url_domains(F.col("text")).alias("d")
+        ).collect()
+    }
+    assert doms[1] == ["evil.com"]
+    assert doms[2] == ["evil.com", "snake_case.host.org"]
+    assert doms[3] == ["ok.org"]
+
+    kept = sorted(
+        r["doc_id"] for r in domain_blocklist_filter(docs, ["evil.com"]).collect()
+    )
+    assert kept == [3]
+    # empty blocklist is a no-op, not a crash
+    assert domain_blocklist_filter(docs, []).count() == 3
