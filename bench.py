@@ -27,6 +27,12 @@ import sys
 import time
 from pathlib import Path
 
+# Benchmark protocol: shuffle/spill scratch on tmpfs (one local disk
+# serializes concurrent shuffle writers — see BENCH/BASELINE.md). This is
+# bench-only: get_spark() deliberately does NOT default to shm (RAM-backed,
+# ENOSPC on big shuffles), so the bench opts in here. A pre-set value wins.
+os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "shm")
+
 REPO = Path(__file__).parent
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")

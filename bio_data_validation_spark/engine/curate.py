@@ -228,23 +228,19 @@ def curation_decisions(
 
     sig = quality_signals(nonnull, text_col)
 
-    # exact dup: canonical = min doc_id per sha (one hash-keyed shuffle)
-    sha = nonnull.select(
-        "doc_id", F.sha2(F.col(text_col), 256).alias("__sha")
-    )
-    canon = sha.groupBy("__sha").agg(F.min("doc_id").alias("__canon_id"))
-    exact = sha.join(canon, "__sha").select(
-        "doc_id", (F.col("doc_id") != F.col("__canon_id")).alias("exact_dup")
-    )
-
     # near-dup clusters over the full corpus (exact-dup collapse inside).
     # bands/num_hashes set the similarity threshold ~ (1/bands)^(bands/num):
     # more bands = looser (higher recall); fewer = stricter.
+    # with_exact rides the cluster pass's own sha relation, so exact dedup
+    # costs no second full-corpus sha256 scan or sha-keyed shuffle; docs
+    # outside every size>1 cluster are never exact dups (their sha group is
+    # a singleton), so the left-join's null coalesces to False correctly.
     clusters = dup_clusters(
         nonnull, text_col, "doc_id",
         num_hashes=lsh_num_hashes, bands=lsh_bands, hash_fn=hash_fn,
+        with_exact=True,
     ).select(
-        "doc_id", "cluster_id", "cluster_size", "is_canonical"
+        "doc_id", "cluster_id", "cluster_size", "is_canonical", "exact_dup"
     )
 
     # contamination (optional)
@@ -280,7 +276,6 @@ def curation_decisions(
     d = (
         base.select("doc_id", lang_col)
         .join(sig, "doc_id", "left")
-        .join(exact, "doc_id", "left")
         .join(clusters, "doc_id", "left")
         .join(sampled, "doc_id", "left")
     )

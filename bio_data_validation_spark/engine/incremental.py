@@ -43,7 +43,19 @@ from pyspark.sql import functions as F
 from ..checkpoint import Ledger
 from ..sources import with_pid
 
-_FP_SEEDS = (0, 1)  # two independent xor fingerprints
+# fp0 = bit_xor of the seed-0 row hash; fp1 = SUM of the seed-1 row hash,
+# accumulated as decimal(38,0) (headroom for ~10^19 rows x 2^63 without
+# overflow — ANSI mode would make a long sum throw). Both are commutative
+# one-pass aggregates. The pair is deliberately mixed: XOR alone is blind
+# to EVEN-multiplicity changes for every seed — {x, x} -> {y, y} leaves
+# every xor fingerprint unchanged because h(v) ^ h(v) = 0 cancels
+# pairwise, and duplicated rows are exactly what DUP_003 says real
+# snapshots contain — while a sum moves by 2*(h(y) - h(x)). Equal
+# (n_rows, fp0, fp1) ⇒ equal row multisets up to a hash collision.
+_FP_EXPRS = (
+    ("fp0", "bit_xor(xxhash64({cols}, 0))"),
+    ("fp1", "sum(cast(xxhash64({cols}, 1) as decimal(38,0)))"),
+)
 
 
 def _fp_columns(df: DataFrame) -> list[str]:
@@ -59,12 +71,11 @@ def _fp_columns(df: DataFrame) -> list[str]:
 def pid_fingerprints(df: DataFrame, n_partitions: int) -> DataFrame:
     """(pid, n_rows, fp0, fp1): order-independent partition fingerprint.
 
-    fp_k = bit_xor of xxhash64(<all source columns>, seed_k) over the
-    partition's rows — commutative, so any task/row ordering yields the same
-    value, and computable in ONE pass with map-side partial aggregation
-    (shuffle = P rows per side). XOR alone is blind to duplicated rows
-    (a pair cancels); n_rows plus two independent seeds closes that:
-    equal (n_rows, fp0, fp1) ⇒ equal multisets up to a ~2^-128 collision.
+    fp0 xor-accumulates the seed-0 row hash; fp1 SUM-accumulates the
+    seed-1 row hash (see _FP_EXPRS for why xor alone is blind to
+    even-multiplicity changes). Both are commutative, so any task/row
+    ordering yields the same values, and both compute in ONE pass with
+    map-side partial aggregation (shuffle = P rows per side).
 
     Hashes EVERY column (sorted) — a partition where only one non-key
     column (e.g. ``lang``) changed must be re-validated, or the rules that
@@ -73,8 +84,8 @@ def pid_fingerprints(df: DataFrame, n_partitions: int) -> DataFrame:
     d = with_pid(df, n_partitions)
     cols = ", ".join(_fp_columns(df))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for k in _FP_SEEDS:
-        aggs.append(F.expr(f"bit_xor(xxhash64({cols}, {k}))").alias(f"fp{k}"))
+    for name, tmpl in _FP_EXPRS:
+        aggs.append(F.expr(tmpl.format(cols=cols)).alias(name))
     return d.groupBy("pid").agg(*aggs)
 
 
@@ -85,8 +96,8 @@ def relation_fingerprint(df: DataFrame) -> str:
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.expr(f"bit_xor(xxhash64({cols}, {k}))").alias(f"fp{k}")
-            for k in _FP_SEEDS
+            F.expr(tmpl.format(cols=cols)).alias(name)
+            for name, tmpl in _FP_EXPRS
         ],
     ).collect()[0]
     return f"{row['n']}:{row['fp0']}:{row['fp1']}"

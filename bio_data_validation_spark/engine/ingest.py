@@ -173,7 +173,11 @@ def validate_batch(
                 source_format=p.get("source_format", "records"),
             )
             rep["dataset_id"] = dataset_id
-        except (ValueError, KeyError) as e:
+        except Exception as e:  # noqa: BLE001 — per-dataset isolation is the
+            # contract: one malformed payload (TypeError from mixed-type
+            # records, pandas ParserError on a bad CSV string, Spark
+            # AnalysisException) must mark ITS dataset failed, not abort
+            # the batch (reference api/routes.py batch semantics).
             rep = {
                 "dataset_id": dataset_id,
                 "status": "failed",

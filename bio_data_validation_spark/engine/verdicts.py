@@ -90,14 +90,20 @@ def build_verdicts(
 
     # Row-level rule families: one verdict per (pid, rule), count from PASS 2.
     row_rule_meta = [(r.rule_id, r.severity) for r in registry.row_rules]
-    for extra in (
-        registry.uniqueness,
-        registry.content_duplicates,
-        registry.referential,
-        registry.near_duplicates,
+    # Default id/severity exactly as the emitters do (violations.py uses
+    # nd.get("id", "DUP_004") / nd.get("severity", "warning")): a registry
+    # configuring near_duplicates without an explicit id must get DUP_004
+    # verdict rows, not a KeyError after PASS 2 has already run.
+    for extra, default_id in (
+        (registry.uniqueness, None),
+        (registry.content_duplicates, None),
+        (registry.referential, None),
+        (registry.near_duplicates, "DUP_004"),
     ):
         if extra:
-            row_rule_meta.append((extra["id"], extra["severity"]))
+            rid = extra.get("id", default_id)
+            if rid is not None:
+                row_rule_meta.append((rid, extra.get("severity", "warning")))
     vc = {
         (int(r.pid), str(r.rule_id)): int(r.violation_count)
         for r in viol_counts.itertuples()

@@ -429,6 +429,7 @@ def dup_clusters(
     bands: int = 8,
     hash_fn: str = "xxhash64",
     max_iter: int = 50,
+    with_exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: LSH candidate pairs → connected components →
     (doc_id, cluster_id, cluster_size, is_canonical).
@@ -450,6 +451,13 @@ def dup_clusters(
     full-corpus candidate graph is exactly the representative graph with
     each sha group expanded to a clique — same components, same min ids,
     same sizes.
+
+    ``with_exact`` adds an ``exact_dup`` column (doc_id != min doc_id of
+    its sha256 group) at ZERO extra cost: the rep relation already holds
+    that min, so a curation pipeline gets exact dedup for free instead of
+    running its own second full-corpus sha256 scan + sha-keyed shuffle.
+    Every exact dup sits in a cluster of size >= 2 (its byte-identical
+    twin), so the size > 1 filter never hides one.
     """
     docs = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
@@ -466,30 +474,50 @@ def dup_clusters(
     # reps with no LSH edge keep their own id as cluster id; CC labels are
     # min rep ids = min doc_ids (rep id is already the min of its sha group)
     rep_cluster = reps.join(comp, reps["doc_id"] == comp["node"], "left").select(
-        "__sha", F.coalesce("label", "doc_id").alias("cluster_id")
+        "__sha",
+        F.coalesce("label", "doc_id").alias("cluster_id"),
+        F.col("doc_id").alias("__rep_id"),
     )
     assigned = docs.join(rep_cluster, "__sha").select(
-        F.col("__id").alias(id_col), "cluster_id"
+        F.col("__id").alias(id_col),
+        "cluster_id",
+        (F.col("__id") != F.col("__rep_id")).alias("exact_dup"),
     )
-    w = Window.partitionBy("cluster_id")
-    return (
-        assigned.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    # Sizes via groupBy + join-back, NOT Window.partitionBy(cluster_id):
+    # a boilerplate mega-cluster would pin every member row into one
+    # un-splittable window task, while the groupBy combines map-side and
+    # the join-back is AQE skew-splittable — the same hot-key rationale as
+    # the gram-membership shape in contract.q_contamination_check.
+    sizes = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
         .filter(F.col("cluster_size") > 1)
-        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+    out_cols = [
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    ]
+    if with_exact:
+        out_cols.append(F.col("exact_dup"))
+    return assigned.join(sizes, "cluster_id").select(*out_cols)
 
 
 def simhash_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_fn: str = "xxhash64"
 ) -> DataFrame:
-    """Docs sharing an identical SimHash (strong near-dup signal)."""
+    """Docs sharing an identical SimHash (strong near-dup signal).
+    groupBy + semi-join rather than a window on simhash — a hot signature
+    (templated docs) stays map-side combinable and skew-splittable."""
     sigs = simhash(df, text_col, id_col, hash_fn)
-    w = Window.partitionBy("simhash")
-    return (
-        sigs.withColumn("n", F.count(F.lit(1)).over(w))
+    dup_sigs = (
+        sigs.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
-        .select("doc_id", "simhash")
+        .select("simhash")
     )
+    return sigs.join(dup_sigs, "simhash", "left_semi").select("doc_id", "simhash")
 
 
 # --------------------------------------------------------------------------

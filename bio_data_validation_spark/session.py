@@ -37,10 +37,13 @@ def get_spark(
     # shuffle writers (measured 3-5x slowdown of shuffle-heavy stages at
     # local[32] vs tmpfs). Clusters provision striped NVMe for this via
     # spark.local.dir / SPARK_LOCAL_DIRS; the local-mode equivalent is shm.
-    # Honored only when /dev/shm exists; override with SPARK_GRAFT_LOCAL_DIR.
+    # OPT-IN (SPARK_GRAFT_LOCAL_DIR=shm, or an explicit path), NOT the
+    # default: tmpfs is RAM-backed and capped at ~50% of physical memory,
+    # so a shuffle that would merely be slow on disk dies with ENOSPC on
+    # shm — only benchmarking (bench.py sets it) should make that trade.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+    if local_dir == "shm":
+        local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
 
     builder = (
         SparkSession.builder.master(master)

@@ -43,10 +43,18 @@ def read_source(spark: SparkSession, location: str, fmt: str = "parquet") -> Dat
     raise ValueError(f"unknown source format {fmt!r}")
 
 
+# pid key column, first match wins: repo (code snapshots), seq_id
+# (FASTA/FASTQ), doc_id (document corpora); any other schema keys on its
+# first column. The choice only has to be STABLE per source — pid is a
+# partition label, not a semantic key — so bio/json sources validate and
+# fingerprint incrementally without a synthetic 'repo' column.
+_PID_KEY_PRIORITY = ("repo", "seq_id", "doc_id")
+
+
 def with_pid(df: DataFrame, n_partitions: int) -> DataFrame:
     """Ensure the stable partition id column exists.
 
-    pid = crc32(repo) % P. Pure function of the row (never of cluster size),
+    pid = crc32(key) % P. Pure function of the row (never of cluster size),
     so N- and 4N-executor runs produce identical per-partition verdicts and
     the resume ledger is portable across cluster shapes (SURVEY.md §4.2).
     When the source is already partitioned by pid (the Iceberg bucket-layout
@@ -54,8 +62,9 @@ def with_pid(df: DataFrame, n_partitions: int) -> DataFrame:
     """
     if "pid" in df.columns:
         return df.withColumn("pid", F.col("pid").cast("int"))
+    key = next((c for c in _PID_KEY_PRIORITY if c in df.columns), df.columns[0])
     return df.withColumn(
-        "pid", F.pmod(F.crc32(F.col("repo").cast("string")), F.lit(n_partitions)).cast("int")
+        "pid", F.pmod(F.crc32(F.col(key).cast("string")), F.lit(n_partitions)).cast("int")
     )
 
 

@@ -67,9 +67,15 @@ def read_fastq(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("file"), "value"
     )
+    # Strip ALL trailing newlines before splitting: a file ending "...\n\n"
+    # would otherwise leave a blank at pos 4n+1 that survives the
+    # boundary-blank filter below and assembles into a phantom record
+    # (NULL header, empty sequence) that fastq_record_checks then flags
+    # with spurious ERRORs for a record that does not exist.
+    body = F.regexp_replace(F.col("value"), r"[\r\n]+$", "")
     lines = raw.select(
-        "file", F.posexplode(F.split(F.col("value"), r"\r?\n")).alias("pos", "line")
-    ).filter(~((F.col("line") == "") & (F.col("pos") % 4 == 0)))  # trailing blank
+        "file", F.posexplode(F.split(body, r"\r?\n")).alias("pos", "line")
+    ).filter(~((F.col("line") == "") & (F.col("pos") % 4 == 0)))  # boundary blank
     rec = (
         lines.withColumn("rec_no", (F.col("pos") / 4).cast("long"))
         .withColumn("field", F.col("pos") % 4)

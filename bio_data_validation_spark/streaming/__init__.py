@@ -132,14 +132,26 @@ def stream_dedup(
     state grows without bound on an infinite stream. Duplicates arriving
     later than the watermark are passed through — the batch engine remains
     the exactness backstop, the stream gives bounded-state early signal.
+
+    Null content bypasses the dedup entirely, matching batch DUP_003
+    (which filters content_sha256 IS NOT NULL): sha2(null) is null, and
+    the state store treats null keys as EQUAL, so without the bypass every
+    distinct null-content record after the first would be silently dropped.
     """
-    df = stream_df
-    keys = list(key_cols)
     if content_col is not None:
-        df = df.withColumn("__sha", F.sha2(F.col(content_col), 256))
-        keys = ["__sha"]
-    out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
-    return out.drop("__sha") if content_col is not None else out
+        df = stream_df.withColumn("__sha", F.sha2(F.col(content_col), 256))
+        deduped = (
+            df.filter(F.col("__sha").isNotNull())
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__sha"])
+        )
+        passthrough = df.filter(F.col("__sha").isNull()).withWatermark(
+            ts_col, watermark
+        )
+        return deduped.unionByName(passthrough).drop("__sha")
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
 
 
 def curate_stream(

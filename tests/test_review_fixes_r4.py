@@ -1,0 +1,157 @@
+"""Regression tests for the round-4 review findings:
+
+1. Partition fingerprints must detect EVEN-multiplicity row changes —
+   xor-only fingerprints cancel pairwise (h(x)^h(x) = 0), so {x,x}→{y,y}
+   looked "unchanged" and carried stale verdicts; fp1 is now a multiset SUM.
+2. with_pid falls back to seq_id/doc_id/first-column when 'repo' is absent,
+   so FASTA/FASTQ/doc sources validate and fingerprint incrementally.
+3. read_fastq must not assemble a phantom record from a file ending in
+   multiple newlines.
+4. stream_dedup must pass null-content records through (batch DUP_003
+   excludes null content; the state store treats null keys as equal).
+5. dup_clusters(with_exact=True) rides exact dedup on the cluster pass's
+   own sha relation — equal to the direct sha computation.
+6. build_verdicts defaults near_duplicates id/severity like the emitter.
+"""
+
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_even_multiplicity_change_detected(spark):
+    from bio_data_validation_spark.engine.incremental import unchanged_pids
+
+    schema = "repo string, val string"
+    old = spark.createDataFrame(
+        [("r1", "x"), ("r1", "x"), ("r1", "keep")], schema
+    )
+    new = spark.createDataFrame(
+        [("r1", "y"), ("r1", "y"), ("r1", "keep")], schema
+    )
+    # same pid, same n_rows, a duplicated pair changed: the old xor-pair
+    # fingerprint called this unchanged for EVERY seed
+    assert unchanged_pids(old, new, 8) == set()
+    # and identical snapshots still compare unchanged
+    assert len(unchanged_pids(old, old, 8)) == 1
+
+
+def test_with_pid_falls_back_without_repo(spark):
+    from bio_data_validation_spark.sources import with_pid
+
+    bio = spark.createDataFrame(
+        [("s1", "d", "ACGT"), ("s2", "d", "GGGG")],
+        "seq_id string, description string, sequence string",
+    )
+    got = with_pid(bio, 8)
+    assert "pid" in got.columns
+    # deterministic across calls and derived from seq_id
+    assert got.select("pid").collect() == with_pid(bio, 8).select("pid").collect()
+
+    other = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    assert with_pid(other, 8).select("pid").first()["pid"] is not None
+
+
+def test_fastq_trailing_newlines_no_phantom_record(spark, tmp_path):
+    from bio_data_validation_spark.sources.bio import (
+        fastq_record_checks,
+        read_fastq,
+    )
+
+    (tmp_path / "q").mkdir()
+    (tmp_path / "q" / "a.fastq").write_text("@r1 ok\nACGT\n+\nIIII\n\n\n")
+    recs = read_fastq(spark, str(tmp_path / "q"))
+    rows = recs.collect()
+    assert len(rows) == 1 and rows[0]["seq_id"] == "r1"
+    errors = [
+        r for r in fastq_record_checks(recs).collect() if r["severity"] == "ERROR"
+    ]
+    assert errors == []
+
+
+def test_stream_dedup_null_content_passthrough(spark, tmp_path):
+    from bio_data_validation_spark.streaming import stream_dedup
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, ts timestamp"
+    )
+    rows = [
+        ("r1", "a.py", "c1", "py", "same", "2024-01-01 00:00:01"),
+        ("r1", "b.py", "c2", "py", "same", "2024-01-01 00:00:02"),  # content dup
+        ("r1", "c.py", "c3", "py", None, "2024-01-01 00:00:03"),  # null content
+        ("r1", "d.py", "c4", "py", None, "2024-01-01 00:00:04"),  # null content
+    ]
+    pdf = spark.createDataFrame(
+        [(r, p, c, lg, ct, datetime.fromisoformat(ts)) for r, p, c, lg, ct, ts in rows],
+        schema,
+    )
+    d = tmp_path / "in"
+    pdf.write.mode("overwrite").parquet(str(d))
+    src = spark.readStream.schema(schema).parquet(str(d))
+    out = stream_dedup(src, "ts", content_col="content")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("null_passthrough")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select path from null_passthrough").toPandas()
+    # one of the two 'same' docs survives; BOTH null-content docs survive
+    assert sorted(got["path"]) == ["a.py", "c.py", "d.py"]
+
+
+def test_dup_clusters_with_exact_matches_direct_sha(spark):
+    from bio_data_validation_spark.functions.dedup import dup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # exact dup of 1
+            (3, "alpha beta gamma delta"),  # exact dup of 1
+            (4, "completely different text here"),
+            (5, "alpha beta gamma delta epsilon"),  # near 1, not exact
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["exact_dup"]
+        for r in dup_clusters(docs, bands=16, with_exact=True).collect()
+    }
+    sha = docs.select(
+        "doc_id", F.sha2("text", 256).alias("s")
+    ).toPandas()
+    canon = sha.groupby("s")["doc_id"].transform("min")
+    want = dict(zip(sha["doc_id"], sha["doc_id"] != canon))
+    for doc_id, flag in got.items():
+        assert flag == want[doc_id], doc_id
+    assert got.get(2) is True and got.get(3) is True
+    assert got.get(1) is False
+    # default output keeps its 4-column contract
+    assert "exact_dup" not in dup_clusters(docs, bands=16).columns
+
+
+def test_build_verdicts_defaults_near_dup_id(spark):
+    import copy
+
+    from bio_data_validation_spark.engine.verdicts import build_verdicts
+    from bio_data_validation_spark.rules import Registry, load_registry
+
+    base = load_registry()
+    raw = copy.deepcopy(base.raw)
+    raw["near_duplicates"] = {"threshold": 0.9}  # no id, no severity
+    raw["agg_rules"] = []
+    reg = Registry(
+        version=base.version, ruleset_hash=base.ruleset_hash,
+        path=base.path, raw=raw, row_rules=base.row_rules,
+    )
+    stats = pd.DataFrame({"pid": [0], "rows": [10]})
+    lang_hist = pd.DataFrame({"pid": [], "lang": [], "rows": []})
+    counts = pd.DataFrame({"pid": [0], "rule_id": ["DUP_004"], "violation_count": [3]})
+    v = build_verdicts(stats, lang_hist, counts, None, reg)
+    row = v[v["rule_id"] == "DUP_004"]
+    assert len(row) == 1
+    assert row.iloc[0]["severity"] == "warning"
+    assert not bool(row.iloc[0]["passed"])
