@@ -320,7 +320,20 @@ def run_validation(
         # Nothing left to process — the decision must still reflect the FULL
         # on-disk verdict table, or a no-op resume would mask a rejection
         # (check_status.py:39-45 semantics require the gate to stay red).
+        fine.unpersist()  # this early return skips the main-path unpersist
         report.update({"note": "no partitions to process", "elapsed_sec": time.time() - t0})
+        if build_baseline:
+            # The baseline is built from THIS run's stats; with nothing
+            # processed there is nothing to build from — degrade loudly
+            # (same contract as the missing-manifest warning above).
+            msg = (
+                "build_baseline requested but no partitions were processed "
+                "(fully-resumed run) — baseline profile NOT written"
+            )
+            report["warnings"].append(msg)
+            import warnings as _w
+
+            _w.warn(msg, stacklevel=2)
         # The rebuilt report must keep the prior run's manifest fingerprint:
         # incremental_validation reads it from report.json next run to prove
         # the manifest unchanged — dropping it here would void the carry set
@@ -400,9 +413,36 @@ def run_validation(
         )
     elif profile_dir and Path(profile_dir, "profile.json").exists():
         baseline = drift_mod.load_profile(profile_dir)
-        drift_results = drift_mod.drift_rule_results(
-            rollup_lang_hist(fine), rollup_len_hist(fine), baseline, registry
-        )
+        # Binned KS compares histograms bucket-by-bucket: a baseline built
+        # with a different bin count (or another ruleset entirely) yields a
+        # statistic over incompatible domains — silently wrong in either
+        # direction. The meta exists to catch this; enforce it loudly and
+        # skip drift rather than evaluate garbage.
+        meta = baseline.get("meta", {})
+        mismatches = []
+        if meta.get("length_hist_bins") != registry.length_hist_bins:
+            mismatches.append(
+                f"length_hist_bins {meta.get('length_hist_bins')} != "
+                f"{registry.length_hist_bins}"
+            )
+        if meta.get("ruleset_hash") != registry.ruleset_hash:
+            mismatches.append(
+                f"ruleset_hash {meta.get('ruleset_hash')} != {registry.ruleset_hash}"
+            )
+        if mismatches:
+            msg = (
+                "baseline profile incompatible with current registry "
+                f"({'; '.join(mismatches)}) — drift rules NOT evaluated this "
+                "run (rebuild the baseline with build_baseline=True)"
+            )
+            report["warnings"].append(msg)
+            import warnings as _w
+
+            _w.warn(msg, stacklevel=2)
+        else:
+            drift_results = drift_mod.drift_rule_results(
+                rollup_lang_hist(fine), rollup_len_hist(fine), baseline, registry
+            )
     fine.unpersist()
     _mark("drift", t)
 
@@ -455,6 +495,19 @@ def run_validation(
         violations.unpersist()
         for p in preps:
             p.unpersist()
+    # Dynamic partition overwrite only replaces partitions PRESENT in the
+    # written data: a reprocessed pid that now emits zero violations (e.g.
+    # after a ruleset change invalidated resume) would keep its previous
+    # run's rows on disk, feeding stale violations to every reader. Clear
+    # those partitions explicitly.
+    import shutil
+
+    written_pids = set(viol_counts["pid"].astype(int)) if len(viol_counts) else set()
+    for pid in set(stats["pid"].astype(int)) - written_pids:
+        stale = out / "violations" / f"pid={pid}"
+        if stale.exists():
+            shutil.rmtree(stale)
+
     viol_counts_all = pd.concat([viol_counts, gviol_counts], ignore_index=True)
     n_ambiguous = int(pass2_stats.get("ambiguous_manifest_keys", 0))
     if n_ambiguous:
@@ -489,8 +542,13 @@ def run_validation(
     g = global_decision(all_verdicts, registry)
     _mark("verdicts_decisions", t)
 
-    # ---- ledger append (one completion row per processed pid)
-    per_pid_viol = verdicts.groupby("pid")["violation_count"].sum()
+    # ---- ledger append (one completion row per processed pid).
+    # violation_rows counts EMITTED violation rows (viol_counts_all), not
+    # verdict counts: a failed aggregate rule sets its verdict count to the
+    # pid's whole row total (CARD_001 -> rows, BIAS_002 -> null count), so
+    # summing verdicts would report a million "violation rows" for a pid
+    # whose violations table is empty.
+    per_pid_viol = viol_counts_all.groupby("pid")["violation_count"].sum()
     rows_by_pid = stats.set_index("pid")["rows"]
     ledger.append(
         [

@@ -63,8 +63,18 @@ def with_pid(df: DataFrame, n_partitions: int) -> DataFrame:
     if "pid" in df.columns:
         return df.withColumn("pid", F.col("pid").cast("int"))
     key = next((c for c in _PID_KEY_PRIORITY if c in df.columns), df.columns[0])
+    # coalesce('') — crc32(NULL) is NULL, and a NULL pid is poison: the
+    # fused pandas rollup drops the NaN group from stats, build_verdicts
+    # crashes on int(NaN), and a resume filter (~pid.isin(...)) silently
+    # drops the rows. Null keys are exactly what KEY_NULL_001 exists to
+    # FLAG, so they must land in a real partition and flow through the
+    # rules like any other row.
     return df.withColumn(
-        "pid", F.pmod(F.crc32(F.col(key).cast("string")), F.lit(n_partitions)).cast("int")
+        "pid",
+        F.pmod(
+            F.crc32(F.coalesce(F.col(key).cast("string"), F.lit(""))),
+            F.lit(n_partitions),
+        ).cast("int"),
     )
 
 

@@ -99,8 +99,12 @@ def test_stream_dedup_null_content_passthrough(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = spark.sql("select path from null_passthrough").toPandas()
-    # one of the two 'same' docs survives; BOTH null-content docs survive
-    assert sorted(got["path"]) == ["a.py", "c.py", "d.py"]
+    # exactly one of the two 'same' docs survives (which one is
+    # first-ARRIVAL order, not event time); BOTH null-content docs survive
+    kept = sorted(got["path"])
+    assert len(kept) == 3
+    assert kept[1:] == ["c.py", "d.py"]
+    assert kept[0] in ("a.py", "b.py")
 
 
 def test_dup_clusters_with_exact_matches_direct_sha(spark):
@@ -155,3 +159,95 @@ def test_build_verdicts_defaults_near_dup_id(spark):
     assert len(row) == 1
     assert row.iloc[0]["severity"] == "warning"
     assert not bool(row.iloc[0]["passed"])
+
+
+def test_with_pid_null_key_lands_in_real_partition(spark):
+    from bio_data_validation_spark.sources import with_pid
+
+    df = spark.createDataFrame(
+        [(None, "x"), ("r1", "y")], "repo string, val string"
+    )
+    pids = {r["val"]: r["pid"] for r in with_pid(df, 8).collect()}
+    assert pids["x"] is not None  # crc32(NULL) used to poison this to NULL
+    assert pids["y"] is not None
+
+
+def test_baseline_bin_mismatch_skips_drift_loudly(spark, snapshot, tmp_path):
+    import json as _json
+    import warnings
+
+    from bio_data_validation_spark.engine import run_validation
+
+    prof = tmp_path / "prof"
+    run_validation(
+        spark, snapshot["clean"], str(tmp_path / "o1"),
+        manifest_path=snapshot["manifest"],
+        build_baseline=True, profile_dir=str(prof), snapshot_id="c1",
+    )
+    pj = prof / "profile.json"
+    meta = _json.loads(pj.read_text())
+    meta["length_hist_bins"] = int(meta["length_hist_bins"]) * 2
+    pj.write_text(_json.dumps(meta))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rep = run_validation(
+            spark, snapshot["dirty"], str(tmp_path / "o2"),
+            manifest_path=snapshot["manifest"],
+            profile_dir=str(prof), snapshot_id="d1",
+        )
+    assert any("incompatible" in str(r.message) for r in w) or any(
+        "incompatible" in msg for msg in rep["warnings"]
+    )
+    # drift rules were NOT evaluated against mismatched bins
+    assert not any(r.startswith("DRIFT_") for r in rep["failed_rules"])
+
+
+def test_stale_violation_partition_cleared(spark, snapshot, tmp_path):
+    import pandas as pd
+
+    from bio_data_validation_spark.engine import run_validation
+
+    out = tmp_path / "o"
+    # plant a stale partition for a pid that the clean run will reprocess
+    # with zero violations
+    stale = out / "violations" / "pid=3"
+    stale.mkdir(parents=True)
+    pd.DataFrame({"rule_id": ["GHOST_001"], "repo": ["r"], "path": ["p"],
+                  "commit": ["c"], "severity": ["error"]}).to_parquet(
+        stale / "part-0.parquet"
+    )
+    run_validation(
+        spark, snapshot["clean"], str(out),
+        manifest_path=snapshot["manifest"], snapshot_id="c1", resume=False,
+    )
+    assert not stale.exists()
+
+
+def test_ledger_violation_rows_counts_emitted_rows(spark, snapshot, tmp_path):
+    import pyarrow.dataset as ds
+
+    from bio_data_validation_spark.engine import run_validation
+
+    out = tmp_path / "o"
+    run_validation(
+        spark, snapshot["dirty"], str(out),
+        manifest_path=snapshot["manifest"], snapshot_id="d1",
+    )
+    led = ds.dataset(str(out / "ledger")).to_table().to_pandas()
+    emitted = (
+        ds.dataset(str(out / "violations"), partitioning="hive")
+        .to_table().to_pandas().groupby("pid").size()
+        if (out / "violations").exists()
+        else {}
+    )
+    glob_dir = out / "violations_global"
+    if glob_dir.exists():
+        g = ds.dataset(str(glob_dir)).to_table().to_pandas()
+        gcounts = g.groupby("pid").size()
+    else:
+        gcounts = {}
+    for rec in led.itertuples():
+        want = int(emitted.get(rec.pid, 0)) + int(
+            gcounts.get(rec.pid, 0) if len(gcounts) else 0
+        )
+        assert int(rec.violation_rows) == want, rec.pid
