@@ -337,3 +337,16 @@ def test_corpus_diff_and_quantile_plans_are_scale_shaped(spark):
     # the histogram agg already ran at build time; the returned relation is
     # the 3-row exact answer — nothing heavy left in this plan
     assert "Scan parquet" not in p
+
+
+def test_dup_clusters_sizes_have_no_window(spark):
+    """Cluster sizes come from groupBy + join-back, never a window
+    partitioned by cluster_id: a boilerplate mega-cluster would pin every
+    member row into one un-splittable window task, while the groupBy
+    combines map-side and the join is AQE skew-splittable (same hot-key
+    rationale as the gram-membership shape)."""
+    from bio_data_validation_spark.functions.dedup import dup_clusters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dup_clusters(docs, with_exact=True))
+    assert "Window" not in plan
