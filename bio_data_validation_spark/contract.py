@@ -3703,6 +3703,125 @@ def q_kgram_fingerprints_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_kgram_fingerprints(spark, sf_dir, hash_fn="xxhash64")
 
 
+# --------------------------------------------------------------------------
+# Script profile (multilingual routing) + output shard balance
+# --------------------------------------------------------------------------
+
+# (name, single-char class) in PRIORITY order: ties go to the earlier
+# entry, identically in the Spark CASE and the SQL CASE. Explicit UTF-8
+# ranges, not \p{Script=...} names — Java regex and RE2 spell those
+# differently, literal ranges behave identically in both.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("cjk", "[一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+    ("digit", "[0-9]"),
+]
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dominant-script histogram — the first-stage router of a
+    multilingual curation pipeline (CommonCrawl-scale corpora split by
+    script before language ID, since an n-gram lang model is per-script):
+    each doc is classified by its most frequent script class (priority
+    order breaks ties; 'other' when none match), rolled up to
+    (source, script, n_docs, n_script_chars).
+
+    Scale shape: one scan, |SCRIPT_CLASSES| linear regexp_count passes in
+    a single codegen projection, one map-side-combinable groupBy — the
+    (source, script) key space is tiny, so the exchange carries at most
+    sources x scripts combined rows per task. The synthetic corpus is
+    ASCII-only (everything lands in 'latin'), which still proves the
+    regex-dialect parity; multi-script behavior is fixture-tested in
+    tests/test_functions.py."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).alias(name)
+        for name, pat in SCRIPT_CLASSES
+    ]
+    c = d.select("source", *counts)
+    g = F.greatest(*[F.col(name) for name, _ in SCRIPT_CLASSES])
+    script = F.when(g == 0, F.lit("other"))
+    for name, _ in SCRIPT_CLASSES:
+        script = script.when(F.col(name) == g, F.lit(name))
+    return (
+        c.select("source", script.alias("script"), g.alias("__sc"))
+        .groupBy("source", "script")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__sc").cast("bigint").alias("n_script_chars"),
+        )
+    )
+
+
+def _sql_script_profile() -> str:
+    cols = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS {name}"
+        for name, pat in SCRIPT_CLASSES
+    )
+    g = "greatest(" + ", ".join(name for name, _ in SCRIPT_CLASSES) + ")"
+    whens = " ".join(
+        f"WHEN {name} = {g} THEN '{name}'" for name, _ in SCRIPT_CLASSES
+    )
+    return f"""
+WITH c AS (
+  SELECT source, {cols}
+  FROM documents WHERE text IS NOT NULL),
+d AS (
+  SELECT source,
+         CASE WHEN {g} = 0 THEN 'other' {whens} END AS script,
+         {g} AS sc
+  FROM c)
+SELECT source, script, count(*) AS n_docs,
+       CAST(sum(sc) AS BIGINT) AS n_script_chars
+FROM d GROUP BY 1, 2
+"""
+
+
+SHARD_COUNT = 16  # output shards; production sizes this to the writer fleet
+
+
+def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-output shard balance: shard = hash(doc_id) % SHARD_COUNT
+    (content-addressed, reproducible across runs and cluster shapes — the
+    same hash-mod machinery as stratified_sample), with per-shard doc and
+    token totals. This is the write-side report a packing/export stage
+    checks before committing shards: a skewed shard becomes the straggler
+    of every downstream epoch. Hash-mod keeps shards balanced in
+    expectation regardless of doc_id clustering; md5_60 keeps the oracle
+    value-exact (production uses xxhash64, same structure).
+
+    Scale shape: pure projection + ONE combinable aggregation over a
+    SHARD_COUNT-row key space; nothing else shuffles."""
+    from .functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        token_hash(F.col("doc_id").cast("string"), 3, "md5_60") % SHARD_COUNT
+    ).cast("int")
+    return (
+        d.select(shard.alias("shard"), T.token_count(F.col("text")).alias("__nt"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def _sql_shard_stats() -> str:
+    h = _sql_md5h(3, "CAST(doc_id AS VARCHAR)")
+    return rf"""
+SELECT CAST({h} % {SHARD_COUNT} AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+            AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1
+"""
+
+
 # Ordered registry: evidence across rounds 1-3 shows the driver's
 # correctness gate checks exactly the FIRST 50 entries, so the first 50
 # are every SURVEY-S2-mapped operator plus the curation-pipeline
@@ -3806,6 +3925,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_selection": q_token_budget_selection,
     "length_quantiles": q_length_quantiles,
     "corpus_diff": q_corpus_diff,
+    "script_profile": q_script_profile,
+    "shard_stats": q_shard_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -3899,4 +4020,6 @@ ORACLES: dict[str, str] = {
     "token_budget_selection": _sql_token_budget_selection(),
     "length_quantiles": _sql_length_quantiles(),
     "corpus_diff": _sql_corpus_diff(),
+    "script_profile": _sql_script_profile(),
+    "shard_stats": _sql_shard_stats(),
 }

@@ -249,3 +249,38 @@ def test_ivf_cell_imbalance_guard_warns_on_skew(spark):
     with W.catch_warnings():
         W.simplefilter("error", UserWarning)
         ivf_seeded_index(balanced, n_cells=4, balance_check=True)
+
+
+def test_script_profile_classifies_multiscript_docs(spark, tmp_path):
+    """Dominant-script classification on genuinely multi-script text —
+    the synthetic corpus is ASCII-only, so the oracle pair only proves
+    regex-dialect parity; this fixture proves the classification."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bio_data_validation_spark.contract import q_script_profile
+
+    docs = [
+        (1, "s", "hello world entirely latin text"),
+        (2, "s", "привет мир это кириллица здесь"),
+        (3, "s", "这是一段中文文本内容测试"),
+        (4, "s", "مرحبا بالعالم هذا نص عربي"),
+        (5, "s", "1234 5678 90"),
+        (6, "s", "!!! ??? ..."),  # no script chars -> other
+        (7, "s", "mixed привет but latin wins here clearly"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "source": pa.array([d[1] for d in docs]),
+            "text": pa.array([d[2] for d in docs]),
+        }
+    )
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "documents.parquet")
+    got = {
+        r["script"]: r["n_docs"]
+        for r in q_script_profile(spark, str(tmp_path / "sf")).collect()
+    }
+    assert got == {"latin": 2, "cyrillic": 1, "cjk": 1, "arabic": 1,
+                   "digit": 1, "other": 1}
