@@ -258,25 +258,41 @@ def main() -> int:
             print(f"# local[{cores}]: {best['rows_per_sec']:.0f} rows/s "
                   f"({best['elapsed_sec']:.1f}s)", file=sys.stderr)
         eff = (results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]) / ratio
+        # BASELINE.md carries curated measurement history (discarded
+        # contended runs, host-ceiling calibrations) that a regeneration
+        # must not wipe: only create it when absent, and always append the
+        # dated run so every measurement lands in the record either way.
         md = REPO / "BENCH" / "BASELINE.md"
         md.parent.mkdir(exist_ok=True)
-        md.write_text(
-            "# BENCH/BASELINE — measured engine throughput & scaling\n\n"
-            f"Dataset: synthetic dirty source-code snapshot, sf={sf} "
-            f"({results[hi]['rows']} rows), full fused validation run\n"
-            "(PASS 1 stats + drift + PASS 2 violations + verdicts + ledger).\n\n"
-            "| parallelism | elapsed (s) | rows/sec |\n|---|---|---|\n"
-            f"| local[{lo}] (N) | {results[lo]['elapsed_sec']:.2f} | {results[lo]['rows_per_sec']:.0f} |\n"
-            f"| local[{hi}] ({ratio_label}) | {results[hi]['elapsed_sec']:.2f} | {results[hi]['rows_per_sec']:.0f} |\n\n"
-            f"**Scaling efficiency (T_N/T_{ratio_label})/{ratio:g} = {eff:.3f}** "
-            f"(BASELINE.json criterion: >= 0.8).\n\n"
-            f"Protocol: per level, one warm-up run then best of {SCALING_RUNS}\n"
-            "timed steady-state runs in the same JVM, fresh output dir each\n"
-            "run, page-cached input, shuffle scratch on tmpfs. Identical\n"
-            "per-partition verdicts at both parallelism levels\n"
-            "(pid = crc32(repo) % 64 is cluster-size independent).\n"
-            + _SCALING_CONTEXT
-        )
+        if md.exists():
+            import datetime
+
+            stamp = datetime.date.today().isoformat()
+            with md.open("a") as f:
+                f.write(
+                    f"\nRun {stamp}: sf={sf} local[{lo}]={results[lo]['rows_per_sec']:.0f} r/s, "
+                    f"local[{hi}]={results[hi]['rows_per_sec']:.0f} r/s, eff={eff:.3f} "
+                    "(auto-appended by bench.py --scaling; interpret against the\n"
+                    "host-ceiling notes above before quoting).\n"
+                )
+        else:
+            md.write_text(
+                "# BENCH/BASELINE — measured engine throughput & scaling\n\n"
+                f"Dataset: synthetic dirty source-code snapshot, sf={sf} "
+                f"({results[hi]['rows']} rows), full fused validation run\n"
+                "(PASS 1 stats + drift + PASS 2 violations + verdicts + ledger).\n\n"
+                "| parallelism | elapsed (s) | rows/sec |\n|---|---|---|\n"
+                f"| local[{lo}] (N) | {results[lo]['elapsed_sec']:.2f} | {results[lo]['rows_per_sec']:.0f} |\n"
+                f"| local[{hi}] ({ratio_label}) | {results[hi]['elapsed_sec']:.2f} | {results[hi]['rows_per_sec']:.0f} |\n\n"
+                f"**Scaling efficiency (T_N/T_{ratio_label})/{ratio:g} = {eff:.3f}** "
+                f"(BASELINE.json criterion: >= 0.8).\n\n"
+                f"Protocol: per level, one warm-up run then best of {SCALING_RUNS}\n"
+                "timed steady-state runs in the same JVM, fresh output dir each\n"
+                "run, page-cached input, shuffle scratch on tmpfs. Identical\n"
+                "per-partition verdicts at both parallelism levels\n"
+                "(pid = crc32(repo) % 64 is cluster-size independent).\n"
+                + _SCALING_CONTEXT
+            )
         print(json.dumps({"sf": sf, "cores": [lo, hi],
                           "scaling_efficiency": round(eff, 3),
                           "rows_per_sec": {k: round(v["rows_per_sec"]) for k, v in results.items()}}))
