@@ -90,6 +90,27 @@ def load_profile(profile_dir: str | Path) -> dict:
     }
 
 
+def compat_mismatches(baseline: dict, registry) -> list[str]:
+    """Why this baseline must NOT be compared against the current registry
+    (empty list = compatible). Owned here because this module defines the
+    profile meta schema (build_profile/build_profile_pdf): the binned KS
+    compares histograms bucket-by-bucket, so a bin-count or ruleset
+    mismatch yields a statistic over incompatible domains — silently wrong
+    in either direction."""
+    meta = baseline.get("meta", {})
+    out = []
+    if meta.get("length_hist_bins") != registry.length_hist_bins:
+        out.append(
+            f"length_hist_bins {meta.get('length_hist_bins')} != "
+            f"{registry.length_hist_bins}"
+        )
+    if meta.get("ruleset_hash") != registry.ruleset_hash:
+        out.append(
+            f"ruleset_hash {meta.get('ruleset_hash')} != {registry.ruleset_hash}"
+        )
+    return out
+
+
 # ------------------------------------------------------- chi-square (lang)
 def chi_square_stat(observed: dict[str, int], baseline: dict[str, int]) -> tuple[float, int]:
     """Pearson chi-square of observed category counts vs baseline proportions.

@@ -178,6 +178,16 @@ def validate_batch(
             # records, pandas ParserError on a bad CSV string, Spark
             # AnalysisException) must mark ITS dataset failed, not abort
             # the batch (reference api/routes.py batch semantics).
+            # But an INFRASTRUCTURE failure must not masquerade as 50
+            # per-dataset data failures: if the session itself is dead
+            # (executor OOM, py4j socket loss), every remaining payload
+            # would "fail" with the same connection error and the batch
+            # would complete "successfully" — probe session liveness and
+            # re-raise when it's gone.
+            try:
+                spark.range(1).count()
+            except Exception:
+                raise e
             rep = {
                 "dataset_id": dataset_id,
                 "status": "failed",

@@ -163,6 +163,16 @@ def structural_check(df: DataFrame, registry: Registry) -> list[dict]:
     return issues
 
 
+
+def _warn(report: dict, msg: str) -> None:
+    """Degrade LOUDLY, never silently (reference bio_lookups.py:779-789):
+    record the condition in the report AND emit a UserWarning."""
+    import warnings
+
+    report["warnings"].append(msg)
+    warnings.warn(msg, stacklevel=3)
+
+
 def run_validation(
     spark: SparkSession,
     source_path: str,
@@ -238,10 +248,7 @@ def run_validation(
             f"{registry.referential.get('id', '?')} configured but no manifest "
             "supplied — referential integrity NOT checked this run (degraded mode)"
         )
-        report["warnings"].append(msg)
-        import warnings as _w
-
-        _w.warn(msg, stacklevel=2)
+        _warn(report, msg)
 
     # ---- stage: structural (blocking, reference orchestrator.py:363-371)
     structural = structural_check(df, registry)
@@ -330,10 +337,7 @@ def run_validation(
                 "build_baseline requested but no partitions were processed "
                 "(fully-resumed run) — baseline profile NOT written"
             )
-            report["warnings"].append(msg)
-            import warnings as _w
-
-            _w.warn(msg, stacklevel=2)
+            _warn(report, msg)
         # The rebuilt report must keep the prior run's manifest fingerprint:
         # incremental_validation reads it from report.json next run to prove
         # the manifest unchanged — dropping it here would void the carry set
@@ -416,29 +420,15 @@ def run_validation(
         # Binned KS compares histograms bucket-by-bucket: a baseline built
         # with a different bin count (or another ruleset entirely) yields a
         # statistic over incompatible domains — silently wrong in either
-        # direction. The meta exists to catch this; enforce it loudly and
-        # skip drift rather than evaluate garbage.
-        meta = baseline.get("meta", {})
-        mismatches = []
-        if meta.get("length_hist_bins") != registry.length_hist_bins:
-            mismatches.append(
-                f"length_hist_bins {meta.get('length_hist_bins')} != "
-                f"{registry.length_hist_bins}"
-            )
-        if meta.get("ruleset_hash") != registry.ruleset_hash:
-            mismatches.append(
-                f"ruleset_hash {meta.get('ruleset_hash')} != {registry.ruleset_hash}"
-            )
+        # direction. drift.compat_mismatches owns the meta schema check.
+        mismatches = drift_mod.compat_mismatches(baseline, registry)
         if mismatches:
             msg = (
                 "baseline profile incompatible with current registry "
                 f"({'; '.join(mismatches)}) — drift rules NOT evaluated this "
                 "run (rebuild the baseline with build_baseline=True)"
             )
-            report["warnings"].append(msg)
-            import warnings as _w
-
-            _w.warn(msg, stacklevel=2)
+            _warn(report, msg)
         else:
             drift_results = drift_mod.drift_rule_results(
                 rollup_lang_hist(fine), rollup_len_hist(fine), baseline, registry
@@ -516,10 +506,7 @@ def run_validation(
             f"{tuple(registry.referential['keys'])} keys (duplicate dim "
             "rows) — referential check uses the deduplicated key set"
         )
-        report["warnings"].append(msg)
-        import warnings as _w
-
-        _w.warn(msg, stacklevel=2)
+        _warn(report, msg)
     _mark("pass_2_violations", t)
 
     # ---- verdicts + decisions (all driver-sized pandas: the verdict table

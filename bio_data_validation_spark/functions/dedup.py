@@ -27,7 +27,15 @@ HASH_FNS = ("xxhash64", "md5_60")
 
 
 def token_hash(col: Column, seed: int, hash_fn: str = "xxhash64") -> Column:
-    """Seeded 64-bit (xxhash64) or 60-bit (md5_60) token hash as a long."""
+    """Seeded 64-bit (xxhash64) or 60-bit (md5_60) token hash as a long.
+
+    TOTAL on null input for both branches: xxhash64 hashes NULL to a real
+    value natively, and the md5_60 branch coalesces to '' — matching
+    DuckDB, whose ``concat`` skips NULL args, so the SQL twin
+    (_sql_md5h) hashes '<seed>:' for a NULL column. Without the coalesce,
+    Spark's null-propagating concat made md5_60 return NULL and every
+    hash-mod operator (sampling, sharding, packing order) silently
+    diverged from its oracle on null ids."""
     if hash_fn == "xxhash64":
         return F.xxhash64(col, F.lit(seed))
     if hash_fn == "md5_60":
@@ -35,7 +43,13 @@ def token_hash(col: Column, seed: int, hash_fn: str = "xxhash64") -> Column:
         # positive long in [0, 2^60): reproducible verbatim in ANSI-ish SQL
         # (substr(md5(...)) + hex cast), unlike xxhash64.
         return F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.coalesce(col, F.lit("")))),
+                1,
+                15,
+            ),
+            16,
+            10,
         ).cast("long")
     raise ValueError(f"unknown hash_fn {hash_fn!r}; choose from {HASH_FNS}")
 

@@ -64,7 +64,7 @@ def main() -> int:
         ),
         (
             "Incremental fingerprints — one partial-aggregated shuffle",
-            "pid_fingerprints: count + two xor-fingerprints per pid; "
+            "pid_fingerprints: count + xor- and sum-fingerprints per pid; "
             "HashAggregate(partial) before the single Exchange, no joins.",
             formatted(pid_fingerprints(read_source(spark, paths["clean"]), registry.n_partitions)),
         ),

@@ -251,3 +251,65 @@ def test_ledger_violation_rows_counts_emitted_rows(spark, snapshot, tmp_path):
             gcounts.get(rec.pid, 0) if len(gcounts) else 0
         )
         assert int(rec.violation_rows) == want, rec.pid
+
+
+def test_md5_60_hash_total_on_null_matches_duckdb(spark, tmp_path):
+    """token_hash(md5_60) must be TOTAL on null input: DuckDB's concat
+    skips NULL args (hashing '<seed>:'), while Spark's concat
+    null-propagates — without the coalesce every hash-mod operator
+    (sampling, sharding, packing order) silently diverged from its oracle
+    on null ids."""
+    import duckdb
+
+    from bio_data_validation_spark.contract import ORACLES, q_shard_stats
+    from bio_data_validation_spark.functions.dedup import token_hash
+
+    # unit: null hashes like '' and is non-null
+    row = spark.range(1).select(
+        token_hash(F.lit(None).cast("string"), 3, "md5_60").alias("h_null"),
+        token_hash(F.lit(""), 3, "md5_60").alias("h_empty"),
+    ).first()
+    assert row["h_null"] is not None and row["h_null"] == row["h_empty"]
+
+    # end-to-end: shard_stats parity on a corpus containing a null doc_id
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, None], pa.int64()),
+            "source": pa.array(["s", "s", "s"]),
+            "text": pa.array(["one two", "three four five", "six"]),
+        }
+    )
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "documents.parquet")
+    got = {
+        (r["shard"], r["n_docs"], r["n_tokens"])
+        for r in q_shard_stats(spark, str(tmp_path / "sf")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/sf/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(ORACLES["shard_stats"]).fetchall()}
+    assert got == want
+
+
+def test_validate_batch_isolates_data_failures_only(spark):
+    """A malformed payload fails ITS dataset; the live-session probe means
+    data failures never abort the batch."""
+    from bio_data_validation_spark.engine.ingest import validate_batch
+
+    out = validate_batch(
+        spark,
+        [
+            {"data": [{"repo": "r", "path": "p", "commit": "c" * 40,
+                       "lang": "python", "content": "x = 1"}]},
+            {"data": object()},  # unconvertible payload -> per-dataset failure
+        ],
+    )
+    assert out["total_datasets"] == 2
+    statuses = [r.get("status", "ok") for r in out["results"]]
+    assert "failed" in statuses
