@@ -3779,6 +3779,68 @@ FROM d GROUP BY 1, 2
 """
 
 
+# (license, fixed lowercase needle) in PRIORITY order — the CASE evaluates
+# identically in Spark and the SQL twin. Needles are the canonical
+# distinguishing phrases of each family (cheap contains(), no regex);
+# an explicit SPDX tag wins over any phrase match.
+LICENSE_NEEDLES: list[tuple[str, str]] = [
+    ("mit", "permission is hereby granted"),
+    ("apache-2.0", "apache license"),
+    ("gpl", "gnu general public license"),
+    ("lgpl", "gnu lesser general public"),
+    ("mpl", "mozilla public license"),
+    ("bsd", "redistribution and use in source and binary forms"),
+]
+SPDX_PATTERN = r"spdx-license-identifier:\s*([a-z0-9.+-]+)"
+
+
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source license inventory of a code corpus: each doc classified
+    by an explicit SPDX tag when present (spdx:<id>), else the first
+    matching license-header phrase in priority order, else 'none' — the
+    screen a code-corpus curation run uses to split permissive from
+    copyleft before training (the pii_scan sibling for code provenance).
+
+    Scale shape: one scan, one lower() + one regexp_extract + K fixed
+    contains() probes in a single codegen projection, one combinable
+    groupBy over the tiny (source, license) key space. The synthetic
+    corpus carries no license headers (everything lands in 'none' —
+    dialect parity still proven); positives are fixture-tested in
+    tests/test_functions.py."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    low = F.lower(F.col("text"))
+    spdx = F.regexp_extract(low, SPDX_PATTERN, 1)
+    lic = F.when(spdx != "", F.concat(F.lit("spdx:"), spdx))
+    for name, needle in LICENSE_NEEDLES:
+        lic = lic.when(F.contains(low, F.lit(needle)), F.lit(name))
+    lic = lic.otherwise(F.lit("none"))
+    return (
+        d.select("source", lic.alias("license"))
+        .groupBy("source", "license")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_license_scan() -> str:
+    whens = " ".join(
+        f"WHEN contains(low, '{needle}') THEN '{name}'"
+        for name, needle in LICENSE_NEEDLES
+    )
+    return rf"""
+WITH d AS (
+  SELECT source, lower(text) AS low
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT source,
+         CASE WHEN regexp_extract(low, '{SPDX_PATTERN}', 1) <> ''
+              THEN 'spdx:' || regexp_extract(low, '{SPDX_PATTERN}', 1)
+              {whens}
+              ELSE 'none' END AS license
+  FROM d)
+SELECT source, license, count(*) AS n_docs FROM c GROUP BY 1, 2
+"""
+
+
 SHARD_COUNT = 16  # output shards; production sizes this to the writer fleet
 
 
@@ -3927,6 +3989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "script_profile": q_script_profile,
     "shard_stats": q_shard_stats,
+    "license_scan": q_license_scan,
 }
 
 ORACLES: dict[str, str] = {
@@ -4022,4 +4085,5 @@ ORACLES: dict[str, str] = {
     "corpus_diff": _sql_corpus_diff(),
     "script_profile": _sql_script_profile(),
     "shard_stats": _sql_shard_stats(),
+    "license_scan": _sql_license_scan(),
 }

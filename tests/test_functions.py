@@ -284,3 +284,40 @@ def test_script_profile_classifies_multiscript_docs(spark, tmp_path):
     }
     assert got == {"latin": 2, "cyrillic": 1, "cjk": 1, "arabic": 1,
                    "digit": 1, "other": 1}
+
+
+def test_license_scan_classifies_headers(spark, tmp_path):
+    """License classification on crafted headers — the synthetic corpus is
+    license-free, so the oracle pair only proves dialect parity; this
+    fixture proves the classification and the SPDX-over-phrase priority."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bio_data_validation_spark.contract import q_license_scan
+
+    docs = [
+        (1, "s", "# SPDX-License-Identifier: MIT\ndef f(): pass"),
+        (2, "s", "Permission is hereby granted, free of charge, ..."),
+        (3, "s", "Licensed under the Apache License, Version 2.0"),
+        (4, "s", "under the terms of the GNU General Public License"),
+        (5, "s", "Redistribution and use in source and binary forms"),
+        (6, "s", "no license text at all"),
+        # SPDX tag wins over a phrase present in the same file
+        (7, "s", "SPDX-License-Identifier: Apache-2.0\n"
+                 "Permission is hereby granted"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "source": pa.array([d[1] for d in docs]),
+            "text": pa.array([d[2] for d in docs]),
+        }
+    )
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "documents.parquet")
+    got = {
+        r["license"]: r["n_docs"]
+        for r in q_license_scan(spark, str(tmp_path / "sf")).collect()
+    }
+    assert got == {"spdx:mit": 1, "mit": 1, "apache-2.0": 1, "gpl": 1,
+                   "bsd": 1, "none": 1, "spdx:apache-2.0": 1}
