@@ -107,6 +107,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "scan, the 100 TB path) instead of the gram join",
     )
     c.add_argument(
+        "--drop-licenses", default=None,
+        help="comma-separated blocked license families (e.g. gpl,lgpl): "
+        "docs whose detected license class starts with one are dropped "
+        "with reason 'license' (SPDX tags and header phrases both match)",
+    )
+    c.add_argument(
         "--redact-pii", action="store_true",
         help="rewrite kept-corpus text through PII redaction "
         "(email/IPv4/phone -> typed placeholders)",
@@ -221,6 +227,11 @@ def main(argv: list[str] | None = None) -> int:
             pack_buckets=args.pack_buckets,
             contam_mode="bloom" if args.contam_bloom else "join",
             token_budget=args.token_budget,
+            license_policy=(
+                [t.strip() for t in args.drop_licenses.split(",") if t.strip()]
+                if args.drop_licenses
+                else None
+            ),
         )
         print(json.dumps(stats, default=str))
         return 0

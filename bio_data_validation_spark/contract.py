@@ -3779,19 +3779,7 @@ FROM d GROUP BY 1, 2
 """
 
 
-# (license, fixed lowercase needle) in PRIORITY order — the CASE evaluates
-# identically in Spark and the SQL twin. Needles are the canonical
-# distinguishing phrases of each family (cheap contains(), no regex);
-# an explicit SPDX tag wins over any phrase match.
-LICENSE_NEEDLES: list[tuple[str, str]] = [
-    ("mit", "permission is hereby granted"),
-    ("apache-2.0", "apache license"),
-    ("gpl", "gnu general public license"),
-    ("lgpl", "gnu lesser general public"),
-    ("mpl", "mozilla public license"),
-    ("bsd", "redistribution and use in source and binary forms"),
-]
-SPDX_PATTERN = r"spdx-license-identifier:\s*([a-z0-9.+-]+)"
+from .functions.text import LICENSE_NEEDLES, SPDX_PATTERN, license_class
 
 
 def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3808,14 +3796,8 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dialect parity still proven); positives are fixture-tested in
     tests/test_functions.py."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    low = F.lower(F.col("text"))
-    spdx = F.regexp_extract(low, SPDX_PATTERN, 1)
-    lic = F.when(spdx != "", F.concat(F.lit("spdx:"), spdx))
-    for name, needle in LICENSE_NEEDLES:
-        lic = lic.when(F.contains(low, F.lit(needle)), F.lit(name))
-    lic = lic.otherwise(F.lit("none"))
     return (
-        d.select("source", lic.alias("license"))
+        d.select("source", license_class(F.col("text")).alias("license"))
         .groupBy("source", "license")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -214,6 +214,7 @@ def curation_decisions(
     against: DataFrame | None = None,
     against_threshold: float = 0.8,
     contam_mode: str = "join",
+    license_policy: list[str] | None = None,
 ) -> DataFrame:
     """The declarative core of :func:`curate`: one decision row per input
     doc — (doc_id, lang, n_words, dup_word_frac, dup_bigram_frac,
@@ -221,7 +222,15 @@ def curation_decisions(
     token hash for the LSH / contamination / sampling stages: xxhash64 is
     the production default; md5_60 is bit-reproducible in ANSI SQL and is
     what contract.q_curate_decisions uses so the whole composed pipeline is
-    verifiable against the DuckDB oracle."""
+    verifiable against the DuckDB oracle.
+
+    ``license_policy`` (opt-in, like the Gopher screens — the default
+    composition and its oracle are unchanged without it): a list of
+    blocked license families; a doc whose functions.text.license_class
+    (with any 'spdx:' prefix stripped) starts with a blocked token is
+    dropped with reason 'license' — e.g. ['gpl', 'lgpl'] drops both
+    header-detected GPL text and explicit SPDX-License-Identifier:
+    GPL-3.0 tags, the copyleft screen a code-corpus run applies."""
     q = {**DEFAULT_QUALITY, **(quality or {})}
     sample_rates = sample_rates or {}
     nonnull = base.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
@@ -293,6 +302,19 @@ def curation_decisions(
     if gopher_th:
         d = d.join(gopher_flags(nonnull, gopher_th, text_col), "doc_id", "left")
 
+    if license_policy:
+        from ..functions.text import license_class
+
+        norm = F.regexp_replace(license_class(F.col(text_col)), "^spdx:", "")
+        blocked = F.lit(False)
+        for tok in license_policy:
+            blocked = blocked | norm.startswith(tok.lower())
+        d = d.join(
+            nonnull.select("doc_id", blocked.alias("license_blocked")),
+            "doc_id",
+            "left",
+        )
+
     low_quality = (
         (F.col("n_words") < q["min_words"])
         | (F.col("dup_word_frac") > q["max_dup_word_frac"])
@@ -307,6 +329,10 @@ def curation_decisions(
     if gopher_th:
         drop_reason = drop_reason.when(
             F.coalesce(F.col("gopher_fail"), F.lit(False)), "gopher_quality"
+        )
+    if license_policy:
+        drop_reason = drop_reason.when(
+            F.coalesce(F.col("license_blocked"), F.lit(False)), "license"
         )
     drop_reason = (
         drop_reason
@@ -355,6 +381,7 @@ def curate(
     pack_buckets: int = 64,
     contam_mode: str = "join",
     token_budget: int | None = None,
+    license_policy: list[str] | None = None,
 ) -> dict:
     """Run the curation pipeline; returns the stats dict (and, when
     ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
@@ -387,6 +414,7 @@ def curate(
         against=against,
         against_threshold=against_threshold,
         contam_mode=contam_mode,
+        license_policy=license_policy,
     )
 
     pre_budget = None

@@ -256,6 +256,36 @@ def duplicate_line_count(text: Column) -> Column:
     )
 
 
+# (license, fixed lowercase needle) in PRIORITY order — keep in sync with
+# the SQL twin in contract._sql_license_scan. Needles are the canonical
+# distinguishing phrases of each family (cheap contains(), no regex); an
+# explicit SPDX tag wins over any phrase match.
+LICENSE_NEEDLES: list[tuple[str, str]] = [
+    ("mit", "permission is hereby granted"),
+    ("apache-2.0", "apache license"),
+    ("gpl", "gnu general public license"),
+    ("lgpl", "gnu lesser general public"),
+    ("mpl", "mozilla public license"),
+    ("bsd", "redistribution and use in source and binary forms"),
+]
+SPDX_PATTERN = r"spdx-license-identifier:\s*([a-z0-9.+-]+)"
+
+
+def license_class(text: Column) -> Column:
+    """License classification of a document: 'spdx:<id>' from an explicit
+    SPDX tag (wins over any phrase), else the first LICENSE_NEEDLES phrase
+    in priority order, else 'none'. One lower() + one regexp_extract + K
+    fixed contains() probes — a single codegen projection, shared by the
+    license_scan inventory and curate's license policy so the two can
+    never disagree on a doc's class."""
+    low = F.lower(text)
+    spdx = F.regexp_extract(low, SPDX_PATTERN, 1)
+    lic = F.when(spdx != "", F.concat(F.lit("spdx:"), spdx))
+    for name, needle in LICENSE_NEEDLES:
+        lic = lic.when(F.contains(low, F.lit(needle)), F.lit(name))
+    return lic.otherwise(F.lit("none"))
+
+
 def word_grams_exploded(
     df, k: int, text_col: str = "text", carry: tuple = ("doc_id",),
     out_col: str = "__gs",

@@ -296,3 +296,38 @@ def test_curate_token_budget_caps_kept_corpus(spark, corpus):
     loose = curate(spark, corpus, token_budget=10_000)
     assert loose["n_kept"] == 3
     assert "over_budget" not in loose["dropped_by_reason"]
+
+
+def test_license_policy_drops_copyleft(spark):
+    """Opt-in license_policy: GPL text (header phrase OR SPDX tag) drops
+    with reason 'license'; permissive and untagged docs are untouched, and
+    the default composition is unchanged without the policy."""
+    from bio_data_validation_spark.engine.curate import curation_decisions
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "print hello world from this permissive file "
+                      "with many distinct tokens avoiding repetition flags"),
+            (2, "en", "licensed under the GNU General Public License v3 "
+                      "some other unique body follows with fresh words"),
+            (3, "en", "# SPDX-License-Identifier: GPL-3.0-only\n"
+                      "more source text here for the record nothing repeats"),
+            (4, "en", "# SPDX-License-Identifier: MIT\n"
+                      "permissive tagged file body text here all different"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    d = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curation_decisions(
+            docs, license_policy=["gpl"], lsh_bands=2
+        ).collect()
+    }
+    assert d[2] == "license" and d[3] == "license"
+    assert d[1] is None and d[4] is None
+    # without the policy the same corpus keeps everything
+    d0 = {
+        r["doc_id"]: r["keep"]
+        for r in curation_decisions(docs, lsh_bands=2).collect()
+    }
+    assert all(d0.values())
