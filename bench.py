@@ -1,7 +1,10 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints the per-query timing map as one JSON line,
+then a compact headline JSON as the FINAL line (the one the driver parses):
 
-    {"metric": "...", "value": <sec>, "unit": "sec",
-     "queries": {...}, "sf": <sf>, "rows_per_sec": ..., "cpus": ...}
+    {"metric": "...", "value": <sec>, "unit": "sec", "sf": <sf>,
+     "rows_per_sec": ..., "cpus": ..., "queries_file": "BENCH/queries.json"}
+
+The full per-query map is also persisted to BENCH/queries.json.
 
 Headline: wall time of the FULL fused validation run (PASS 1 + drift +
 PASS 2 + verdicts + ledger) on the synthetic dirty source-code snapshot at
@@ -304,6 +307,16 @@ def main() -> int:
     fused = run_fused_steady_state(spark, sf)
     queries = time_queries(spark, SF_DIR)
     spark.stop()
+    # The driver parses the LAST stdout line and captures only a bounded
+    # tail, so the ~80-entry per-query map cannot ride on the final line
+    # (round 4's did, outgrew the capture, and parsed as null). Emit the
+    # full per-query map on an EARLIER line and persist it to
+    # BENCH/queries.json; keep the final line a compact headline.
+    qfile = REPO / "BENCH" / "queries.json"
+    qfile.parent.mkdir(exist_ok=True)
+    qpayload = {"sf": sf, "cpus": CPUS, "queries": queries}
+    qfile.write_text(json.dumps(qpayload, indent=1))
+    print(json.dumps(qpayload))
     print(
         json.dumps(
             {
@@ -311,13 +324,14 @@ def main() -> int:
                           "(dirty synthetic snapshot)",
                 "value": round(fused["elapsed_sec"], 3),
                 "unit": "sec",
-                "queries": queries,
                 "sf": sf,
                 "rows": fused["rows"],
                 "rows_per_sec": round(fused["rows_per_sec"], 1),
                 "cold_run_sec": fused["cold_sec"],
                 "warm_runs_sec": fused["warm_runs_sec"],
                 "cpus": CPUS,
+                "n_queries_timed": len(queries),
+                "queries_file": "BENCH/queries.json",
                 "decision": fused["decision"],
             }
         )

@@ -188,11 +188,25 @@ def validate_batch(
                 spark.range(1).count()
             except Exception:
                 raise e
+            # Session is alive, so this is recorded as a per-dataset
+            # failure — but an engine defect (a TypeError in our own code
+            # path) would land here too, indistinguishable from bad data
+            # unless the full traceback travels with the report entry.
+            import logging
+            import traceback
+
+            tb = traceback.format_exc()
+            logging.getLogger(__name__).warning(
+                "validate_batch: dataset %s failed (%s: %s)\n%s",
+                dataset_id, type(e).__name__, e, tb,
+            )
             rep = {
                 "dataset_id": dataset_id,
                 "status": "failed",
                 "final_decision": "rejected",
                 "error": f"{type(e).__name__}: {e}",
+                "error_type": type(e).__name__,
+                "traceback": tb,
             }
         results.append(rep)
     decisions = [r.get("final_decision") for r in results]

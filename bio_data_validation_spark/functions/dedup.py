@@ -432,7 +432,17 @@ def connected_components(
             break
         prev_sum = s
     sym.unpersist()
-    return labels
+    # Release the final round's cache before returning: labels is still the
+    # persisted `new` from the last iteration, and callers have no handle to
+    # unpersist it — in a long-lived session repeated invocations would
+    # accumulate cached blocks until ContextCleaner happens to reclaim them.
+    # A localCheckpoint (the same materialization device the per-round
+    # lineage truncation uses) pins the result first, so the unpersist
+    # cannot trigger recomputation downstream.
+    out = labels.localCheckpoint(eager=True)
+    if prev_cache is not None:
+        prev_cache.unpersist()
+    return out
 
 
 def dup_clusters(

@@ -47,18 +47,24 @@ def mix_plan(
         for d, s in targets.items():
             share = F.when(F.col("domain") == d, float(s)).otherwise(share)
     per = per.withColumn("target_share", share)
-    # T = min over domains with positive share of avail/share; domains with
-    # share 0 contribute nothing and keep nothing
+    # T = min over domains with positive share AND positive availability of
+    # avail/share; domains with share 0 keep nothing, and a domain that is
+    # requested (share > 0) but has zero available tokens must not drive
+    # T to 0 (which would zero keep_rate for every domain) nor divide 0/0
+    # in its own keep_rate — it is unsatisfiable, reported with keep_rate 0.
     t_total = F.min(
         F.when(
-            F.col("target_share") > 0.0,
+            (F.col("target_share") > 0.0) & (F.col("n_tokens") > 0),
             F.col("n_tokens").cast("double") / F.col("target_share"),
         )
     ).over(w)
-    keep_rate = F.when(F.col("target_share") > 0.0, F.least(
-        F.lit(1.0),
-        F.col("target_share") * t_total / F.col("n_tokens").cast("double"),
-    )).otherwise(F.lit(0.0))
+    keep_rate = F.when(
+        (F.col("target_share") > 0.0) & (F.col("n_tokens") > 0),
+        F.least(
+            F.lit(1.0),
+            F.col("target_share") * t_total / F.col("n_tokens").cast("double"),
+        ),
+    ).otherwise(F.lit(0.0))
     return per.select(
         "domain",
         "n_docs",

@@ -240,7 +240,7 @@ def kept_line_count(text: Column, min_words: int = 5) -> Column:
     kept = F.filter(
         line_array(text),
         lambda l: l.rlike(r'[.!?"]\z')
-        & (F.size(F.split(F.trim(l), " ")) >= min_words),
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words),
     )
     return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
         F.size(kept).cast("long")

@@ -129,3 +129,25 @@ def test_kept_line_count_crlf(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 2}
+
+
+def test_kept_line_count_whitespace_tokenization(spark):
+    # Word counting uses \s+ like every other operator: runs of spaces must
+    # not mint empty-string "words", and tabs must separate words (round-5
+    # ADVICE fix — the old single-space split inflated 3 words to 5 here
+    # and collapsed the tabbed line to 1 "word").
+    df = spark.createDataFrame(
+        [
+            (1, "one  two   three  here.\n"),          # 4 words, multi-space
+            (2, "a\tb\tc\td\te done.\n"),              # 6 tab-separated words
+            (3, "one  two   three   four  five.\n"),   # 5 words, multi-space
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", T.kept_line_count(F.col("text")).alias("k")
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1}

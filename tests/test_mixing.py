@@ -35,3 +35,21 @@ def test_explicit_targets_and_zero_share(spark):
     assert abs(out["de"].keep_rate - 1.0) < 1e-9  # 100 demanded, 100 avail
     assert out["fr"].keep_rate == 0.0 and out["fr"].tokens_kept == 0
     assert out["fr"].target_share == 0.0
+
+
+def test_zero_availability_domain_does_not_zero_plan(spark):
+    # A requested domain with NO available tokens (empty/whitespace texts)
+    # must not drive T to 0 (zeroing every keep_rate) nor produce a NULL
+    # keep_rate from 0/0 — it is unsatisfiable and reports keep_rate 0.0;
+    # the satisfiable domains plan as if it were absent (round-5 ADVICE fix).
+    rows = [(i, " ".join("w" for _ in range(100)), "en") for i in range(4)]
+    rows += [(10, "", "xx"), (11, "   ", "xx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.domain: r
+        for r in mix_plan(df, targets={"en": 0.5, "xx": 0.5}).collect()
+    }
+    assert out["xx"].keep_rate == 0.0 and out["xx"].tokens_kept == 0
+    assert out["xx"].n_tokens == 0
+    # en: avail 400, share .5 → T = 800, demand 400 → keeps all of it
+    assert out["en"].keep_rate == 1.0 and out["en"].tokens_kept == 400

@@ -1,0 +1,82 @@
+"""Hash-agnostic equivalence for the production-hash (xxhash64) twins.
+
+The `_prod` registry entries have no DuckDB oracle (xxhash64 has no portable
+SQL twin), so the driver only rows-checks them. But the hash choice is pure
+bucketing identity: wherever both hashes are collision-free on the fixture,
+the *semantics* — which grams are duplicated, which docs are contaminated,
+how many positions a doc contributes — cannot depend on it. These tests pin
+that, graduating the twins from rows-only to verified:
+
+- contamination_check has NO winnowing (every gram position is scanned; the
+  hash is only membership identity), so md5_60 and xxhash64 must agree on
+  every output cell as-is.
+- duplicated_spans / kgram_fingerprints select positions by h % MOD == 0,
+  which IS hash-dependent — with MOD=1 the selection is the full position
+  set and the outputs must agree exactly (minus min_fp, which is literally
+  a hash value).
+"""
+
+import pandas as pd
+import pytest
+
+import bio_data_validation_spark.contract as C
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _assert_equal(a: pd.DataFrame, b: pd.DataFrame, drop: tuple[str, ...] = ()):
+    a, b = a.drop(columns=list(drop)), b.drop(columns=list(drop))
+    a, b = _norm(a), _norm(b)
+    assert len(a) == len(b)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        pd.testing.assert_series_equal(
+            a[c], b[c], check_dtype=False, check_exact=True, obj=c
+        )
+
+
+def test_contamination_check_hash_agnostic(spark):
+    md5 = C.q_contamination_check(spark, SF_DIR, hash_fn="md5_60").toPandas()
+    xx = C.q_contamination_check(spark, SF_DIR, hash_fn="xxhash64").toPandas()
+    assert len(md5) > 0
+    _assert_equal(md5, xx)
+
+
+def test_duplicated_spans_hash_agnostic(spark, monkeypatch):
+    # MOD=1 disables winnowing so position selection is hash-independent;
+    # dup classification (nd > 1) is then content-only under either hash.
+    monkeypatch.setattr(C, "SPAN_MOD", 1)
+    md5 = C.q_duplicated_spans(spark, SF_DIR, hash_fn="md5_60").toPandas()
+    xx = C.q_duplicated_spans(spark, SF_DIR, hash_fn="xxhash64").toPandas()
+    assert len(md5) > 0
+    _assert_equal(md5, xx)
+
+
+def test_kgram_fingerprints_hash_agnostic(spark, monkeypatch):
+    # n_kept (all positions at MOD=1) and n_fingerprints (distinct grams,
+    # collision-free) are hash-invariant; min_fp is a hash value — dropped.
+    monkeypatch.setattr(C, "KGRAM_MOD", 1)
+    md5 = C.q_kgram_fingerprints(spark, SF_DIR, hash_fn="md5_60").toPandas()
+    xx = C.q_kgram_fingerprints(spark, SF_DIR, hash_fn="xxhash64").toPandas()
+    assert len(md5) > 0
+    _assert_equal(md5, xx, drop=("min_fp",))
+
+
+@pytest.mark.parametrize(
+    "name", ["duplicated_spans_prod", "kgram_fingerprints_prod"]
+)
+def test_prod_twins_winnowed_sanity(spark, name):
+    # At the production MOD the winnowed sample differs between hashes by
+    # design; the invariants that survive any hash: fractions in [0,1] and
+    # a non-empty per-doc summary.
+    pdf = C.QUERIES[name](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    if "dup_fraction" in pdf.columns:
+        assert pdf["dup_fraction"].between(0.0, 1.0).all()
+    if "n_kept" in pdf.columns:
+        assert (pdf["n_kept"] >= 1).all()
