@@ -3279,19 +3279,16 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries). score = sv/(500*n) and score_bucket = floor(score*20)
     = floor(sv / (25*n)) — ONE IEEE double division on identical integer
     operands, so Spark and the oracle agree bit-for-bit; score > 0 is the
-    integer test sv > 0."""
-    d = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
-    )
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
-    ).filter(F.length("w") > 0)
-    v = (token_hash(F.col("w"), 7, "md5_60") % QC_BUCKETS) % 1001 - 500
-    doc = toks.select("doc_id", "source", v.alias("v")).groupBy(
-        "doc_id", "source"
-    ).agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("nt"))
+    integer test sv > 0.
+
+    The doc-level scorer is functions.quality.doc_scores — the SAME call
+    with a trained weight table (weights=load_weights(...)) swaps the
+    in-projection stand-in weights for a broadcast bucket-join, identical
+    plan shape plus one BroadcastHashJoin (tests/test_plans.py)."""
+    from .functions.quality import doc_scores
+
+    d = _t(spark, sf_dir, "documents")
+    doc = doc_scores(d, weights=None, n_buckets=QC_BUCKETS, hash_fn="md5_60")
     bucket = F.floor(
         F.col("sv").cast("double") / (F.lit(25.0) * F.col("nt").cast("double"))
     )

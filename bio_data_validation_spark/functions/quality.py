@@ -1,0 +1,100 @@
+"""Hashing-trick linear quality classifier (fastText-style, Joulin et al.
+2017 — the model family behind the CCNet/LLaMA Wikipedia-reference quality
+filters): per-document mean of per-token weights looked up by hashed
+feature bucket.
+
+Two weight sources behind one API (``doc_scores``):
+
+- ``weights=None`` — deterministic hash-DERIVED stand-in weights computed
+  IN the projection (``(bucket % 1001) - 500``, pure column math, zero
+  joins, integer-exact aggregation). This is the oracle/bench path: a SQL
+  twin can reproduce it bit-for-bit.
+- ``weights=DataFrame(bucket int, weight double)`` — TRAINED weights,
+  broadcast-joined on bucket. This is the deployment path the docstring of
+  the registry query promises: the weight table is at most n_buckets rows
+  (fastText's default 2M buckets ≈ 16 MB — far under the broadcast cap and
+  invisible next to a 100 TB corpus side, which stays map-only until the
+  per-doc partial aggregation). Buckets absent from the table weigh 0.0
+  (left join + coalesce), so a sparse trained model behaves like the dense
+  equivalent padded with zeros.
+
+Scale shape (identical for both paths): explode once, derive the bucket in
+the projection, ONE shuffle (the map-side-combinable per-doc agg); the
+trained path adds exactly one BroadcastHashJoin and no extra exchange —
+asserted in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import token_hash
+
+QC_SEED = 7
+
+
+def load_weights(spark: SparkSession, path: str) -> DataFrame:
+    """Weight table from parquet or JSON(L): columns (bucket int,
+    weight double). Format picked by extension; anything unrecognized is
+    read as parquet (the training pipeline's native output)."""
+    if path.endswith((".json", ".jsonl")):
+        raw = spark.read.json(path)
+    else:
+        raw = spark.read.parquet(path)
+    return raw.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+
+
+def doc_scores(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    n_buckets: int = 4096,
+    seed: int = QC_SEED,
+    hash_fn: str = "md5_60",
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id", "source"),
+) -> DataFrame:
+    """Per-document classifier scores: one row per doc with the carried
+    ``id_cols``, token count ``nt``, and ``score`` = mean token weight.
+
+    The hash-weight path additionally exposes ``sv`` (the exact INTEGER
+    weight sum) because downstream consumers (the registry histogram, its
+    DuckDB oracle) need summation-order-free integer semantics; the trained
+    path's float weights have no such representation and expose ``sw``."""
+    toks = df.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    ).select(
+        *id_cols,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    bucket = token_hash(F.col("w"), seed, hash_fn) % n_buckets
+
+    if weights is None:
+        v = bucket % 1001 - 500
+        doc = (
+            toks.select(*id_cols, v.alias("v"))
+            .groupBy(*id_cols)
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("nt"))
+        )
+        return doc.select(
+            *id_cols,
+            "sv",
+            "nt",
+            (F.col("sv").cast("double") / (F.lit(500.0) * F.col("nt").cast("double"))).alias("score"),
+        )
+
+    doc = (
+        toks.select(*id_cols, bucket.cast("int").alias("bucket"))
+        .join(F.broadcast(weights), "bucket", "left")
+        .groupBy(*id_cols)
+        .agg(
+            F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("sw"),
+            F.count(F.lit(1)).alias("nt"),
+        )
+    )
+    return doc.select(
+        *id_cols, "sw", "nt", (F.col("sw") / F.col("nt").cast("double")).alias("score")
+    )

@@ -1,0 +1,109 @@
+"""Trained-weight path of the quality classifier (round-5 VERDICT ask #6):
+the broadcast bucket-join variant must score exactly what a numpy twin
+computes, and the plan must be the hash-weight plan plus exactly one
+BroadcastHashJoin — no sort-merge join, no extra corpus-side exchange."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.functions.quality import doc_scores, load_weights
+
+N_BUCKETS = 64
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "src0", "alpha beta gamma delta"),
+        (2, "src0", "alpha alpha zeta"),
+        (3, "src1", "omega  psi\tchi phi"),
+        (4, "src1", ""),          # filtered: empty
+        (5, "src1", None),        # filtered: null
+        (6, "src2", "  solo  "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+@pytest.fixture(scope="module")
+def weights_df(spark):
+    # deterministic but non-trivial trained weights for every bucket except
+    # a held-out few (which must behave as weight 0.0)
+    rows = [(b, round((b * 37 % 19) / 10.0 - 0.9, 3)) for b in range(N_BUCKETS) if b % 13 != 5]
+    return spark.createDataFrame(rows, "bucket int, weight double")
+
+
+def _md5_60(s: str, seed: int) -> int:
+    # functions.dedup.token_hash md5_60 convention: first 15 hex digits of
+    # md5("<seed>:<tok>") as a positive 60-bit int
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+
+def _numpy_scores(rows, wmap, n_buckets, seed=7):
+    out = {}
+    for doc_id, source, text in rows:
+        if text is None or not text.strip():
+            continue
+        toks = [t for t in text.strip().lower().split() if t]
+        buckets = [_md5_60(t, seed) % n_buckets for t in toks]
+        ws = np.array([wmap.get(b, 0.0) for b in buckets], dtype=np.float64)
+        out[doc_id] = (source, len(toks), ws.sum() / len(toks))
+    return out
+
+
+def test_trained_weights_match_numpy_twin(spark, docs, weights_df):
+    got = {
+        r["doc_id"]: (r["source"], r["nt"], r["score"])
+        for r in doc_scores(docs, weights=weights_df, n_buckets=N_BUCKETS).collect()
+    }
+    rows = [(r["doc_id"], r["source"], r["text"]) for r in docs.collect()]
+    wmap = {r["bucket"]: r["weight"] for r in weights_df.collect()}
+    want = _numpy_scores(rows, wmap, N_BUCKETS)
+    assert set(got) == set(want) == {1, 2, 3, 6}
+    for doc_id, (source, nt, score) in want.items():
+        gs, gnt, gscore = got[doc_id]
+        assert gs == source and gnt == nt
+        assert np.isclose(gscore, score, rtol=0, atol=1e-12)
+
+
+def test_hash_derived_weight_table_reproduces_hash_path(spark, docs):
+    # Feeding the stand-in weights THROUGH the broadcast join must
+    # reproduce the in-projection hash path: same mean, scaled by 500.
+    wdf = spark.range(N_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") % 1001 - 500) / F.lit(500.0)).alias("weight"),
+    )
+    hash_path = {r["doc_id"]: r["score"] for r in doc_scores(docs, n_buckets=N_BUCKETS).collect()}
+    join_path = {r["doc_id"]: r["score"] for r in doc_scores(docs, weights=wdf, n_buckets=N_BUCKETS).collect()}
+    assert set(hash_path) == set(join_path)
+    for d in hash_path:
+        assert np.isclose(hash_path[d], join_path[d], rtol=0, atol=1e-12)
+
+
+def test_trained_path_plan_is_hash_plan_plus_one_broadcast_join(spark, docs, weights_df):
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p_hash = plan(doc_scores(docs, n_buckets=N_BUCKETS))
+    p_join = plan(doc_scores(docs, weights=weights_df, n_buckets=N_BUCKETS))
+    assert "BroadcastHashJoin" not in p_hash
+    assert p_join.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in p_join
+    # the corpus side pays the same single hash-partitioned exchange (the
+    # per-doc partial agg) in both plans; the broadcast adds none
+    assert p_hash.count("Exchange hashpartitioning") == p_join.count(
+        "Exchange hashpartitioning"
+    ) == 1
+
+
+def test_load_weights_parquet_and_json(spark, weights_df, tmp_path):
+    pq = str(tmp_path / "w.parquet")
+    js = str(tmp_path / "w.json")
+    weights_df.write.parquet(pq)
+    weights_df.write.json(js)
+    for path in (pq, js):
+        w = load_weights(spark, path)
+        assert dict(w.dtypes) == {"bucket": "int", "weight": "double"}
+        assert w.count() == weights_df.count()
