@@ -168,6 +168,9 @@ def curate_stream(
     hash_fn: str = "xxhash64",
     against: DataFrame | None = None,
     benchmark: DataFrame | None = None,
+    corpus_banded: DataFrame | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
 ) -> DataFrame:
     """Streaming curation: the streaming-expressible subset of
     engine.curate with IDENTICAL thresholds and semantics — per-record
@@ -187,6 +190,24 @@ def curate_stream(
     sha256 already exists there are dropped via a stream-static left-anti
     join (exact-dup crawl-refresh screen; near-dup vs the corpus stays
     batch, engine.curate ``against=``).
+
+    ``corpus_banded``: the standing corpus's precomputed LSH banding
+    relation (``functions.dedup.minhash_banded`` output read back from
+    storage — same num_hashes/bands/hash_fn as passed here). Stream records
+    sharing ANY band bucket with a corpus doc are dropped: the MinHash
+    signature is computed per-record as pure column math (array_min over a
+    transform — no shuffle, no state; min over the token multiset equals
+    the batch path's min over distinct tokens), and the "any band hits"
+    predicate is a chain of per-band stream-static LEFT ANTI equi-joins on
+    bucket (record survives iff no band matches — the same decision
+    boundary as batch ``cross_corpus_candidates``). This is LSH's native
+    candidate-level decision: it drops a superset of the Jaccard-rescored
+    ``cross_corpus_near_dups`` pairs, with the usual (1-s^r)^b recall/
+    precision knob (fewer bands = stricter). The exact rescore needs
+    per-pair token intersections regrouped per record — not expressible
+    statelessly; the batch engine remains the rescored backstop. At 100 TB
+    store the corpus banding bucketed by (band, bucket) so the static side
+    prunes instead of rescanning per micro-batch.
 
     ``benchmark``: a static benchmark DataFrame — records sharing any word
     CONTAM_K-gram with it are dropped via a broadcast Bloom membership
@@ -253,6 +274,52 @@ def curate_stream(
             )
             .drop("__sha")
         )
+    if corpus_banded is not None:
+        from ..functions.dedup import _band_bucket
+
+        rows_per_band = num_hashes // bands
+        toks_arr = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+        # Per-record MinHash signature: min seeded token hash per seed —
+        # column math only (HOF lambdas run interpreted, but this is a
+        # per-record screen, not the corpus-side hot path; the corpus was
+        # banded offline). Every record here has >= 1 token (the ~empty
+        # filter ran above), so no null signature slots.
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # treats a two-parameter lambda as (element, index), so a seed
+        # smuggled in via a default arg gets silently overwritten by the
+        # array index. F.transform calls the lambda eagerly, so closing
+        # over the loop variable is safe.
+        sig = [
+            F.array_min(
+                F.transform(toks_arr, lambda t: token_hash(t, s, hash_fn))
+            )
+            for s in range(num_hashes)
+        ]
+        for b in range(bands):
+            kept = kept.withColumn(
+                f"__nb{b}",
+                _band_bucket(
+                    [sig[b * rows_per_band + i] for i in range(rows_per_band)],
+                    hash_fn,
+                ),
+            )
+        # Chain of per-band LEFT ANTI equi-joins = "survives iff NO band
+        # bucket matches the corpus" — each join is an equi-join the
+        # planner can broadcast or AQE-split, unlike a single anti-join
+        # with an any-band OR condition (nested-loop at scale).
+        for b in range(bands):
+            cb = (
+                corpus_banded.filter(F.col("band") == b)
+                .select(F.col("bucket").alias(f"__cb{b}"))
+                .distinct()
+            )
+            kept = kept.join(
+                cb, F.col(f"__nb{b}") == F.col(f"__cb{b}"), "left_anti"
+            )
+        kept = kept.drop(*[f"__nb{b}" for b in range(bands)])
     if benchmark is not None:
         from ..engine.curate import CONTAM_K
         from ..functions.bloom import (

@@ -1,0 +1,97 @@
+"""Streaming near-dup screen vs a standing corpus (round-5 VERDICT ask #7):
+curate_stream(corpus_banded=...) must make the SAME candidate-level
+decision as batch cross_corpus_candidates — a stream record is dropped iff
+it shares any LSH band bucket with a corpus doc — and that drop set must
+cover every Jaccard-rescored cross_corpus_near_dups hit."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.functions.dedup import (
+    cross_corpus_candidates,
+    cross_corpus_near_dups,
+    minhash_banded,
+)
+from bio_data_validation_spark.streaming import curate_stream
+
+NUM_HASHES, BANDS = 8, 2
+SCHEMA = "doc_id long, text string, lang string, ts timestamp"
+TS = datetime.fromisoformat("2024-01-01 00:00:10")
+
+
+def _corpus_rows():
+    # 20 standing-corpus docs, 10 distinct tokens each, disjoint vocabularies
+    return [
+        (1000 + i, " ".join(f"c{i}t{j}" for j in range(10)), "en", TS)
+        for i in range(20)
+    ]
+
+
+def _stream_rows():
+    rows = []
+    # 10 near-copies of corpus docs 0..9: one token changed — same band
+    # buckets with high probability at r=4, b=2 on 90% token overlap
+    for i in range(10):
+        toks = [f"c{i}t{j}" for j in range(10)]
+        toks[9] = f"mut{i}"
+        rows.append((i, " ".join(toks), "en", TS))
+    # 10 fresh docs with disjoint vocabulary: must survive
+    for i in range(10, 20):
+        rows.append((i, " ".join(f"f{i}t{j}" for j in range(10)), "en", TS))
+    return rows
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5_60"])
+def test_stream_screen_matches_batch_candidates(spark, tmp_path, hash_fn):
+    corpus = spark.createDataFrame(_corpus_rows(), SCHEMA)
+    stream_batch = spark.createDataFrame(_stream_rows(), SCHEMA)
+
+    banded = minhash_banded(
+        corpus, "text", "doc_id", num_hashes=NUM_HASHES, bands=BANDS, hash_fn=hash_fn
+    )
+    batch_dropped = {
+        r["new_id"]
+        for r in cross_corpus_candidates(
+            stream_batch, corpus, "text", "doc_id",
+            num_hashes=NUM_HASHES, bands=BANDS, hash_fn=hash_fn,
+        ).collect()
+    }
+    rescored = {
+        r["new_id"]
+        for r in cross_corpus_near_dups(
+            stream_batch, corpus, "text", "doc_id", threshold=0.8,
+            num_hashes=NUM_HASHES, bands=BANDS, hash_fn=hash_fn,
+        ).collect()
+    }
+
+    d = tmp_path / f"snd_in_{hash_fn}"
+    stream_batch.write.parquet(str(d))
+    src = spark.readStream.schema(SCHEMA).parquet(str(d))
+    out = curate_stream(
+        src, "ts", sample_default=100, hash_fn=hash_fn,
+        corpus_banded=banded, num_hashes=NUM_HASHES, bands=BANDS,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"snd_{hash_fn}")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_kept = {
+            r["doc_id"] for r in spark.sql(f"select * from snd_{hash_fn}").collect()
+        }
+    finally:
+        q.stop()
+
+    all_ids = {r[0] for r in _stream_rows()}
+    stream_dropped = all_ids - stream_kept
+    # exact agreement with the batch candidate decision on the same params
+    assert stream_dropped == batch_dropped
+    # covers every rescored near-dup; fresh-vocab docs always survive
+    assert rescored <= stream_dropped
+    assert stream_dropped, "fixture must actually exercise the screen"
+    assert set(range(10, 20)) <= stream_kept
