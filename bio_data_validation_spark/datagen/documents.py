@@ -1,0 +1,231 @@
+"""Distributed synthetic document-corpus generator for curation benchmarks.
+
+The driver testdata ships `documents.parquet` only up to sf0.1 (5,000 rows)
+— far too small to measure the end-to-end curation pipeline. This module
+generates an arbitrarily large corpus with the SAME schema
+(doc_id, text, lang, source, n_chars) and a CONTROLLED duplicate/quality
+structure, entirely as Spark column math:
+
+  - runs fully distributed (spark.range → projections; no driver data,
+    no shuffle, O(rows) work) — generating 10^9 docs is the same plan as
+    10^4;
+  - deterministic: every value derives from xxhash64(doc_id, seed, ...),
+    so the corpus is identical across runs, partitionings, and cluster
+    sizes (same property as the snapshot generator's pid scheme);
+  - skewed on purpose: one "mega template" owns MEGA_PCT% of the corpus —
+    at 1M docs that is a single ~50k-member near-dup cluster, the hot LSH
+    bucket / connected-components star center the skew handling must
+    absorb (the shape test_cc_skew.py pins at toy scale).
+
+Role mix (per-doc, by hash mod 100):
+    55%  unique   — tokens drawn per-doc from a shared 50k vocabulary
+    20%  exact    — verbatim copy of one of n_templates template texts
+    12%  near     — template copy with ~5% of token positions mutated
+     5%  mega     — near-copy of template 0 (THE hot cluster)
+     4%  repeat   — 3-token vocabulary => dup_word_frac ≈ 1 (low_quality)
+     3%  short    — 3 words (< min_words => low_quality)
+     1%  empty    — whitespace only (drop_reason 'empty')
+
+Used by scripts/bench_curate.py; unit-tested in tests/test_docgen.py.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VOCAB = 50_000
+ROLE_BOUNDS = {  # upper percentile bound per role, in decision order
+    "unique": 55,
+    "exact": 75,
+    "near": 87,
+    "mega": 92,
+    "repeat": 96,
+    "short": 99,
+    "empty": 100,
+}
+
+
+def _h(*cols: Column | int, seed: int) -> Column:
+    parts = [F.lit(c) if isinstance(c, int) else c for c in cols]
+    return F.xxhash64(*parts, F.lit(seed))
+
+
+def generate_documents(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 5,
+    n_templates: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The synthetic corpus as a DataFrame (nothing materialized)."""
+    if n_templates is None:
+        n_templates = max(2, n_docs // 100)
+    doc = F.col("doc_id")
+    df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+    df = df.select(F.col("id").alias("doc_id"))
+
+    pct = F.pmod(_h(doc, seed=seed), F.lit(100))
+    role = F.when(pct < ROLE_BOUNDS["unique"], "unique")
+    for name in ("exact", "near", "mega", "repeat", "short"):
+        role = role.when(pct < ROLE_BOUNDS[name], name)
+    role = role.otherwise("empty")
+    df = df.withColumn("__role", role)
+
+    # Template identity: exact/near docs pick one of n_templates; the mega
+    # role always template 0. Unique/repeat docs get a per-doc seed space
+    # disjoint from template ids (offset by n_templates).
+    tpl = (
+        F.when(F.col("__role") == "mega", F.lit(0).cast("long"))
+        .when(
+            F.col("__role").isin("exact", "near"),
+            F.pmod(_h(doc, 1, seed=seed), F.lit(n_templates)),
+        )
+        .otherwise(doc + F.lit(n_templates))
+    )
+    df = df.withColumn("__tpl", tpl)
+
+    # Length: shared by all members of a template (so exact copies are
+    # byte-identical); 30..299 words. Shape-roles override.
+    tpl_len = F.lit(30) + F.pmod(_h(F.col("__tpl"), 2, seed=seed), F.lit(270))
+    n_words = (
+        F.when(F.col("__role") == "short", F.lit(3))
+        .when(F.col("__role") == "empty", F.lit(0))
+        .when(F.col("__role") == "repeat", F.lit(60))
+        .otherwise(tpl_len)
+    )
+    df = df.withColumn("__n", n_words)
+
+    # Token at position p:
+    #   repeat role: 3-token cycle => dup_word_frac ~ 1.0
+    #   near/mega:   template token, except ~5% positions mutated per doc
+    #   exact/unique/short: template-seeded token (__tpl is per-doc for
+    #   unique/short, so their text is per-doc random)
+    # NB: transform lambdas must take exactly ONE parameter — a second
+    # parameter is interpreted as the array index by Spark.
+    def token_at(p: Column) -> Column:
+        tpl_tok = F.pmod(_h(F.col("__tpl"), p, 3, seed=seed), F.lit(VOCAB))
+        own_tok = F.pmod(_h(doc, p, 4, seed=seed), F.lit(VOCAB))
+        mutated = F.pmod(_h(doc, p, 5, seed=seed), F.lit(20)) == 0
+        tok_id = (
+            F.when(F.col("__role") == "repeat", F.pmod(p, F.lit(3)))
+            .when(
+                F.col("__role").isin("near", "mega") & mutated,
+                own_tok,
+            )
+            .otherwise(tpl_tok)
+        )
+        return F.concat(F.lit("w"), tok_id.cast("string"))
+
+    toks = F.transform(
+        F.sequence(F.lit(0), F.col("__n") - 1), lambda p: token_at(p)
+    )
+    text = F.when(F.col("__n") == 0, F.lit(" ")).otherwise(
+        F.array_join(toks, " ")
+    )
+
+    lang_b = F.pmod(_h(doc, 6, seed=seed), F.lit(10))
+    lang = (
+        F.when(lang_b < 6, "en").when(lang_b < 8, "code")
+        .when(lang_b < 9, "de").otherwise("fr")
+    )
+    src_b = F.pmod(_h(doc, 7, seed=seed), F.lit(10))
+    source = (
+        F.when(src_b < 7, "web").when(src_b < 9, "github").otherwise("wiki")
+    )
+
+    return df.select(
+        "doc_id",
+        text.alias("text"),
+        lang.alias("lang"),
+        source.alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def benchmark_slice(spark: SparkSession, n_docs: int, seed: int = 5) -> DataFrame:
+    """A deterministic 'evaluation benchmark' for decontamination benches:
+    the verbatim texts of templates 1..25 — every exact/near doc of those
+    templates shares full 8-gram runs with it, so contamination_flags gets
+    real hits; unique docs never do."""
+    n_templates = max(2, n_docs // 100)
+    base = spark.range(1, min(26, n_templates)).select(
+        F.col("id").alias("doc_id")
+    )
+    # Reuse the generator's token math with __role='exact', __tpl=id.
+    tpl_len = F.lit(30) + F.pmod(_h(F.col("doc_id"), 2, seed=seed), F.lit(270))
+    toks = F.transform(
+        F.sequence(F.lit(0), tpl_len - 1),
+        lambda p: F.concat(
+            F.lit("w"),
+            F.pmod(_h(F.col("doc_id"), p, 3, seed=seed), F.lit(VOCAB)).cast(
+                "string"
+            ),
+        ),
+    )
+    # The id shift happens AFTER the text projection: in one select list,
+    # lateral column alias resolution would make the toks expression's
+    # F.col("doc_id") bind to the shifted alias, silently changing every
+    # token hash.
+    return base.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("text"),
+        F.lit("en").alias("lang"),
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000_000))
+
+
+def ensure_documents(
+    spark: SparkSession, n_docs: int, out_root: str | Path, seed: int = 5
+) -> str:
+    """Generate-once-and-cache parquet (the bench input). Returns the path."""
+    out = Path(out_root) / f"docs_{n_docs}_s{seed}"
+    marker = out / "_SUCCESS"
+    if not marker.exists():
+        generate_documents(spark, n_docs, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(str(out))
+    return str(out)
+
+
+def generate_embeddings(
+    spark: SparkSession,
+    n_vecs: int,
+    dims: int = 64,
+    n_clusters: int = 64,
+    seed: int = 11,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Clustered synthetic vectors for ANN benchmarks: (vec_id, embedding,
+    label). vec i belongs to cluster i mod n_clusters; each coordinate is
+    center(cluster, dim) + 0.15 * unif(-.5,.5) with every value derived
+    from xxhash64 — deterministic, fully distributed, O(rows·dims) column
+    math. The cluster structure is what gives an IVF/LSH index something
+    real to prune; spread 0.15 vs unit-cube centers keeps clusters
+    separated but overlapping enough that recall < 1 is possible at low
+    n_probe."""
+    df = spark.range(
+        0, n_vecs, 1, partitions or spark.sparkContext.defaultParallelism
+    ).select(F.col("id").alias("vec_id"))
+    cl = F.pmod(F.col("vec_id"), F.lit(n_clusters))
+
+    def unif(*salt: int) -> Column:
+        parts = [F.lit(s) for s in salt]
+        return (
+            F.pmod(F.xxhash64(cl, F.col("vec_id"), *parts, F.lit(seed)), F.lit(1_000_000))
+            .cast("double") / 1e6 - 0.5
+        )
+
+    def center(d: int) -> Column:
+        return (
+            F.pmod(F.xxhash64(cl, F.lit(d), F.lit(seed + 1)), F.lit(1_000_000))
+            .cast("double") / 1e6 - 0.5
+        )
+
+    emb = F.array(*[
+        (center(d) + F.lit(0.15) * unif(d, 2)).cast("float") for d in range(dims)
+    ])
+    return df.select(
+        "vec_id", emb.alias("embedding"), cl.cast("int").alias("label")
+    )

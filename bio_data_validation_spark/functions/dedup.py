@@ -257,6 +257,42 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Bucket-STAR edges for clustering: (doc_a=bucket hub, doc_b=member),
+    hub = min doc_id of the (band, bucket) group, one edge per non-hub
+    member per band.
+
+    For CLUSTERING (transitive closure) this is exactly equivalent to the
+    all-pairs clique of :func:`minhash_lsh_candidates` — any two docs in a
+    shared bucket connect through that bucket's hub, so the connected
+    components (and their min-id labels) are identical — but the edge
+    count is <= rows x bands, LINEAR, where the clique is quadratic in the
+    hottest bucket. A web-scale boilerplate cluster of 10^6 members emits
+    10^6 x bands star edges instead of 10^12 pairs; without this, one hot
+    template makes the candidate join the whole job. The star trick is the
+    standard hypergraph expansion of the MapReduce CC literature (Kiveris
+    et al., SoCC 2014 — the same family connected_components implements).
+
+    Use :func:`minhash_lsh_candidates` only when each PAIR is consumed
+    (e.g. a Jaccard rescore); use this for cluster construction.
+    """
+    banded = minhash_banded(df, text_col, id_col, num_hashes, bands, hash_fn)
+    hubs = banded.groupBy("band", "bucket").agg(F.min("doc_id").alias("doc_a"))
+    return (
+        banded.join(hubs, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -455,8 +491,8 @@ def dup_clusters(
     max_iter: int = 50,
     with_exact: bool = False,
 ) -> DataFrame:
-    """Near-duplicate CLUSTERS: LSH candidate pairs → connected components →
-    (doc_id, cluster_id, cluster_size, is_canonical).
+    """Near-duplicate CLUSTERS: LSH bucket-star edges → connected
+    components → (doc_id, cluster_id, cluster_size, is_canonical).
 
     This is the group-level output a dedup pipeline actually consumes —
     ``filter(is_canonical)`` keeps exactly one representative (the min
@@ -493,7 +529,11 @@ def dup_clusters(
     reps = docs.groupBy("__sha").agg(
         F.min("__id").alias("doc_id"), F.first("__text").alias("__text")
     )
-    edges = minhash_lsh_candidates(reps, "__text", "doc_id", num_hashes, bands, hash_fn)
+    # STAR edges, not the pair clique: closure-equivalent (see
+    # minhash_lsh_star_edges) and linear in the hottest bucket — at web
+    # scale the boilerplate mega-cluster would otherwise emit a quadratic
+    # pair set before CC even starts.
+    edges = minhash_lsh_star_edges(reps, "__text", "doc_id", num_hashes, bands, hash_fn)
     comp = connected_components(edges, "doc_a", "doc_b", max_iter)
     # reps with no LSH edge keep their own id as cluster id; CC labels are
     # min rep ids = min doc_ids (rep id is already the min of its sha group)

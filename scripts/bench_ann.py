@@ -1,0 +1,139 @@
+"""ANN recall/throughput bench over a generated clustered vector corpus.
+
+The testdata embeddings tables top out at 2,000 rows — enough for exact
+oracles, useless for judging the ANN *scale path*. This bench generates
+N clustered vectors (datagen.documents.generate_embeddings, deterministic
+column math), takes Q corpus vectors as queries, computes exact brute-force
+top-k as ground truth, then measures every batched ANN method's wall time
+(one job per method for ALL queries) and recall@k against the exact
+answer. Publishes BENCH/ann.md.
+
+Usage: python scripts/bench_ann.py [n_vecs] [n_queries]  (default 200000 100)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "shm")
+
+N_VECS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+N_Q = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+K = 10
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> int:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bio_data_validation_spark.datagen.documents import generate_embeddings
+    from bio_data_validation_spark.functions import similarity as sim
+    from bio_data_validation_spark.session import get_spark
+
+    spark = get_spark(f"local[{CPUS}]", app_name=f"bench-ann-{N_VECS}")
+    path = REPO / "data" / "gen_vecs" / f"vecs_{N_VECS}"
+    if not (path / "_SUCCESS").exists():
+        generate_embeddings(spark, N_VECS).write.mode("overwrite").parquet(str(path))
+    df = spark.read.parquet(str(path))
+
+    stride = N_VECS // N_Q
+    qdf = df.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    queries = [(int(r["query_id"]), [float(x) for x in r["embedding"]])
+               for r in qdf.collect()][:N_Q]
+
+    # Exact ground truth: one scan, broadcast query matrix, per-query
+    # top-k window — the brute-force batch baseline every ANN variant is
+    # measured against (recall) and raced against (time).
+    qmat = spark.createDataFrame(queries, ["query_id", "__q"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.col("vec_id"))
+
+    def brute():
+        return (
+            df.join(F.broadcast(qmat))
+            .select("query_id", "vec_id",
+                    sim.cosine(F.col("embedding"), F.col("__q")).alias("__cos"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= K)
+            .select("query_id", "vec_id")
+        )
+
+    def run(name, thunk):
+        t0 = time.time()
+        rows = thunk().collect()
+        dt = time.time() - t0
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return {"name": name, "sec": round(dt, 2), "got": got}
+
+    # warm-up: JIT + codebook/centroid paths compile once
+    run("warm", lambda: brute())
+
+    results = [run("brute_force (exact)", brute)]
+    exact = results[0]["got"]
+    variants = [
+        ("lsh_topk_batch (8 planes)",
+         lambda: sim.lsh_topk_batch(df, queries, k=K)),
+        ("ivf_seeded_topk_batch (64 cells, probe 2)",
+         lambda: sim.ivf_seeded_topk_batch(df, queries, k=K, n_cells=64, n_probe=2)),
+        ("ivf_seeded_topk_batch (64 cells, probe 8)",
+         lambda: sim.ivf_seeded_topk_batch(df, queries, k=K, n_cells=64, n_probe=8)),
+        ("sq8_topk_batch (int8 prescore, rescore 4k)",
+         lambda: sim.sq8_topk_batch(df, queries, k=K)),
+        ("ivf_sq8_topk_batch (64 cells, probe 8, int8)",
+         lambda: sim.ivf_sq8_topk_batch(df, queries, k=K, n_cells=64, n_probe=8)),
+    ]
+    results += [run(n, t) for n, t in variants]
+
+    for r in results:
+        recs = [len(r["got"].get(q, set()) & exact[q]) / K for q in exact]
+        r["recall"] = round(sum(recs) / len(recs), 3)
+        del r["got"]
+
+    brute_sec = results[0]["sec"]
+    md = [
+        "# BENCH/ann — batched ANN recall & throughput",
+        "",
+        f"Corpus: **{N_VECS:,} vectors x 64 dims** (datagen clustered synthetic,",
+        f"64 clusters, deterministic), **{len(queries)} queries** (corpus members,",
+        f"stride {stride}), k={K}. Every method scores ALL queries in ONE Spark",
+        f"job (broadcast query matrix); local[{CPUS}], warm JVM. recall@{K} vs the",
+        "exact brute-force answer; ties broken by vec_id everywhere.",
+        "",
+        "| method | wall s | recall@10 | speedup vs exact |",
+        "|---|---|---|---|",
+    ]
+    for r in results:
+        md.append(
+            f"| {r['name']} | {r['sec']} | {r['recall']} "
+            f"| {brute_sec / r['sec']:.1f}x |"
+        )
+    md += [
+        "",
+        "Reading the table: the IVF probe knob trades recall for pruning",
+        "(probe 2 scans ~3% of the corpus, probe 8 ~12%); SQ8 touches 1/4 of",
+        "the scan bytes with exact integer ranking + bounded float rescore,",
+        "so its recall stays ~1.0; the composed IVF+SQ8 is the FAISS-family",
+        "shape a 100 TB retrieval pass runs. At this corpus size the fixed",
+        "per-job cost (codebook/centroid collect, broadcast build) is a",
+        "visible fraction of wall time — the speedup column grows with",
+        "corpus size as scan/prescore bytes dominate.",
+    ]
+    (REPO / "BENCH" / "ann.md").write_text("\n".join(md) + "\n")
+    print(json.dumps({"n_vecs": N_VECS, "n_queries": len(queries), "k": K,
+                      "results": [{k: v for k, v in r.items()} for r in results]}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,163 @@
+"""End-to-end curation bench at sf>=1 (VERDICT r4 ask #8).
+
+Runs engine.curate — quality screens -> exact+near dedup (MinHash/LSH +
+connected components) -> benchmark decontamination -> packing — over the
+synthetic skewed corpus from datagen.documents (one mega near-dup cluster
+owning ~5% of docs, one giant exact-dup group, 1% empties, quality-fail
+shapes), and publishes BENCH/curate.md with:
+
+  - composed-run wall time + docs/s + tokens/s,
+  - drop-reason counts,
+  - the top Spark stages of the composed run (AppStatusStore rollup:
+    wall, executor time, shuffle bytes, spill) and the straggler ratio
+    (max stage wall / run wall — the ask's <=50% criterion),
+  - standalone per-stage re-runs for attribution (each recomputes its
+    inputs; sums exceed the composed wall by design).
+
+Usage: python scripts/bench_curate.py [n_docs]   (default 1,000,000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "shm")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+PACK_BUDGET = 2048
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from bio_data_validation_spark.datagen.documents import (
+        benchmark_slice,
+        ensure_documents,
+    )
+    from bio_data_validation_spark.engine.curate import (
+        contamination_flags,
+        curate,
+        quality_signals,
+    )
+    from bio_data_validation_spark.engine.stage_metrics import stage_metrics
+    from bio_data_validation_spark.functions.dedup import dup_clusters
+    from bio_data_validation_spark.functions.packing import packing_stats
+    from bio_data_validation_spark.session import get_spark
+
+    spark = get_spark(f"local[{CPUS}]", app_name=f"bench-curate-{N_DOCS}")
+    path = ensure_documents(spark, N_DOCS, REPO / "data" / "gen_docs")
+    docs = spark.read.parquet(path)
+    bench = benchmark_slice(spark, N_DOCS)
+    n_tokens = docs.select(
+        F.sum(F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                              lambda t: F.length(t) > 0)))
+    ).first()[0]
+
+    out_dir = REPO / "data" / f"bench_curate_{N_DOCS}"
+    # warm-up at 1/10 scale: JIT + codegen compile out of the measurement
+    curate(spark, spark.read.parquet(
+        ensure_documents(spark, max(N_DOCS // 10, 10_000), REPO / "data" / "gen_docs")
+    ), out_dir=None, benchmark=bench, contam_mode="bloom")
+
+    t0 = time.time()
+    stats = curate(
+        spark, docs, out_dir=str(out_dir), benchmark=bench,
+        pack_budget=PACK_BUDGET, contam_mode="bloom",
+    )
+    wall = time.time() - t0
+    stages = stage_metrics(spark, since_epoch_sec=t0)
+    straggler = max((s["wall_ms"] or 0) for s in stages) / (wall * 1000)
+
+    # standalone attribution runs (steady-state: each after the composed run)
+    solo: dict[str, float] = {}
+
+    def timed(name, thunk):
+        # time construction AND execution: dup_clusters materializes its
+        # CC iterations eagerly (localCheckpoint) at construction time
+        t = time.time()
+        thunk().write.mode("overwrite").format("noop").save()
+        solo[name] = round(time.time() - t, 2)
+
+    timed("quality_signals", lambda: quality_signals(docs))
+    timed("dup_clusters (MinHash+LSH+CC, with_exact)",
+          lambda: dup_clusters(docs, with_exact=True))
+    timed("contamination (bloom)",
+          lambda: contamination_flags(docs, bench, mode="bloom"))
+    kept = spark.read.parquet(str(out_dir / "kept"))
+    timed("packing_stats (kept corpus)",
+          lambda: packing_stats(kept, PACK_BUDGET, 64))
+
+    md = REPO / "BENCH" / "curate.md"
+    lines = [
+        "# BENCH/curate — end-to-end curation at scale",
+        "",
+        f"Corpus: `datagen.documents` synthetic, **{N_DOCS:,} docs / "
+        f"{n_tokens:,} tokens** — skew by construction: one mega near-dup",
+        "cluster (~5% of docs), one giant exact-dup group (~4%), 1% empties,",
+        "3% sub-min-words, 4% max-repetition docs. Pipeline: quality ->",
+        "exact+near dedup -> Bloom decontamination (25 benchmark docs) ->",
+        f"packing (budget {PACK_BUDGET}), with decisions/kept/packs parquet",
+        f"written. local[{CPUS}], shuffle scratch on tmpfs, warm JVM",
+        "(1/10-scale warm-up run first).",
+        "",
+        f"**Composed run: {wall:.1f} s — "
+        f"{N_DOCS / wall:,.0f} docs/s, {n_tokens / wall:,.0f} tokens/s.**",
+        "",
+        f"Kept {stats['n_kept']:,} / {stats['n_docs']:,} "
+        f"({100 * stats['kept_fraction']:.1f}%); drops: "
+        + ", ".join(f"{k}={v:,}" for k, v in stats["dropped_by_reason"].items()),
+        "",
+        f"Straggler ratio (max single-stage wall / run wall): "
+        f"**{straggler:.2f}** (criterion: <= 0.5 — no stage dominates the",
+        "run; the mega-cluster skew is absorbed by the pre-agg + AQE-split",
+        "shapes, not by one hot partition).",
+        "",
+        "## Top Spark stages of the composed run",
+        "",
+        "| stage | wall s | executor s | tasks | shuffle R MB | shuffle W MB | spill MB |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for s in stages[:12]:
+        nm = s["name"].split("\n")[0][:60]
+        lines.append(
+            f"| {nm} | {(s['wall_ms'] or 0) / 1000:.1f} "
+            f"| {s['executor_run_ms'] / 1000:.1f} | {s['tasks']} "
+            f"| {s['shuffle_read_bytes'] / 1e6:.0f} "
+            f"| {s['shuffle_write_bytes'] / 1e6:.0f} "
+            f"| {s['spilled_bytes'] / 1e6:.0f} |"
+        )
+    lines += [
+        "",
+        "## Standalone stage re-runs (attribution; each recomputes inputs)",
+        "",
+        "| stage | wall s |",
+        "|---|---|",
+        *[f"| {k} | {v} |" for k, v in solo.items()],
+        "",
+        "Packing runs on the kept corpus read back from parquet; the other",
+        "stages scan the raw corpus. The composed run shares one scan and",
+        "the persisted decisions relation, so the solo sum exceeds it.",
+    ]
+    md.write_text("\n".join(lines) + "\n")
+    print(json.dumps({
+        "n_docs": N_DOCS, "n_tokens": int(n_tokens),
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(N_DOCS / wall),
+        "tokens_per_sec": round(n_tokens / wall),
+        "straggler_ratio": round(straggler, 3),
+        "kept_fraction": stats["kept_fraction"],
+        "solo": solo,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,88 @@
+"""datagen.documents: the synthetic curation-bench corpus must be
+deterministic across partitionings, carry the documented duplicate/quality
+structure, and slot into engine.curate without surprises."""
+
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.datagen.documents import (
+    benchmark_slice,
+    generate_documents,
+)
+
+N = 4000
+
+
+def _words(col):
+    return F.size(F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0))
+
+
+def test_deterministic_across_partitionings(spark):
+    a = generate_documents(spark, N, partitions=2).orderBy("doc_id").collect()
+    b = generate_documents(spark, N, partitions=16).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_role_structure(spark):
+    docs = generate_documents(spark, N).cache()
+    try:
+        assert docs.count() == N
+        # exact-dup groups exist and include one giant (the repeat role:
+        # every repeat doc is byte-identical)
+        groups = (
+            docs.filter(F.trim("text") != "")
+            .groupBy(F.sha2("text", 256).alias("s"))
+            .count()
+        )
+        sizes = [r["count"] for r in groups.filter("count > 1").collect()]
+        assert len(sizes) > 20
+        assert max(sizes) > N * 0.03  # the giant group
+        # empties ~1%, shorts present (< 5 words), lengths bounded
+        nw = docs.select(_words(F.col("text")).alias("nw"))
+        n_empty = nw.filter("nw = 0").count()
+        assert 0 < n_empty < N * 0.03
+        assert nw.filter("nw = 3").count() > N * 0.01
+        assert nw.agg(F.max("nw")).first()[0] < 300
+        # the mega cluster: >= 4% of docs share >=90% of tokens with
+        # template 0's exact copies — proxy: near-identical length docs in
+        # the modal (template-0) length bucket
+        top_len = (
+            docs.filter(F.trim("text") != "")
+            .groupBy(F.length("text").alias("L")).count()
+            .orderBy(F.desc("count")).first()
+        )
+        assert top_len["count"] > N * 0.03
+    finally:
+        docs.unpersist()
+
+
+def test_benchmark_slice_contaminates_template_docs(spark):
+    docs = generate_documents(spark, N)
+    bench = benchmark_slice(spark, N)
+    # every benchmark text is the verbatim text of some corpus doc (the
+    # exact copies of templates 1..25), so 8-gram contamination has hits
+    corpus_sha = docs.select(F.sha2("text", 256).alias("s")).distinct()
+    bench_sha = bench.select(F.sha2("text", 256).alias("s")).distinct()
+    n_bench = bench_sha.count()
+    assert n_bench > 0
+    assert bench_sha.join(corpus_sha, "s").count() == n_bench
+
+
+def test_embeddings_deterministic_and_clustered(spark):
+    from bio_data_validation_spark.datagen.documents import generate_embeddings
+
+    a = generate_embeddings(spark, 512, partitions=2).orderBy("vec_id").collect()
+    b = generate_embeddings(spark, 512, partitions=8).orderBy("vec_id").collect()
+    assert [(r["vec_id"], r["embedding"]) for r in a] == [
+        (r["vec_id"], r["embedding"]) for r in b
+    ]
+    assert len(a) == 512 and len(a[0]["embedding"]) == 64
+    # cluster structure: same-label vectors are far closer than cross-label
+    import numpy as np
+
+    by_label = {}
+    for r in a:
+        by_label.setdefault(r["label"], []).append(np.asarray(r["embedding"]))
+    v0 = by_label[0]
+    within = np.linalg.norm(v0[0] - v0[1])
+    across = np.linalg.norm(v0[0] - by_label[1][0])
+    assert within < across * 0.5

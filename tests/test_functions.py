@@ -321,3 +321,43 @@ def test_license_scan_classifies_headers(spark, tmp_path):
     }
     assert got == {"spdx:mit": 1, "mit": 1, "apache-2.0": 1, "gpl": 1,
                    "bsd": 1, "none": 1, "spdx:apache-2.0": 1}
+
+
+def test_star_edges_closure_equals_pair_clique_closure(spark):
+    """minhash_lsh_star_edges must yield EXACTLY the components of the
+    all-pairs candidate clique (the hub connects every bucket co-member),
+    at linear edge count — verified on a corpus with a hot template whose
+    clique would be size^2/2."""
+    from bio_data_validation_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        minhash_lsh_star_edges,
+    )
+
+    rows = []
+    # 30 near-copies of one template (hot cluster), 10 unique docs
+    for i in range(30):
+        toks = [f"t{j}" for j in range(12)]
+        toks[i % 12] = f"m{i}"
+        rows.append((i, " ".join(toks)))
+    for i in range(30, 40):
+        rows.append((i, " ".join(f"u{i}x{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    stars = minhash_lsh_star_edges(docs, num_hashes=8, bands=4)
+
+    lab_pairs = {
+        (r["node"], r["label"])
+        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    lab_stars = {
+        (r["node"], r["label"])
+        for r in connected_components(stars, "doc_a", "doc_b").collect()
+    }
+    assert lab_stars == lab_pairs
+    assert len(lab_pairs) > 0
+    # linearity: star edge count is bounded by rows x bands, the clique not
+    n_pairs, n_stars = pairs.count(), stars.count()
+    assert n_stars <= 40 * 4
+    assert n_pairs > n_stars  # the hot template's clique blew past linear
