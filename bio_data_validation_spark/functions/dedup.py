@@ -709,16 +709,45 @@ def cross_corpus_dedup(
     match >= threshold (0.0 when none) — the keep/drop relation a crawl
     refresh feeds straight into the curation pipeline. One extra linear
     groupBy + left join over :func:`cross_corpus_near_dups`; every new doc
-    appears exactly once."""
+    appears exactly once.
+
+    Scale design — exact-dup collapse on BOTH sides first (the same
+    provably-output-preserving trick as :func:`dup_clusters`): Jaccard is a
+    function of the token set alone, so byte-identical texts have identical
+    scores against everything. The LSH join and rescore therefore run on
+    ONE representative per distinct text per side, and each new doc
+    inherits its representative's best_jaccard through the sha relation.
+    Without this, template spam present in both the crawl and the corpus
+    (the common case: boilerplate pages recrawled every refresh) makes the
+    (band, bucket) join emit |new copies| x |corpus copies| pairs per
+    template; with it, one pair."""
+    new_docs = new_df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("new_id"), F.sha2(F.col(text_col), 256).alias("__sha"),
+        F.col(text_col).alias("__text"),
+    )
+    new_reps = new_docs.groupBy("__sha").agg(
+        F.min("new_id").alias("doc_id"), F.first("__text").alias(text_col)
+    )
+    corpus_reps = (
+        corpus_df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.sha2(F.col(text_col), 256).alias("__csha"))
+        .agg(F.min(id_col).alias("doc_id"), F.first(text_col).alias(text_col))
+        .drop("__csha")
+    )
     pairs = cross_corpus_near_dups(
-        new_df, corpus_df, text_col, id_col, threshold, num_hashes, bands, hash_fn
+        new_reps.select("doc_id", text_col), corpus_reps,
+        text_col, "doc_id", threshold, num_hashes, bands, hash_fn,
     )
     best = pairs.groupBy("new_id").agg(F.max("jaccard").alias("best_jaccard"))
-    base = new_df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("new_id")
-    )
-    return base.join(best, "new_id", "left").select(
-        "new_id",
-        F.col("best_jaccard").isNotNull().alias("is_dup"),
-        F.coalesce(F.col("best_jaccard"), F.lit(0.0)).alias("best_jaccard"),
+    return (
+        new_docs.select("new_id", "__sha")
+        .join(
+            new_reps.select("__sha", F.col("doc_id").alias("__rep")), "__sha"
+        )
+        .join(best.withColumnRenamed("new_id", "__rep"), "__rep", "left")
+        .select(
+            "new_id",
+            F.col("best_jaccard").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("best_jaccard"), F.lit(0.0)).alias("best_jaccard"),
+        )
     )
