@@ -598,6 +598,15 @@ def sq8_topk(
     only. The prescore scan touches 1/4 the bytes of the float column; the
     float math runs on rescore*k rows instead of n. Returns (id, cos).
 
+    Applicability: the integer prescore ranks by quantized INNER PRODUCT.
+    For cosine retrieval this agrees with the final ranking only when
+    corpus norms are (near-)constant — i.e. L2-normalized embeddings, the
+    standard storage form for cosine corpora. On heterogeneous-norm
+    vectors the prescore pool misses true cosine neighbors (measured
+    recall@10 = 0.086 on a raw clustered corpus at 200k vectors vs ~1.0
+    after normalization — see BENCH/ann.md); normalize first, or widen
+    ``rescore``.
+
     Two jobs: the codebook aggregation and the prescore+rescore pass."""
     mins, scales = sq8_codebook(df, id_col, vec_col)
     qq = _python_sq8([float(v) for v in query_vec], mins, scales)
@@ -850,4 +859,100 @@ def semantic_dedup(
         .select(
             id_col, "cell", F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup")
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF index: build once, probe with partition pruning
+# --------------------------------------------------------------------------
+
+def ivf_write_index(
+    df,
+    path: str,
+    n_cells: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the seeded-IVF index as parquet PARTITIONED BY cell —
+    the inverted lists of a FAISS-style index expressed as a Hive layout,
+    plus a one-row meta relation (centroids) next to it.
+
+    This is the amortization the inline ANN entry points cannot give: the
+    cell assignment (n_cells distance folds per row — more arithmetic than
+    the final cosine itself) runs ONCE at build time; every query batch
+    afterwards reads ONLY its probe cells' files via partition pruning, an
+    n_probe/n_cells fraction of the corpus bytes. Measured at 200k x 64:
+    the inline path costs ~20 s per batch (assignment dominates, slower
+    than brute force); the index-backed path ~1 s per batch after a one-
+    time ~17 s build (BENCH/ann.md).
+
+    Returns the centroids (also persisted; ivf_index_topk_batch rereads
+    them, so queries need only the path)."""
+    import json as _json
+
+    assigned, centroids = ivf_seeded_index(df, n_cells, id_col, vec_col)
+    (
+        df.join(assigned, id_col)
+        .repartition(F.col("__cell"))  # one writer per cell => no tiny files
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(f"{path}/vectors")
+    )
+    spark = df.sparkSession
+    meta = spark.createDataFrame(
+        [(int(n_cells), _json.dumps(centroids))], ["n_cells", "centroids_json"]
+    )
+    meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    return centroids
+
+
+def ivf_index_topk_batch(
+    spark,
+    path: str,
+    queries: "list[tuple] | DataFrame",
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+):
+    """Batched ANN top-k against a persisted :func:`ivf_write_index` index:
+    probe-cell choice per query runs driver-side against the persisted
+    centroids (same distance fold order as the build — bit-identical cell
+    semantics), then ONE scoring job reads ONLY the union of probe cells
+    (partition-pruned parquet scan), attaches per-query probes via a
+    broadcast (query, cell) table, scores against the broadcast query
+    matrix, and keeps per-query top-k. Bit-identical to
+    :func:`ivf_seeded_topk_batch` on the same corpus/n_cells."""
+    import json as _json
+
+    from pyspark.sql import Window
+
+    qrows = _collect_query_rows(queries, vec_col, query_id_col, "ivf_index_topk_batch")
+    meta = spark.read.json(f"{path}/meta").first()
+    centroids = _json.loads(meta["centroids_json"])
+
+    probe_rows = []
+    for qid, vec in qrows:
+        dists = [_python_dist2(vec, c) for c in centroids]
+        probe = sorted(range(len(dists)), key=lambda i: (dists[i], i))[:n_probe]
+        probe_rows.extend((qid, int(c)) for c in probe)
+    all_cells = sorted({c for _, c in probe_rows})
+
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("__cell").isin(all_cells)  # partition-pruned: only probe files
+    )
+    probe_df = spark.createDataFrame(probe_rows, [query_id_col, "__cell"])
+    qdf = spark.createDataFrame(qrows, [query_id_col, "__qvec"])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.col(id_col))
+    return (
+        vecs.join(F.broadcast(probe_df), "__cell")
+        .join(F.broadcast(qdf), query_id_col)
+        .select(
+            query_id_col, F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("__cos"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, F.round("__cos", 4).alias("cos"))
     )

@@ -1,0 +1,47 @@
+"""Persisted IVF index (similarity.ivf_write_index / ivf_index_topk_batch):
+bit-identical results to the inline seeded-IVF path, with the scan actually
+partition-pruned to the probe cells."""
+
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.datagen.documents import generate_embeddings
+from bio_data_validation_spark.functions.similarity import (
+    ivf_index_topk_batch,
+    ivf_seeded_topk_batch,
+    ivf_write_index,
+)
+
+N, CELLS, PROBE, K = 2000, 8, 2, 5
+
+
+def _queries(df):
+    rows = df.filter(F.col("vec_id") % 400 == 1).orderBy("vec_id").collect()
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+
+
+def test_index_path_matches_inline(spark, tmp_path):
+    df = generate_embeddings(spark, N, n_clusters=16)
+    queries = _queries(df)
+    idx = str(tmp_path / "ivf")
+    centroids = ivf_write_index(df, idx, n_cells=CELLS)
+    assert len(centroids) == CELLS
+
+    inline = ivf_seeded_topk_batch(df, queries, k=K, n_cells=CELLS, n_probe=PROBE)
+    indexed = ivf_index_topk_batch(spark, idx, queries, k=K, n_probe=PROBE)
+    key = ["query_id", "vec_id", "cos"]
+    a = sorted(tuple(r) for r in inline.select(*key).collect())
+    b = sorted(tuple(r) for r in indexed.select(*key).collect())
+    assert a == b
+    assert len(a) == len(queries) * K
+
+
+def test_index_scan_is_partition_pruned(spark, tmp_path):
+    df = generate_embeddings(spark, N, n_clusters=16)
+    queries = _queries(df)[:1]
+    idx = str(tmp_path / "ivf")
+    ivf_write_index(df, idx, n_cells=CELLS)
+    plan = ivf_index_topk_batch(spark, idx, queries, k=K, n_probe=PROBE)._jdf.queryExecution().executedPlan().toString()
+    # the parquet scan must carry a __cell partition filter, so only the
+    # probe cells' files are read
+    assert "PartitionFilters" in plan
+    assert "__cell" in plan.split("PartitionFilters", 1)[1][:200]
