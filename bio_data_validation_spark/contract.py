@@ -1437,6 +1437,34 @@ FROM banded a JOIN banded b
 """
 
 
+def q_lsh_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-STAR edges (functions.dedup.minhash_lsh_star_edges) — the
+    LINEAR clustering input dup_clusters/curate actually consume: one edge
+    per bucket member to the bucket's min doc_id, closure-equivalent to
+    the all-pairs clique but bounded by rows x bands where the clique is
+    quadratic in the hottest bucket (a 1M-member boilerplate cluster emits
+    8M edges, not 10^12 pairs). md5_60 so the SQL oracle reproduces every
+    bucket."""
+    from .functions.dedup import minhash_lsh_star_edges
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_star_edges(
+        d, "text", "doc_id",
+        num_hashes=MINHASH_NUM_HASHES, bands=MINHASH_BANDS, hash_fn="md5_60",
+    )
+
+
+def _sql_lsh_star_edges() -> str:
+    return f"""
+WITH {_sql_minhash_banded()},
+hubs AS (
+  SELECT band, bucket, min(doc_id) AS doc_a FROM banded GROUP BY band, bucket)
+SELECT DISTINCT h.doc_a, b.doc_id AS doc_b
+FROM banded b JOIN hubs h ON b.band = h.band AND b.bucket = h.bucket
+WHERE b.doc_id <> h.doc_a
+"""
+
+
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The benchmarkable candidate-GENERATION stage of MinHash-LSH: per-band
     bucket occupancy and implied candidate-pair count, WITHOUT emitting any
@@ -3906,7 +3934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_quality": q_c4_quality,
     "line_quality": q_line_quality,
     "quality_classifier": q_quality_classifier,
-    "gopher_quality": q_gopher_quality,
+    "lsh_star_edges": q_lsh_star_edges,
     "pii_scan": q_pii_scan,
     "unigram_logprob": q_unigram_logprob,
     "dsir_weights": q_dsir_weights,
@@ -3942,6 +3970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicated_spans": q_duplicated_spans,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "gopher_quality": q_gopher_quality,
     "near_dup_pairs": q_near_dup_pairs,
     "simhash_signatures": q_simhash_signatures,
     "kgram_fingerprints": q_kgram_fingerprints,
@@ -3993,6 +4022,7 @@ ORACLES: dict[str, str] = {
     "dup_clusters": _sql_dup_clusters(),
     "curate_decisions": _sql_curate_decisions(),
     "minhash_lsh_candidates": _sql_minhash_lsh_candidates(),
+    "lsh_star_edges": _sql_lsh_star_edges(),
     "near_dup_pairs": _sql_near_dup_pairs(),
     "simhash_signatures": _sql_simhash_signatures(),
     "kgram_fingerprints": _sql_kgram_fingerprints(),
