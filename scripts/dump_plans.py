@@ -32,6 +32,27 @@ def runtime_formatted(df) -> str:
     return formatted(df)
 
 
+def _ivf_index_plan(spark) -> str:
+    """Build a small persisted IVF index and return the formatted plan of a
+    query batch against it — the PartitionFilters line is the evidence."""
+    import shutil
+    import tempfile
+
+    from bio_data_validation_spark.functions.similarity import (
+        ivf_index_topk_batch,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    tmp = tempfile.mkdtemp(prefix="plan_ivf_")
+    try:
+        ivf_write_index(emb, tmp, n_cells=8)
+        qdf = emb.limit(3).selectExpr("vec_id AS query_id", "embedding")
+        return formatted(ivf_index_topk_batch(spark, tmp, qdf, k=5, n_probe=2))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     from bio_data_validation_spark.datagen import generate_snapshot
     from bio_data_validation_spark.engine.incremental import pid_fingerprints
@@ -197,6 +218,36 @@ def main() -> int:
             "per-query ranking window; float vectors rejoin only for the "
             "rescore pool via broadcast.",
             formatted(QUERIES["sq8_topk_batch"](spark, SF_DIR)),
+        ),
+        (
+            "dup_clusters edges — bucket-STAR expansion (linear in the hottest bucket)",
+            "Cluster construction never materializes bucket cliques: each "
+            "(band, bucket) group emits one edge per non-hub member to the "
+            "bucket's min-id hub (groupBy min + join back, both AQE "
+            "skew-splittable), so a 10^6-member boilerplate bucket costs "
+            "10^6 x bands edges instead of 10^12 pairs. Connected "
+            "components over these star edges yield the identical "
+            "min-id labels (Kiveris et al., SoCC 2014 hypergraph "
+            "expansion; equivalence pinned in tests/test_dedup.py).",
+            formatted(
+                __import__(
+                    "bio_data_validation_spark.functions.dedup", fromlist=["x"]
+                ).minhash_lsh_star_edges(
+                    spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                )
+            ),
+        ),
+        (
+            "ivf_index_topk_batch — persisted IVF index, partition-pruned scan",
+            "The production ANN shape (BENCH/ann.md): cell assignment runs "
+            "once at ivf_write_index (parquet partitioned by __cell = the "
+            "inverted lists); a query batch picks probe cells driver-side "
+            "from the persisted centroids and the ONE scoring job's scan "
+            "shows PartitionFilters on __cell — only n_probe/n_cells of "
+            "the corpus bytes are read. Probe membership and the query "
+            "matrix ride broadcast joins; per-query top-k via "
+            "WindowGroupLimit.",
+            _ivf_index_plan(spark),
         ),
         (
             "sequence_packing — per-bucket cumsum, no global sort",
