@@ -2849,6 +2849,57 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-damage audit: U+FFFD replacement chars (lossy
+    decode upstream), C0/DEL control chars (binary mis-ingested as text)
+    and cp1252-mojibake digraphs (Ã©, â€™, …) — the screen a CommonCrawl-
+    scale pipeline runs before any text op trusts the bytes. Same plan
+    shape as pii_scan: three regexp_count projections fused into ONE
+    scan-side aggregation, zero shuffle beyond the per-source partial agg,
+    no Python. The cleaning twin is ``functions.text.strip_encoding_noise``
+    (one chained regexp_replace map). The synthetic corpus is clean ASCII
+    (all-zero counts here — parity still proves the regex dialect
+    agreement); positives are fixture-tested in test_encoding.py.
+
+    Reference precedent for charset screens: the reference's alphabet /
+    wrong-character sequence rules (bio_rules.py alphabet checks)."""
+    from .functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    r = T.encoding_anomaly_count(F.col("text"), "replacement")
+    c = T.encoding_anomaly_count(F.col("text"), "control")
+    m = T.encoding_anomaly_count(F.col("text"), "mojibake")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(r).cast("long").alias("n_replacement"),
+        F.sum(c).cast("long").alias("n_control"),
+        F.sum(m).cast("long").alias("n_mojibake"),
+        F.sum(((r + c + m) > 0).cast("long")).cast("long").alias("docs_damaged"),
+    )
+
+
+# Keep the three pattern literals in sync with functions/text.py
+# ENCODING_PATTERNS (Java-regex ∩ RE2 common subset; the mojibake
+# alternation is plain literals with U+009D/U+00A0 spelled as \xhh).
+SQL_ENCODING_ANOMALIES = """
+WITH c AS (
+  SELECT source,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(text, '�')) END AS r,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) END AS c,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(text, 'Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã¢|Ã§|â€™|â€œ|â€\\x9d|â€“|â€”|â€¦|Â«|Â»|Â°|Â\\xa0')) END AS m
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(r) AS BIGINT) AS n_replacement,
+       CAST(sum(c) AS BIGINT) AS n_control,
+       CAST(sum(m) AS BIGINT) AS n_mojibake,
+       CAST(sum(CASE WHEN r + c + m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_damaged
+FROM c GROUP BY source
+"""
+
+
 # Keep the three pattern literals in sync with functions/text.py
 # PII_PATTERNS (written in the Java-regex ∩ RE2 common subset).
 SQL_PII_SCAN = r"""
@@ -4010,6 +4061,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_freq_topk": q_word_freq_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "bpe_token_stats": q_bpe_token_stats,
+    # --- added after the round-5 rotation; certified by check_oracles /
+    # pytest now, rotated into the external gate window next round ---
+    "encoding_anomalies": q_encoding_anomalies,
 }
 
 ORACLES: dict[str, str] = {
@@ -4107,4 +4161,5 @@ ORACLES: dict[str, str] = {
     "script_profile": _sql_script_profile(),
     "shard_stats": _sql_shard_stats(),
     "license_scan": _sql_license_scan(),
+    "encoding_anomalies": SQL_ENCODING_ANOMALIES,
 }

@@ -127,6 +127,45 @@ def redact_pii(text: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# Encoding-damage signals (mojibake / control bytes / replacement chars)
+# --------------------------------------------------------------------------
+# Patterns are written in the Java-regex ∩ RE2 common subset (kept in sync
+# with SQL_ENCODING_ANOMALIES in contract.py):
+#  - replacement: the U+FFFD char a lenient UTF-8 decode leaves behind —
+#    each one is a byte sequence lost upstream.
+#  - control: C0 controls other than \t\n\r, plus DEL — text that carries
+#    these is usually binary mis-ingested as text.
+#  - mojibake: literal digraphs produced by decoding UTF-8 bytes as
+#    Latin-1/cp1252 (Ã© = é, â€™ = ’, Â« = «, …). An alternation of plain
+#    literals (the invisible code points U+009D / U+00A0 spelled as \xhh
+#    regex escapes, which Java and RE2 read identically): no alternative
+#    is a prefix of another, so both engines count the same matches.
+ENCODING_PATTERNS: dict[str, str] = {
+    "replacement": "�",
+    "control": r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]",
+    "mojibake": "Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã¢|Ã§|â€™|â€œ|â€\\x9d|â€“|â€”|â€¦|Â«|Â»|Â°|Â\\xa0",
+}
+
+
+def encoding_anomaly_count(text: Column, kind: str) -> Column:
+    """Number of matches of one encoding-damage pattern; 0 for null text.
+    Pure regexp_count — JVM codegen, no Python, no shuffle."""
+    return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
+        F.regexp_count(text, F.lit(ENCODING_PATTERNS[kind])).cast("long")
+    )
+
+
+def strip_encoding_noise(text: Column) -> Column:
+    """Drop replacement and control characters (the two classes that are
+    pure damage — mojibake digraphs still carry the intended glyph and need
+    a decode-aware fixer, not a regex). One chained regexp_replace
+    projection: embarrassingly parallel map over the scan, the enforcement
+    twin of the encoding_anomalies audit."""
+    out = F.regexp_replace(text, ENCODING_PATTERNS["replacement"], "")
+    return F.regexp_replace(out, ENCODING_PATTERNS["control"], "")
+
+
+# --------------------------------------------------------------------------
 # URL / domain analysis (RefinedWeb/C4-style domain filtering)
 # --------------------------------------------------------------------------
 # Capture group 1 of this pattern is the host; group-indexed extraction is

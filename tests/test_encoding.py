@@ -1,0 +1,121 @@
+"""Encoding-damage audit on constructed fixtures: the synthetic corpus is
+clean ASCII, so the positives (U+FFFD, control bytes, cp1252 mojibake) are
+proven here, including a full Spark-vs-DuckDB run of the contract query's
+SQL oracle on the SAME damaged rows — the dialect-parity evidence the
+all-zero sf0.01 gate row can't give."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.contract import SQL_ENCODING_ANOMALIES
+from bio_data_validation_spark.functions.text import (
+    encoding_anomaly_count,
+    strip_encoding_noise,
+)
+
+FIXTURE = [
+    # (doc_id, text, source)
+    (1, "cafÃ© menu with â€™ smart quote", "web"),
+    (2, "lost bytes �� here", "web"),
+    (3, "binary\x00tail\x1fand\x7fdel but \ttabs\nare fine", "scan"),
+    (4, None, "scan"),
+    (5, "perfectly clean ascii text", "web"),
+    (6, "right quote mojibake â€\x9d and nbsp Â\xa0 glued", "web"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(FIXTURE, "doc_id long, text string, source string")
+
+
+def test_anomaly_counts_per_doc(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in _df(spark)
+        .select(
+            "doc_id",
+            encoding_anomaly_count(F.col("text"), "replacement").alias("r"),
+            encoding_anomaly_count(F.col("text"), "control").alias("c"),
+            encoding_anomaly_count(F.col("text"), "mojibake").alias("m"),
+        )
+        .collect()
+    }
+    assert (rows[1]["r"], rows[1]["c"], rows[1]["m"]) == (0, 0, 2)  # Ã© + â€™
+    assert (rows[2]["r"], rows[2]["c"], rows[2]["m"]) == (2, 0, 0)
+    # \x00, \x1f, \x7f count; \t and \n are exempt
+    assert (rows[3]["r"], rows[3]["c"], rows[3]["m"]) == (0, 3, 0)
+    assert (rows[4]["r"], rows[4]["c"], rows[4]["m"]) == (0, 0, 0)  # null → 0
+    assert (rows[5]["r"], rows[5]["c"], rows[5]["m"]) == (0, 0, 0)
+    # the \xhh-escaped alternatives: â€<0x9d> and Â<nbsp>
+    assert (rows[6]["r"], rows[6]["c"], rows[6]["m"]) == (0, 0, 2)
+
+
+def test_oracle_sql_matches_spark_on_damaged_fixture(spark):
+    """Run the per-source aggregation BOTH ways on the damaged rows: the
+    contract query's column math via Spark and SQL_ENCODING_ANOMALIES via
+    DuckDB, over identical data."""
+    df = _df(spark)
+    r = encoding_anomaly_count(F.col("text"), "replacement")
+    c = encoding_anomaly_count(F.col("text"), "control")
+    m = encoding_anomaly_count(F.col("text"), "mojibake")
+    got = {
+        row["source"]: row
+        for row in df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(r).cast("long").alias("n_replacement"),
+            F.sum(c).cast("long").alias("n_control"),
+            F.sum(m).cast("long").alias("n_mojibake"),
+            F.sum(((r + c + m) > 0).cast("long")).cast("long").alias("docs_damaged"),
+        )
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(FIXTURE, columns=["doc_id", "text", "source"]),
+    )
+    want = {
+        row[0]: row
+        for row in con.execute(SQL_ENCODING_ANOMALIES).fetchall()
+    }
+
+    assert set(got) == set(want) == {"web", "scan"}
+    for src in got:
+        g = got[src]
+        assert (
+            g["n_docs"], g["n_replacement"], g["n_control"],
+            g["n_mojibake"], g["docs_damaged"],
+        ) == tuple(want[src][1:]), src
+    # and the fixture actually exercises every class
+    assert got["web"]["n_mojibake"] == 4
+    assert got["web"]["n_replacement"] == 2
+    assert got["scan"]["n_control"] == 3
+    assert got["web"]["docs_damaged"] == 3
+
+
+def test_strip_encoding_noise(spark):
+    cleaned = {
+        r["doc_id"]: r["t"]
+        for r in _df(spark)
+        .select("doc_id", strip_encoding_noise(F.col("text")).alias("t"))
+        .collect()
+    }
+    assert cleaned[2] == "lost bytes  here"
+    assert cleaned[3] == "binarytailanddel but \ttabs\nare fine"
+    assert cleaned[4] is None
+    # mojibake is NOT stripped (needs a decode-aware fixer, not a regex)
+    assert "Ã©" in cleaned[1]
+    # after cleaning, replacement/control counts are zero everywhere
+    zeros = (
+        _df(spark)
+        .select(strip_encoding_noise(F.col("text")).alias("t"))
+        .select(
+            F.sum(encoding_anomaly_count(F.col("t"), "replacement")).alias("r"),
+            F.sum(encoding_anomaly_count(F.col("t"), "control")).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert (zeros["r"], zeros["c"]) == (0, 0)
