@@ -113,6 +113,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "with reason 'license' (SPDX tags and header phrases both match)",
     )
     c.add_argument(
+        "--max-encoding-damage", type=int, default=None,
+        help="drop docs whose encoding-anomaly count (U+FFFD + control "
+        "chars + mojibake digraphs) exceeds this value, with reason "
+        "'encoding_damage' (0 = drop on any damage; default: screen off)",
+    )
+    c.add_argument(
         "--redact-pii", action="store_true",
         help="rewrite kept-corpus text through PII redaction "
         "(email/IPv4/phone -> typed placeholders)",
@@ -232,6 +238,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.drop_licenses
                 else None
             ),
+            max_encoding_damage=args.max_encoding_damage,
         )
         print(json.dumps(stats, default=str))
         return 0

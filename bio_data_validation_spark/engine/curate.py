@@ -215,6 +215,7 @@ def curation_decisions(
     against_threshold: float = 0.8,
     contam_mode: str = "join",
     license_policy: list[str] | None = None,
+    max_encoding_damage: int | None = None,
 ) -> DataFrame:
     """The declarative core of :func:`curate`: one decision row per input
     doc — (doc_id, lang, n_words, dup_word_frac, dup_bigram_frac,
@@ -230,7 +231,16 @@ def curation_decisions(
     (with any 'spdx:' prefix stripped) starts with a blocked token is
     dropped with reason 'license' — e.g. ['gpl', 'lgpl'] drops both
     header-detected GPL text and explicit SPDX-License-Identifier:
-    GPL-3.0 tags, the copyleft screen a code-corpus run applies."""
+    GPL-3.0 tags, the copyleft screen a code-corpus run applies.
+
+    ``max_encoding_damage`` (opt-in): drop a doc with reason
+    'encoding_damage' when its total count of encoding anomalies
+    (U+FFFD replacement chars + C0/DEL control chars + cp1252 mojibake
+    digraphs, functions.text.ENCODING_PATTERNS) EXCEEDS this value — the
+    bytes-are-broken screen that runs before any text signal is trusted.
+    0 means "drop on any damage". The flags are three regexp_count
+    projections on the same scan the quality signals read — no extra
+    pass, no shuffle beyond the existing joins."""
     q = {**DEFAULT_QUALITY, **(quality or {})}
     sample_rates = sample_rates or {}
     nonnull = base.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
@@ -315,6 +325,22 @@ def curation_decisions(
             "left",
         )
 
+    if max_encoding_damage is not None:
+        from ..functions.text import encoding_anomaly_count
+
+        damage = (
+            encoding_anomaly_count(F.col(text_col), "replacement")
+            + encoding_anomaly_count(F.col(text_col), "control")
+            + encoding_anomaly_count(F.col(text_col), "mojibake")
+        )
+        d = d.join(
+            nonnull.select(
+                "doc_id", (damage > int(max_encoding_damage)).alias("encoding_damaged")
+            ),
+            "doc_id",
+            "left",
+        )
+
     low_quality = (
         (F.col("n_words") < q["min_words"])
         | (F.col("dup_word_frac") > q["max_dup_word_frac"])
@@ -333,6 +359,10 @@ def curation_decisions(
     if license_policy:
         drop_reason = drop_reason.when(
             F.coalesce(F.col("license_blocked"), F.lit(False)), "license"
+        )
+    if max_encoding_damage is not None:
+        drop_reason = drop_reason.when(
+            F.coalesce(F.col("encoding_damaged"), F.lit(False)), "encoding_damage"
         )
     drop_reason = (
         drop_reason
@@ -382,6 +412,7 @@ def curate(
     contam_mode: str = "join",
     token_budget: int | None = None,
     license_policy: list[str] | None = None,
+    max_encoding_damage: int | None = None,
 ) -> dict:
     """Run the curation pipeline; returns the stats dict (and, when
     ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
@@ -415,6 +446,7 @@ def curate(
         against_threshold=against_threshold,
         contam_mode=contam_mode,
         license_policy=license_policy,
+        max_encoding_damage=max_encoding_damage,
     )
 
     pre_budget = None
@@ -477,6 +509,8 @@ def curate(
             "pii_redaction": redact_pii,
             "cross_corpus_dedup": against is not None,
             "token_budget": token_budget,
+            "license_policy": license_policy,
+            "max_encoding_damage": max_encoding_damage,
         }
         kept = base.join(decisions.filter("keep").select("doc_id"), "doc_id")
         if redact_pii:

@@ -119,3 +119,45 @@ def test_strip_encoding_noise(spark):
         .collect()[0]
     )
     assert (zeros["r"], zeros["c"]) == (0, 0)
+
+
+def test_curate_encoding_damage_screen(spark):
+    """Opt-in max_encoding_damage: docs past the damage threshold drop
+    with reason 'encoding_damage'; clean docs are untouched, and the
+    default composition is unchanged without the flag."""
+    from bio_data_validation_spark.engine.curate import curation_decisions
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "perfectly clean body with many distinct tokens "
+                      "avoiding every repetition flag in the screens"),
+            (2, "en", "broken \x00 bytes \x01 here \x02 three controls plus "
+                      "fresh unique words so quality screens stay quiet"),
+            (3, "en", "one stray replacement � char inside otherwise "
+                      "clean wording that should survive a loose threshold"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    d = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curation_decisions(
+            docs, max_encoding_damage=2, lsh_bands=2
+        ).collect()
+    }
+    assert d[2] == "encoding_damage"
+    assert d[1] is None and d[3] is None  # 1 anomaly <= threshold 2
+    # threshold 0 = drop on ANY damage
+    d0 = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curation_decisions(
+            docs, max_encoding_damage=0, lsh_bands=2
+        ).collect()
+    }
+    assert d0[2] == "encoding_damage" and d0[3] == "encoding_damage"
+    assert d0[1] is None
+    # without the flag the same corpus keeps everything
+    keep = {
+        r["doc_id"]: r["keep"]
+        for r in curation_decisions(docs, lsh_bands=2).collect()
+    }
+    assert all(keep.values())
