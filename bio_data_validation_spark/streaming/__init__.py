@@ -171,6 +171,7 @@ def curate_stream(
     corpus_banded: DataFrame | None = None,
     num_hashes: int = 32,
     bands: int = 8,
+    max_encoding_damage: int | None = None,
 ) -> DataFrame:
     """Streaming curation: the streaming-expressible subset of
     engine.curate with IDENTICAL thresholds and semantics — per-record
@@ -216,7 +217,12 @@ def curate_stream(
     grams per doc (streaming agg state), while the Bloom probe is a pure
     stateless filter built once at stream-definition time. At the shipped
     paranoid sizing the probe is exact on these corpora; production sizing
-    trades broadcast bytes for a documented over-removal rate."""
+    trades broadcast bytes for a documented over-removal rate.
+
+    ``max_encoding_damage``: the batch encoding screen (drop when the
+    U+FFFD + control + mojibake anomaly count exceeds the threshold),
+    identical decision boundary — three regexp_count projections, a pure
+    stateless filter."""
     from ..engine.curate import DEFAULT_QUALITY
     from ..functions.dedup import token_hash
 
@@ -253,6 +259,15 @@ def curate_stream(
         .filter(~F.coalesce(low_quality, F.lit(False)))
         .filter(hmod < rate)
     )
+    if max_encoding_damage is not None:
+        from ..functions.text import encoding_anomaly_count
+
+        damage = (
+            encoding_anomaly_count(F.col(text_col), "replacement")
+            + encoding_anomaly_count(F.col(text_col), "control")
+            + encoding_anomaly_count(F.col(text_col), "mojibake")
+        )
+        kept = kept.filter(damage <= int(max_encoding_damage))
     if content_dedup:
         kept = stream_dedup(kept, ts_col, content_col=text_col, watermark=watermark)
     if against is not None:

@@ -457,3 +457,48 @@ def test_curate_stream_benchmark_decontamination(spark, tmp_path):
     stream_kept = {r["doc_id"] for r in got}
     assert stream_kept == {1, 2} == batch_kept
     assert "__bloom" not in got[0].asDict() and "__grams" not in got[0].asDict()
+
+
+def test_curate_stream_encoding_screen_matches_batch(spark, tmp_path):
+    """max_encoding_damage on the stream drops exactly the docs the batch
+    screen drops with reason 'encoding_damage' (identical threshold math),
+    and clean docs flow through."""
+    from bio_data_validation_spark.engine.curate import curation_decisions
+    from bio_data_validation_spark.streaming import curate_stream
+
+    rows = [
+        (1, " ".join(f"clean{j}" for j in range(8)), "en",
+         datetime.fromisoformat("2024-01-01 00:00:10")),
+        (2, "damaged \x00 doc \x01 with \x02 controls " +
+            " ".join(f"u{j}" for j in range(8)), "en",
+         datetime.fromisoformat("2024-01-01 00:00:11")),
+        (3, "one stray � inside " + " ".join(f"v{j}" for j in range(8)), "en",
+         datetime.fromisoformat("2024-01-01 00:00:12")),
+    ]
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    d = tmp_path / "enc_in"
+    df.write.parquet(str(d))
+
+    batch = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curation_decisions(
+            df, max_encoding_damage=1, lsh_bands=1, lsh_num_hashes=4
+        ).collect()
+    }
+    assert batch[2] == "encoding_damage" and batch[1] is None and batch[3] is None
+
+    src = spark.readStream.schema(schema).parquet(str(d))
+    out = curate_stream(src, "ts", max_encoding_damage=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enc_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_kept = {r["doc_id"] for r in spark.sql("select * from enc_stream").collect()}
+    finally:
+        q.stop()
+    assert stream_kept == {k for k, v in batch.items() if v is None} == {1, 3}
