@@ -198,17 +198,20 @@ def ivf_seeded_index(
     """DETERMINISTIC IVF coarse quantizer: centroids are the vectors of the
     ``n_cells`` smallest ids (a seeded sample in FAISS terms — random-point
     init without Lloyd iterations trades some recall for exactness), and
-    assignment is pure column math: argmin over unrolled literal centroid
-    distances with sequential fold order, so the same input yields the SAME
+    assignment is the Arrow-batched argmin of seeded_cell_pandas (fixed
+    sequential fold order per pair), so the same input yields the SAME
     cells at any parallelism — unlike KMeans, whose float shuffle order
     leaks into the centroids. Returns (assignments, centroids).
 
     Scale shape: the centroid fetch is a driver-side top-k (tiny); the
-    assignment is one codegen'd projection — no shuffle, no training job."""
+    assignment is one map-only Arrow projection whose PLAN is O(1) in
+    n_cells (the centroid matrix travels as data) — no shuffle, no
+    training job, no n_cells-sized expression tree for the driver to
+    analyze."""
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in rows]
     assigned = df.select(
-        F.col(id_col), seeded_cell_col(centroids, vec_col).alias("__cell")
+        F.col(id_col), seeded_cell_pandas(centroids, vec_col).alias("__cell")
     )
     if balance_check:
         warn_on_cell_imbalance(assigned, n_cells)
@@ -236,6 +239,59 @@ def seeded_cell_col(centroids: list[list[float]], vec_col: str = "embedding") ->
     # (array_position returns the first occurrence).
     darr = F.array(*[dist2(c) for c in centroids])
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def seeded_cell_pandas(centroids: list[list[float]], vec_col: str = "embedding") -> Column:
+    """Arrow-batched twin of :func:`seeded_cell_col`: the same seeded-IVF
+    argmin, with the centroids carried as DATA inside the UDF instead of
+    as n_cells inlined literal expression trees.
+
+    Why it exists: the Column form's plan grows with n_cells (each cell is
+    a zip_with/aggregate subtree holding 64 literals), and at sf0.1 the
+    driver spends ~5 s ANALYZING a 62-cell expression before any task runs
+    — at SemDeDup's production scale (~50k clusters, Abbas et al. 2023 §3)
+    the plan is impossible. Here the plan carries ONE opaque UDF node
+    regardless of n_cells; per-batch work is a dims-loop of vectorized
+    float64 ops.
+
+    Bit-identity contract (what keeps the SQL oracle exact): the distance
+    accumulates over dims in the SAME sequential order as the Column fold
+    and :func:`_python_dist2` — ``acc = acc + d*d`` once per dim, each an
+    IEEE-754 double op; vectorizing ACROSS (row, cell) pairs does not
+    change any single pair's operation order. NO matmul / np.sum, whose
+    pairwise reassociation would round differently and could flip argmin
+    on near-ties. Ties resolve to the lowest cell index (np.argmin returns
+    the first minimum), matching array_position's first-occurrence rule.
+    Null vectors map to null, as the Column form's null-propagating fold
+    does. Equivalence is pinned by tests/test_semdedup_scaling.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # (n_cells, dims)
+
+    # no type hints: `from __future__ import annotations` turns them into
+    # strings that pandas_udf cannot resolve against the local pd import;
+    # the explicit returnType selects the scalar Series->Series variant.
+    @pandas_udf("int")
+    def _assign(vecs):
+        mask = vecs.notna().to_numpy()
+        out = np.full(len(vecs), -1, dtype=np.int64)
+        if mask.any():
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]],
+                dtype=np.float64,
+            )  # (rows, dims)
+            acc = np.zeros((x.shape[0], cmat.shape[0]), dtype=np.float64)
+            for k in range(cmat.shape[1]):  # sequential over dims
+                d = x[:, k, None] - cmat[None, :, k]
+                acc = acc + d * d
+            out[mask] = np.argmin(acc, axis=1)  # first min = lowest cell
+        res = pd.Series(out, dtype="Int64")
+        res[~mask] = pd.NA
+        return res.astype("Int32")
+
+    return _assign(F.col(vec_col))
 
 
 def _python_dist2(vec: list[float], c: list[float]) -> float:
@@ -366,7 +422,7 @@ def ivf_seeded_topk_batch(
         probe_rows.extend((qid, int(c)) for c in probe)
 
     b = df.select(
-        F.col(id_col), F.col(vec_col), seeded_cell_col(centroids, vec_col).alias("__cell")
+        F.col(id_col), F.col(vec_col), seeded_cell_pandas(centroids, vec_col).alias("__cell")
     )
     probe_df = spark.createDataFrame(probe_rows, [query_id_col, "__cell"])
     qdf = spark.createDataFrame(qrows, [query_id_col, "__qvec"])
@@ -785,7 +841,7 @@ def ivf_sq8_topk_batch(
     pool_ids = (
         df.select(
             F.col(id_col),
-            seeded_cell_col(centroids, vec_col).alias("__cell"),
+            seeded_cell_pandas(centroids, vec_col).alias("__cell"),
             sq8_quantize_col(mins, scales, vec_col).alias("__q"),
         )
         .join(F.broadcast(probe_df), "__cell")
@@ -833,7 +889,12 @@ def semantic_dedup(
     oracle (round-then-compare on both sides)."""
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     cents = [[float(x) for x in r[vec_col]] for r in rows]
-    cell = seeded_cell_col(cents, vec_col)
+    # Arrow-batched assignment: plan size is O(1) in n_cells (the Column
+    # form inlines n_cells literal subtrees — ~5 s of driver analysis at 62
+    # cells, impossible at SemDeDup's ~50k production clusters), while the
+    # distances stay bit-identical to seeded_cell_col / the SQL oracle
+    # (sequential dims fold — see seeded_cell_pandas).
+    cell = seeded_cell_pandas(cents, vec_col)
     a = df.select(
         cell.alias("cell"), F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"), l2_norm(F.col(vec_col)).alias("__na"),
@@ -878,13 +939,15 @@ def ivf_write_index(
     plus a one-row meta relation (centroids) next to it.
 
     This is the amortization the inline ANN entry points cannot give: the
-    cell assignment (n_cells distance folds per row — more arithmetic than
-    the final cosine itself) runs ONCE at build time; every query batch
-    afterwards reads ONLY its probe cells' files via partition pruning, an
-    n_probe/n_cells fraction of the corpus bytes. Measured at 200k x 64:
-    the inline path costs ~20 s per batch (assignment dominates, slower
-    than brute force); the index-backed path ~1 s per batch after a one-
-    time ~17 s build (BENCH/ann.md).
+    cell assignment (n_cells distance folds per row) runs ONCE at build
+    time; every query batch afterwards reads ONLY its probe cells' files
+    via partition pruning, an n_probe/n_cells fraction of the corpus
+    bytes. At the 200k x 64 BENCH/ann.md scale the round-5 Arrow-batched
+    assignment (seeded_cell_pandas) made the inline path competitive with
+    the index for a single batch — the index still wins whenever the
+    assignment cost is amortized over many batches or the corpus no longer
+    fits a single scan (the 100 TB regime: scan n_probe/n_cells of the
+    bytes instead of all of them, per batch).
 
     Returns the centroids (also persisted; ivf_index_topk_batch rereads
     them, so queries need only the path)."""

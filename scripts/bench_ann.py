@@ -149,10 +149,12 @@ def main() -> int:
         "visible fraction of wall time — the speedup column grows with",
         "corpus size as scan/prescore bytes dominate.",
         "",
-        "The INLINE IVF rows pay the cell assignment (n_cells distance",
-        "folds per row) inside every call — at 64 cells that arithmetic",
-        "dwarfs the cosine itself, which is why they read slower than brute",
-        "force here. The PERSISTED-index rows are the production shape:",
+        "The INLINE IVF rows pay the cell assignment inside every call —",
+        "since round 5 an Arrow-batched argmin whose plan is O(1) in",
+        "n_cells (seeded_cell_pandas; the earlier inlined-literal Column",
+        "form cost ~5 s of driver plan analysis at 62 cells and could",
+        "never reach SemDeDup-scale cluster counts). The PERSISTED-index",
+        "rows are the production shape:",
         "assignment runs once at build, queries partition-prune to their",
         "probe cells (n_probe/n_cells of the bytes) — same results,",
         "bit-identical (tests/test_ann_index.py).",

@@ -234,6 +234,14 @@ def test_gopher_and_semantic_dedup_plans_are_scale_shaped(spark):
     p = _plan(QUERIES["semantic_dedup"](spark, sf))
     assert "Window" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+    # cell assignment rides the Arrow-batched argmin: the plan must carry
+    # UDF eval nodes, NOT an inlined n_cells-sized literal expression tree
+    # (at SemDeDup's ~50k production clusters the literal form's plan is
+    # unanalyzable — the regression this pins is the driver choking before
+    # any task runs)
+    # (the cosine rescore keeps its zip_with/aggregate HOFs — those are
+    # O(1) in n_cells and stay JVM-side by design)
+    assert "ArrowEvalPython" in p
 
 
 def test_line_op_plans_are_scale_shaped(spark):

@@ -43,3 +43,40 @@ def test_cell_count_scales_with_corpus(spark):
     assert n_small <= 15
     assert n_big <= 62
     assert n_big > n_small
+
+
+def test_seeded_cell_pandas_equals_column_form(spark):
+    """seeded_cell_pandas must agree with seeded_cell_col on every row —
+    including exact ties (symmetric centroids -> lowest cell wins) and
+    null vectors (null in both forms). The pandas form is what
+    semantic_dedup ships; the Column form is the spec."""
+    from pyspark.sql import functions as F
+
+    from bio_data_validation_spark.functions.similarity import (
+        seeded_cell_col,
+        seeded_cell_pandas,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    rows = [
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),      # equidistant from all three -> cell 0
+        (3, [0.5, 0.5, 0.0]),      # tie between cells 0 and 1 -> cell 0
+        (4, None),                 # null vector -> null cell
+        (5, [-0.2, 0.3, 0.95]),
+        (6, [0.5, 0.0, 0.5]),      # tie between cells 0 and 2 -> cell 0
+        (7, [0.0, 0.5, 0.5]),      # tie between cells 1 and 2 -> cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["a"], r["b"])
+        for r in df.select(
+            "vec_id",
+            seeded_cell_col(cents).alias("a"),
+            seeded_cell_pandas(cents).alias("b"),
+        ).collect()
+    }
+    for vid, (a, b) in got.items():
+        assert a == b, (vid, a, b)
+    assert got[2] == (0, 0) and got[3] == (0, 0) and got[7] == (1, 1)
+    assert got[4] == (None, None)
