@@ -2900,6 +2900,90 @@ FROM c GROUP BY source
 """
 
 
+def q_code_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder-style source-file quality screen (Li et al. 2023 §3.1,
+    Allal et al. 2023): per-source counts of documents failing the
+    line-length bounds, the alphanumeric-fraction floor, the embedded
+    data-blob ceiling, the generated-file-marker probe — plus the
+    longest-token minified-bundle probe that stays meaningful on
+    single-line inputs — and the pass-all count.
+
+    Same plan shape as ``gopher_quality``: every screen is pure column
+    math from ``functions/code.py`` fused into ONE scan, the only
+    exchange is the partial-aggregated groupBy(source). Counts and exact
+    integer maxima only (no float aggregates), so the DuckDB twin hashes
+    identically regardless of summation order.
+
+    Reference precedent for threshold screens: rule_validator.py
+    length/range checks; the code-specific screen set is this engine's
+    LLM-curation extension (registry twin: rules_v1.3.0.yml CODE_* rules
+    over the (repo,path,commit,lang,content) table)."""
+    from .functions import code as C
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    t = F.col("text")
+    fail_line = (C.max_line_length(t) > 1000) | (C.avg_line_length(t) > 200.0)
+    fail_alnum = C.alnum_fraction(t) < 0.25
+    fail_blob = C.data_blob_fraction(t) > 0.30
+    fail_autogen = C.autogen_marker(t)
+    fail_token = C.longest_token_length(t) > 80
+    passes = ~(fail_line | fail_alnum | fail_blob | fail_autogen | fail_token)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(fail_line.cast("long")).cast("long").alias("fail_line_len"),
+        F.sum(fail_alnum.cast("long")).cast("long").alias("fail_alnum_frac"),
+        F.sum(fail_blob.cast("long")).cast("long").alias("fail_data_blob"),
+        F.sum(fail_autogen.cast("long")).cast("long").alias("fail_autogen"),
+        F.sum(fail_token.cast("long")).cast("long").alias("fail_long_token"),
+        F.max(C.max_line_length(t)).cast("int").alias("max_line_len"),
+        F.max(C.longest_token_length(t)).cast("int").alias("max_token_len"),
+        F.sum(passes.cast("long")).cast("long").alias("n_pass_all"),
+    )
+
+
+# Thresholds and patterns mirror functions/code.py (AUTOGEN_PATTERN,
+# DATA_BLOB_PATTERN, code_keep defaults); both sides count chars/lines
+# identically so the hash comparison is exact.
+SQL_CODE_SCREEN = r"""
+WITH m AS (
+  SELECT source,
+    list_max(list_transform(string_split(text, chr(10)), x -> length(x))) AS maxl,
+    CAST(length(text) - (len(string_split(text, chr(10))) - 1) AS DOUBLE)
+      / len(string_split(text, chr(10))) AS avgl,
+    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+      / length(text) AS alnum_frac,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9+/=]{40,}', '', 'g'))
+         AS DOUBLE) / length(text) AS blob_frac,
+    regexp_matches(lower(substr(text, 1, 400)),
+      '(auto-generated|automatically generated|do not edit|@generated|<\?xml)')
+      AS autogen,
+    list_max(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            x -> length(x))) AS maxtok
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+f AS (
+  SELECT source, maxl, maxtok,
+    (maxl > 1000 OR avgl > 200.0) AS fail_line,
+    (alnum_frac < 0.25) AS fail_alnum,
+    (blob_frac > 0.30) AS fail_blob,
+    autogen AS fail_autogen,
+    (maxtok > 80) AS fail_token
+  FROM m)
+SELECT source, count(*) AS n_docs,
+   CAST(sum(fail_line::int) AS BIGINT) AS fail_line_len,
+   CAST(sum(fail_alnum::int) AS BIGINT) AS fail_alnum_frac,
+   CAST(sum(fail_blob::int) AS BIGINT) AS fail_data_blob,
+   CAST(sum(fail_autogen::int) AS BIGINT) AS fail_autogen,
+   CAST(sum(fail_token::int) AS BIGINT) AS fail_long_token,
+   CAST(max(maxl) AS INT) AS max_line_len,
+   CAST(max(maxtok) AS INT) AS max_token_len,
+   CAST(sum((NOT (fail_line OR fail_alnum OR fail_blob OR fail_autogen OR fail_token))::int) AS BIGINT)
+     AS n_pass_all
+FROM f GROUP BY source
+"""
+
+
 # Keep the three pattern literals in sync with functions/text.py
 # PII_PATTERNS (written in the Java-regex ∩ RE2 common subset).
 SQL_PII_SCAN = r"""
@@ -3981,7 +4065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "duplicated_spans_prod": q_duplicated_spans_prod,
     "contamination_check_prod": q_contamination_check_prod,
-    "kgram_fingerprints_prod": q_kgram_fingerprints_prod,
+    "encoding_anomalies": q_encoding_anomalies,
     "c4_quality": q_c4_quality,
     "line_quality": q_line_quality,
     "quality_classifier": q_quality_classifier,
@@ -4061,9 +4145,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_freq_topk": q_word_freq_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "bpe_token_stats": q_bpe_token_stats,
-    # --- added after the round-5 rotation; certified by check_oracles /
-    # pytest now, rotated into the external gate window next round ---
-    "encoding_anomalies": q_encoding_anomalies,
+    # --- added after the round-5 rotation; oracle-checked by pytest /
+    # check_oracles now, rotated into the external gate window next round ---
+    "code_screen": q_code_screen,
+    # --- rows-only bench twin (pytest-verified equal to the md5 twin in
+    # test_prod_twin_equivalence); parked outside the oracle window so the
+    # slot certifies an oracle-paired query instead ---
+    "kgram_fingerprints_prod": q_kgram_fingerprints_prod,
 }
 
 ORACLES: dict[str, str] = {
@@ -4162,4 +4250,5 @@ ORACLES: dict[str, str] = {
     "shard_stats": _sql_shard_stats(),
     "license_scan": _sql_license_scan(),
     "encoding_anomalies": SQL_ENCODING_ANOMALIES,
+    "code_screen": SQL_CODE_SCREEN,
 }

@@ -1,0 +1,112 @@
+"""Source-code quality screens (StarCoder/SantaCoder-style filters).
+
+The BigCode pipelines (Allal et al. 2023 "SantaCoder", Li et al. 2023
+"StarCoder" §3.1) screen raw code files before training on them: line-
+length bounds (minified / generated bundles have kilometre lines),
+alphanumeric-fraction floors (binary or encoded data mis-ingested as
+text), auto-generation markers in the file header, and encoded-data-blob
+fractions (base64 / hex payloads embedded in source). This module
+re-expresses those screens as pure Spark column math — one projection,
+whole-stage codegen, no Python, no shuffle — so they compose into the
+fused validation pass and the curation pipeline at full scan speed.
+
+Reference precedent for threshold screens over per-row derived metrics:
+rule_validator.py length/range checks and statistical_heuristics.py; the
+code-specific screen set itself is this engine's LLM-curation extension
+(the reference validates bio records, not source files).
+
+Scale notes: every function here is a scalar expression over one column —
+linear in corpus bytes, scan-fused, nothing to skew. ``max_line_length``
+uses a higher-order ``transform``+``array_max`` (array of per-line
+lengths); the array is bounded by the line count of one document and
+never leaves the row, so memory stays O(longest document), identical to
+the ``split``-based token ops used elsewhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Markers the BigCode / StarCoder preprocessing treats as "generated file,
+# do not train": scanned case-insensitively in the file header only, so the
+# probe cost is O(header) not O(file).
+AUTOGEN_PATTERN = (
+    r"(auto-generated|automatically generated|do not edit|@generated|<\?xml)"
+)
+AUTOGEN_PROBE_CHARS = 400
+
+# A run of >=40 base64-alphabet chars is virtually never hand-written code;
+# it is an embedded payload (keys, pickled blobs, sourcemap data).
+DATA_BLOB_PATTERN = r"[A-Za-z0-9+/=]{40,}"
+
+
+def max_line_length(text: Column) -> Column:
+    """Length of the longest line (int). NULL text -> NULL."""
+    return F.array_max(
+        F.transform(F.split(text, "\n"), lambda x: F.length(x))
+    ).cast("int")
+
+
+def avg_line_length(text: Column) -> Column:
+    """Mean line length as double, exactly (total non-newline chars /
+    line count) — no per-line array needed: with k lines there are k-1
+    newlines, so the numerator is length(text) - (k - 1)."""
+    n_lines = F.size(F.split(text, "\n")).cast("long")
+    return (F.length(text).cast("long") - (n_lines - F.lit(1))).cast(
+        "double"
+    ) / n_lines.cast("double")
+
+
+def alnum_fraction(text: Column) -> Column:
+    """Fraction of characters that are ASCII alphanumeric. Empty -> NULL
+    (guard with a non-empty filter upstream)."""
+    alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", ""))
+    return alnum.cast("double") / F.length(text).cast("double")
+
+
+def longest_token_length(text: Column) -> Column:
+    """Length of the longest whitespace-delimited token (int) — the
+    minified-bundle probe that survives single-line inputs where
+    ``max_line_length`` degenerates to the document length."""
+    return F.array_max(
+        F.transform(F.split(F.trim(text), r"\s+"), lambda x: F.length(x))
+    ).cast("int")
+
+
+def autogen_marker(text: Column) -> Column:
+    """TRUE when the file header carries a generated-file marker or an XML
+    declaration (StarCoder excludes both). Only the first
+    ``AUTOGEN_PROBE_CHARS`` chars are scanned."""
+    head = F.lower(F.substring(text, 1, AUTOGEN_PROBE_CHARS))
+    return head.rlike(AUTOGEN_PATTERN)
+
+
+def data_blob_fraction(text: Column) -> Column:
+    """Fraction of characters inside >=40-char base64-alphabet runs —
+    embedded binary payloads. Computed by deleting the runs and measuring
+    the shrinkage; one non-overlapping regex pass."""
+    stripped = F.length(F.regexp_replace(text, DATA_BLOB_PATTERN, ""))
+    return (F.length(text) - stripped).cast("double") / F.length(text).cast(
+        "double"
+    )
+
+
+def code_keep(
+    text: Column,
+    *,
+    max_line: int = 1000,
+    max_avg_line: int = 200,
+    min_alnum_frac: float = 0.25,
+    max_blob_frac: float = 0.30,
+) -> Column:
+    """The composed StarCoder-style keep decision (TRUE = train on it):
+    no kilometre lines, sane average line length, enough alphanumeric
+    signal, no dominant embedded blob, no generated-file marker."""
+    return (
+        (max_line_length(text) <= F.lit(max_line))
+        & (avg_line_length(text) <= F.lit(float(max_avg_line)))
+        & (alnum_fraction(text) >= F.lit(min_alnum_frac))
+        & (data_blob_fraction(text) <= F.lit(max_blob_frac))
+        & ~autogen_marker(text)
+    )
