@@ -119,6 +119,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "'encoding_damage' (0 = drop on any damage; default: screen off)",
     )
     c.add_argument(
+        "--max-secrets", type=int, default=None,
+        help="drop docs whose committed-credential match count (AWS key "
+        "ids + PEM private-key headers + credential assignments + bare "
+        "hex runs >= 32 chars) exceeds this value, with reason 'secrets' "
+        "(0 = drop on any secret; default: screen off)",
+    )
+    c.add_argument(
         "--redact-pii", action="store_true",
         help="rewrite kept-corpus text through PII redaction "
         "(email/IPv4/phone -> typed placeholders)",
@@ -239,6 +246,7 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             max_encoding_damage=args.max_encoding_damage,
+            max_secrets=args.max_secrets,
         )
         print(json.dumps(stats, default=str))
         return 0

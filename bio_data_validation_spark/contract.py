@@ -2984,6 +2984,65 @@ FROM f GROUP BY source
 """
 
 
+def q_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source committed-credential audit (gitleaks/detect-secrets
+    style: AWS access-key ids, PEM private-key headers, credential-named
+    quoted assignments, >=32-char bare hex runs) — the scan a code-corpus
+    pipeline runs before any token is trained on (Meli et al. 2019; the
+    BigCode pipelines redact the same classes). Same plan shape as
+    ``pii_scan``: four regexp_count projections fused into ONE scan-side
+    aggregation, zero shuffle beyond the per-source partial agg, no
+    Python. The redaction twin is ``functions.code.redact_secrets`` (one
+    chained regexp_replace map); the curation screen is
+    ``engine.curate(max_secrets=)``.
+
+    Reference precedent for regex field screens: rule_validator.py FMT_*
+    rules; the secrets surface is this engine's code-corpus extension."""
+    from .functions import code as C
+
+    d = _t(spark, sf_dir, "documents")
+    a = C.secret_count(F.col("text"), "aws_key")
+    k = C.secret_count(F.col("text"), "private_key")
+    t = C.secret_count(F.col("text"), "token_assign")
+    h = C.secret_count(F.col("text"), "hex_secret")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(a).cast("long").alias("n_aws_keys"),
+        F.sum(k).cast("long").alias("n_private_keys"),
+        F.sum(t).cast("long").alias("n_token_assigns"),
+        F.sum(h).cast("long").alias("n_hex_secrets"),
+        F.sum(((a + k + t + h) > 0).cast("long")).cast("long").alias(
+            "docs_with_secrets"
+        ),
+    )
+
+
+# Pattern literals mirror functions/code.py SECRET_PATTERNS (Java ∩ RE2
+# common subset: (?i) and \b behave identically, no lookarounds).
+SQL_SECRETS_SCAN = r"""
+WITH c AS (
+  SELECT source,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(text, '\b(AKIA|ASIA)[0-9A-Z]{16}\b')) END AS a,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(text, '-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----')) END AS k,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(text,
+           '(?i)\b(api_key|apikey|access_key|secret|token|passwd|password)\b\s*[:=]\s*[''"][A-Za-z0-9+/_=-]{16,}[''"]')) END AS t,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(text, '\b[0-9a-f]{32,}\b')) END AS h
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(a) AS BIGINT) AS n_aws_keys,
+       CAST(sum(k) AS BIGINT) AS n_private_keys,
+       CAST(sum(t) AS BIGINT) AS n_token_assigns,
+       CAST(sum(h) AS BIGINT) AS n_hex_secrets,
+       CAST(sum(CASE WHEN a + k + t + h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_secrets
+FROM c GROUP BY source
+"""
+
+
 # Keep the three pattern literals in sync with functions/text.py
 # PII_PATTERNS (written in the Java-regex ∩ RE2 common subset).
 SQL_PII_SCAN = r"""
@@ -4148,6 +4207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- added after the round-5 rotation; oracle-checked by pytest /
     # check_oracles now, rotated into the external gate window next round ---
     "code_screen": q_code_screen,
+    "secrets_scan": q_secrets_scan,
     # --- rows-only bench twin (pytest-verified equal to the md5 twin in
     # test_prod_twin_equivalence); parked outside the oracle window so the
     # slot certifies an oracle-paired query instead ---
@@ -4251,4 +4311,5 @@ ORACLES: dict[str, str] = {
     "license_scan": _sql_license_scan(),
     "encoding_anomalies": SQL_ENCODING_ANOMALIES,
     "code_screen": SQL_CODE_SCREEN,
+    "secrets_scan": SQL_SECRETS_SCAN,
 }

@@ -216,6 +216,7 @@ def curation_decisions(
     contam_mode: str = "join",
     license_policy: list[str] | None = None,
     max_encoding_damage: int | None = None,
+    max_secrets: int | None = None,
 ) -> DataFrame:
     """The declarative core of :func:`curate`: one decision row per input
     doc — (doc_id, lang, n_words, dup_word_frac, dup_bigram_frac,
@@ -240,7 +241,15 @@ def curation_decisions(
     bytes-are-broken screen that runs before any text signal is trusted.
     0 means "drop on any damage". The flags are three regexp_count
     projections on the same scan the quality signals read — no extra
-    pass, no shuffle beyond the existing joins."""
+    pass, no shuffle beyond the existing joins.
+
+    ``max_secrets`` (opt-in): drop a doc with reason 'secrets' when its
+    total count of committed-credential matches (AWS key ids, PEM
+    private-key headers, credential assignments, bare >=32-char hex runs
+    — functions.code.SECRET_PATTERNS) EXCEEDS this value; 0 means "drop
+    on any secret". The alternative to dropping is keeping the doc and
+    rewriting it through ``functions.code.redact_secrets``. Same cost
+    shape as the encoding screen: regexp_count projections on the scan."""
     q = {**DEFAULT_QUALITY, **(quality or {})}
     sample_rates = sample_rates or {}
     nonnull = base.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
@@ -341,6 +350,20 @@ def curation_decisions(
             "left",
         )
 
+    if max_secrets is not None:
+        from ..functions.code import secrets_total
+
+        d = d.join(
+            nonnull.select(
+                "doc_id",
+                (secrets_total(F.col(text_col)) > int(max_secrets)).alias(
+                    "has_secrets"
+                ),
+            ),
+            "doc_id",
+            "left",
+        )
+
     low_quality = (
         (F.col("n_words") < q["min_words"])
         | (F.col("dup_word_frac") > q["max_dup_word_frac"])
@@ -363,6 +386,10 @@ def curation_decisions(
     if max_encoding_damage is not None:
         drop_reason = drop_reason.when(
             F.coalesce(F.col("encoding_damaged"), F.lit(False)), "encoding_damage"
+        )
+    if max_secrets is not None:
+        drop_reason = drop_reason.when(
+            F.coalesce(F.col("has_secrets"), F.lit(False)), "secrets"
         )
     drop_reason = (
         drop_reason
@@ -413,6 +440,7 @@ def curate(
     token_budget: int | None = None,
     license_policy: list[str] | None = None,
     max_encoding_damage: int | None = None,
+    max_secrets: int | None = None,
 ) -> dict:
     """Run the curation pipeline; returns the stats dict (and, when
     ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
@@ -447,6 +475,7 @@ def curate(
         contam_mode=contam_mode,
         license_policy=license_policy,
         max_encoding_damage=max_encoding_damage,
+        max_secrets=max_secrets,
     )
 
     pre_budget = None
@@ -511,6 +540,7 @@ def curate(
             "token_budget": token_budget,
             "license_policy": license_policy,
             "max_encoding_damage": max_encoding_damage,
+            "max_secrets": max_secrets,
         }
         kept = base.join(decisions.filter("keep").select("doc_id"), "doc_id")
         if redact_pii:

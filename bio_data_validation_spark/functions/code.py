@@ -110,3 +110,68 @@ def code_keep(
         & (data_blob_fraction(text) <= F.lit(max_blob_frac))
         & ~autogen_marker(text)
     )
+
+
+# --------------------------------------------------------------------------
+# Credential / secret detection (gitleaks / detect-secrets style)
+# --------------------------------------------------------------------------
+# A code corpus must be scanned for committed credentials before a token of
+# it is trained on (the reference problem class: Meli et al. 2019 "How Bad
+# Can It Git?"; BigCode redacts secrets the same way). Patterns are written
+# in the Java-regex ∩ RE2 common subset (no lookarounds, no backreferences;
+# the (?i) inline flag and \b are identical in both) and kept in sync with
+# SQL_SECRETS_SCAN in contract.py so the DuckDB oracle counts the same
+# matches.
+#  - aws_key: AWS access-key ids (AKIA = long-lived, ASIA = STS temporary).
+#  - private_key: PEM private-key headers of any algorithm.
+#  - token_assign: credential-named variable assigned a quoted literal of
+#    >=16 token-alphabet chars (api_key = "...", password: '...').
+#  - hex_secret: a bare hex run >=32 chars — the cheap entropy proxy real
+#    scanners use; content-hash literals (md5/sha) also match, which for
+#    training-data redaction is the safe direction (over-redact).
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_key": r"\b(AKIA|ASIA)[0-9A-Z]{16}\b",
+    "private_key": r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----",
+    "token_assign": (
+        r"(?i)\b(api_key|apikey|access_key|secret|token|passwd|password)\b"
+        r"\s*[:=]\s*['\"][A-Za-z0-9+/_=-]{16,}['\"]"
+    ),
+    "hex_secret": r"\b[0-9a-f]{32,}\b",
+}
+
+# Redaction order: the most specific first — a PEM body or a quoted token
+# could contain hex runs the blunt hex_secret pattern would bite into.
+_SECRET_REDACT_ORDER = ("private_key", "aws_key", "token_assign", "hex_secret")
+
+
+def secret_count(text: Column, kind: str) -> Column:
+    """Number of matches of one secret pattern; 0 for null text. Pure
+    regexp_count — JVM codegen, no Python, no shuffle."""
+    return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
+        F.regexp_count(text, F.lit(SECRET_PATTERNS[kind])).cast("long")
+    )
+
+
+def secrets_total(text: Column) -> Column:
+    """Total secret matches across all pattern kinds (the curate screen's
+    drop criterion)."""
+    out = F.lit(0).cast("long")
+    for kind in SECRET_PATTERNS:
+        out = out + secret_count(text, kind)
+    return out
+
+
+def redact_secrets(text: Column) -> Column:
+    """Replace every secret match with a typed placeholder ([PRIVATE_KEY]/
+    [AWS_KEY]/[TOKEN]/[HEX_SECRET]). Chained regexp_replace — one codegen'd
+    projection, linear in bytes, idempotent (placeholders don't re-match)."""
+    placeholder = {
+        "private_key": "[PRIVATE_KEY]",
+        "aws_key": "[AWS_KEY]",
+        "token_assign": "[TOKEN]",
+        "hex_secret": "[HEX_SECRET]",
+    }
+    out = text
+    for kind in _SECRET_REDACT_ORDER:
+        out = F.regexp_replace(out, SECRET_PATTERNS[kind], placeholder[kind])
+    return out

@@ -172,6 +172,7 @@ def curate_stream(
     num_hashes: int = 32,
     bands: int = 8,
     max_encoding_damage: int | None = None,
+    max_secrets: int | None = None,
 ) -> DataFrame:
     """Streaming curation: the streaming-expressible subset of
     engine.curate with IDENTICAL thresholds and semantics — per-record
@@ -268,6 +269,11 @@ def curate_stream(
             + encoding_anomaly_count(F.col(text_col), "mojibake")
         )
         kept = kept.filter(damage <= int(max_encoding_damage))
+    if max_secrets is not None:
+        # same stateless map-side screen as the batch 'secrets' drop
+        from ..functions.code import secrets_total
+
+        kept = kept.filter(secrets_total(F.col(text_col)) <= int(max_secrets))
     if content_dedup:
         kept = stream_dedup(kept, ts_col, content_col=text_col, watermark=watermark)
     if against is not None:
