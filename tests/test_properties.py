@@ -131,3 +131,41 @@ def test_budget_select_equals_global_prefix(spark, docs, budget_frac, n_buckets)
             break
         want.add(i)
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    text=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_code_metrics_match_python_twin(spark, text):
+    """functions/code.py column metrics equal an independent Python
+    re-implementation on arbitrary unicode text (newlines, whitespace
+    runs, control chars). The twin mirrors the JVM semantics the columns
+    are defined over: Java \\s is ASCII-only (re.ASCII) and F.trim strips
+    0x20 only (str.strip(' '))."""
+    import re
+
+    from bio_data_validation_spark.functions import code as C
+
+    df = spark.createDataFrame([(text,)], "content string")
+    t = F.col("content")
+    row = df.select(
+        C.max_line_length(t).alias("maxl"),
+        C.avg_line_length(t).alias("avgl"),
+        C.alnum_fraction(t).alias("alnum"),
+        C.data_blob_fraction(t).alias("blob"),
+        C.longest_token_length(t).alias("maxtok"),
+    ).collect()[0]
+
+    lines = text.split("\n")
+    assert row["maxl"] == max(len(l) for l in lines)
+    assert abs(row["avgl"] - (len(text) - (len(lines) - 1)) / len(lines)) < 1e-9
+    assert abs(row["alnum"] - len(re.sub(r"[^A-Za-z0-9]", "", text)) / len(text)) < 1e-9
+    stripped = re.sub(r"[A-Za-z0-9+/=]{40,}", "", text)
+    assert abs(row["blob"] - (len(text) - len(stripped)) / len(text)) < 1e-9
+    toks = re.split(r"\s+", text.strip(" "), flags=re.ASCII)
+    assert row["maxtok"] == max(len(tok) for tok in toks)
