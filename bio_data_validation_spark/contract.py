@@ -4151,8 +4151,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "order_priority": q_order_priority,
     "acctbal_by_nation": q_acctbal_by_nation,
-    "top_k_longest": q_top_k_longest,
-    "set_ops": q_set_ops,
+    # round-5 additions, swapped into the certification window in place of
+    # top_k_longest / set_ops (r01-certified, unchanged since)
+    "code_screen": q_code_screen,
+    "secrets_scan": q_secrets_scan,
     "null_rate_by_group": q_null_rate_by_group,
     "batch_imbalance": q_batch_imbalance,
     "sessionize": q_sessionize,
@@ -4204,10 +4206,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_freq_topk": q_word_freq_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "bpe_token_stats": q_bpe_token_stats,
-    # --- added after the round-5 rotation; oracle-checked by pytest /
-    # check_oracles now, rotated into the external gate window next round ---
-    "code_screen": q_code_screen,
-    "secrets_scan": q_secrets_scan,
+    # r01-certified TPC-H-ish queries, unchanged since; parked here so the
+    # window slots certify the new round-5 code-corpus screens instead
+    "top_k_longest": q_top_k_longest,
+    "set_ops": q_set_ops,
     # --- rows-only bench twin (pytest-verified equal to the md5 twin in
     # test_prod_twin_equivalence); parked outside the oracle window so the
     # slot certifies an oracle-paired query instead ---
