@@ -725,6 +725,61 @@ WHERE i / CAST(sa.n_tok + sb.n_tok - i AS DOUBLE) >= 0.8
 """
 
 
+# Repo-level overlap: word-gram width, stop-gram df cap, shared-gram floor.
+REPO_GRAM_K = 8
+REPO_GRAM_MAX_DF = 10
+REPO_MIN_SHARED = 25
+
+
+def q_repo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level fork/mirror candidates: pairs of sources whose pooled
+    distinct word 8-gram sets share >= REPO_MIN_SHARED hashes, with the
+    exact Jaccard over the stop-filtered gram universe — the repo-granularity
+    dedup screen The Stack runs before per-file dedup. ``source`` stands in
+    for the repo key (the engine's own (repo,path,commit,lang,content) table
+    keys on repo via ``group_col=``).
+
+    Scale: one shingle scan -> distinct (source, h) 8-byte postings ->
+    df-capped self-join (per-hash fan-out <= C(REPO_GRAM_MAX_DF, 2)); the
+    gram STRINGS never shuffle. See dedup.group_overlap_pairs."""
+    from .functions.dedup import group_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return group_overlap_pairs(
+        d,
+        group_col="source",
+        text_col="text",
+        k=REPO_GRAM_K,
+        min_shared=REPO_MIN_SHARED,
+        max_groups_per_gram=REPO_GRAM_MAX_DF,
+        hash_fn="md5_60",
+    ).toDF("group_a", "group_b", "n_shared", "n_a", "n_b", "jaccard")
+
+
+def _sql_repo_overlap() -> str:
+    gram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(REPO_GRAM_K))
+    h = _sql_md5h(0, "g")
+    return rf"""
+WITH w AS (SELECT source, str_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE text IS NOT NULL),
+g0 AS (SELECT source, unnest(list_transform(
+           range(1, len(ws) - {REPO_GRAM_K} + 2), i -> {gram})) AS g
+       FROM w WHERE len(ws) >= {REPO_GRAM_K}),
+gh AS (SELECT DISTINCT source, {h} AS h FROM g0),
+gk AS (SELECT source, h FROM gh
+       WHERE h IN (SELECT h FROM gh GROUP BY h HAVING count(*) <= {REPO_GRAM_MAX_DF})),
+sizes AS (SELECT source, count(*) AS n FROM gk GROUP BY source),
+inter AS (SELECT a.source AS group_a, b.source AS group_b, count(*) AS i
+          FROM gk a JOIN gk b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2
+          HAVING count(*) >= {REPO_MIN_SHARED})
+SELECT group_a, group_b, CAST(i AS BIGINT) AS n_shared,
+       CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+       round(i / CAST(x.n + y.n - i AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes x ON x.source = group_a JOIN sizes y ON y.source = group_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -4155,8 +4210,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # top_k_longest / set_ops (r01-certified, unchanged since)
     "code_screen": q_code_screen,
     "secrets_scan": q_secrets_scan,
+    "repo_overlap": q_repo_overlap,
     "null_rate_by_group": q_null_rate_by_group,
-    "batch_imbalance": q_batch_imbalance,
     "sessionize": q_sessionize,
     # --- certified green in CORRECTNESS_r04.json (see VERDICT.md r4) ---
     "zero_value_users": q_zero_value_users,
@@ -4206,10 +4261,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_freq_topk": q_word_freq_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "bpe_token_stats": q_bpe_token_stats,
-    # r01-certified TPC-H-ish queries, unchanged since; parked here so the
-    # window slots certify the new round-5 code-corpus screens instead
+    # r01-certified queries, unchanged since; parked here so the window
+    # slots certify the new round-5 code-corpus operators instead
     "top_k_longest": q_top_k_longest,
     "set_ops": q_set_ops,
+    "batch_imbalance": q_batch_imbalance,
     # --- rows-only bench twin (pytest-verified equal to the md5 twin in
     # test_prod_twin_equivalence); parked outside the oracle window so the
     # slot certifies an oracle-paired query instead ---
@@ -4314,4 +4370,5 @@ ORACLES: dict[str, str] = {
     "encoding_anomalies": SQL_ENCODING_ANOMALIES,
     "code_screen": SQL_CODE_SCREEN,
     "secrets_scan": SQL_SECRETS_SCAN,
+    "repo_overlap": _sql_repo_overlap(),
 }

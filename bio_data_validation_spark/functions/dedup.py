@@ -121,6 +121,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def group_overlap_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_shared: int = 25,
+    max_groups_per_gram: int | None = 10,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Group-level (repo-level) content-overlap pairs: fork / mirror / shared-
+    vendored-tree candidates across repositories, the repo-granularity
+    near-dup The Stack applies before per-file dedup (Kocetkov et al. 2022
+    §3; reference twin: per-batch duplicate screens in rule_validator.py,
+    lifted from rows to groups).
+
+    Each group's content set is its distinct word k-gram hashes pooled over
+    all member docs. Returns (group_a, group_b, n_shared, n_a, n_b, jaccard)
+    with group_a < group_b and n_shared >= min_shared, where jaccard is over
+    the stop-filtered gram universe.
+
+    Scale shape: shingle once (one corpus scan), distinct to (group, h) —
+    8-byte keys, never the gram strings, so the postings exchange is
+    ~fixed-width regardless of k. ``max_groups_per_gram`` drops grams present
+    in more than N groups (license boilerplate, vendored frameworks) BEFORE
+    the self-join, capping per-hash pair fan-out at C(N,2) — without it one
+    universal gram generates a C(n_groups,2) hot key. The pair space is
+    bounded by shared content, not group count: only co-occurring groups
+    ever meet.
+    """
+    from .text import word_grams_exploded
+
+    d = df.filter(F.col(text_col).isNotNull()).select(group_col, text_col)
+    grams = word_grams_exploded(d, k, text_col=text_col, carry=(group_col,))
+    gh = grams.select(
+        group_col, token_hash(F.col("__gs"), 0, hash_fn).alias("h")
+    ).distinct()
+    if max_groups_per_gram is not None:
+        rare = (
+            gh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_groups_per_gram)
+            .select("h")
+        )
+        gh = gh.join(rare, "h")
+    # pin column order: the rare-filter join above moves its key "h" first
+    gh = gh.select(group_col, "h")
+    sizes = gh.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_"))
+    a = gh.toDF("ga", "h_a")
+    b = gh.toDF("gb", "h_b")
+    inter = (
+        a.join(b, (a.h_a == b.h_b) & (a.ga < b.gb))
+        .groupBy(F.col("ga").alias("group_a"), F.col("gb").alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.toDF("group_a", "n_a")
+    sb = sizes.toDF("group_b", "n_b")
+    return (
+        inter.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,80 @@
+"""group_overlap_pairs: repo-level fork detection on planted fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.functions.dedup import group_overlap_pairs
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def forked(spark):
+    # repoA and repoB share a 40-word file (a fork); repoC is disjoint;
+    # every repo also carries the same 30-word license boilerplate, which
+    # the stop-gram cap must neutralize when max_groups_per_gram < 3.
+    shared = _words("common", 40)
+    license_ = _words("license", 30)
+    rows = [
+        (0, "repoA", shared),
+        (1, "repoA", _words("aonly", 30)),
+        (2, "repoA", license_),
+        (3, "repoB", shared),
+        (4, "repoB", _words("bonly", 35)),
+        (5, "repoB", license_),
+        (6, "repoC", _words("conly", 50)),
+        (7, "repoC", license_),
+        (8, "repoC", None),
+    ]
+    return _mk_docs(spark, rows).cache()
+
+
+def test_fork_pair_found(spark, forked):
+    out = group_overlap_pairs(
+        forked, k=5, min_shared=10, max_groups_per_gram=None
+    ).collect()
+    pairs = {(r.group_a, r.group_b) for r in out}
+    # shared 40-word file -> 36 shared 5-grams; license file -> 26 more,
+    # shared by ALL three repos without a df cap
+    assert ("repoA", "repoB") in pairs
+    assert ("repoA", "repoC") in pairs and ("repoB", "repoC") in pairs
+    ab = next(r for r in out if (r.group_a, r.group_b) == ("repoA", "repoB"))
+    assert ab.n_shared == 36 + 26
+    assert 0 < ab.jaccard < 1
+
+
+def test_stop_gram_cap_drops_boilerplate(spark, forked):
+    # cap at 2 repos per gram: license grams (df=3) vanish; only the
+    # genuine fork pair survives, with exactly the 36 fork grams shared
+    out = group_overlap_pairs(
+        forked, k=5, min_shared=10, max_groups_per_gram=2
+    ).collect()
+    assert {(r.group_a, r.group_b) for r in out} == {("repoA", "repoB")}
+    ab = out[0]
+    assert ab.n_shared == 36
+    # sizes are over the stop-filtered universe: A = 36 fork + 26 aonly,
+    # B = 36 fork + 31 bonly (df-capped license grams excluded)
+    assert (ab.n_a, ab.n_b) == (62, 67)
+    assert ab.jaccard == round(36 / (62 + 67 - 36), 6)
+
+
+def test_min_shared_floor(spark, forked):
+    out = group_overlap_pairs(
+        forked, k=5, min_shared=37, max_groups_per_gram=2
+    ).collect()
+    assert out == []
+
+
+def test_hash_fn_agreement(spark, forked):
+    a = group_overlap_pairs(forked, k=5, min_shared=10, hash_fn="md5_60")
+    b = group_overlap_pairs(forked, k=5, min_shared=10, hash_fn="xxhash64")
+    cols = ["group_a", "group_b", "n_shared", "n_a", "n_b", "jaccard"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
