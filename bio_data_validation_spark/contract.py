@@ -3119,6 +3119,116 @@ FROM c GROUP BY source
 """
 
 
+def q_comment_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source comment-line density audit (StarCoder §3.1 keeps files
+    whose comment-to-code ratio sits in a sane band: near-zero means
+    minified or machine-dumped code, near-one a license-header shell).
+    Counts lines opening with any mainstream comment marker
+    (functions.code.COMMENT_LINE_PATTERN) in ONE multiline regexp_count
+    pass; the only exchange is the partial-aggregated groupBy(source).
+    The corpus-level ratio is a ratio of two exact integer sums (no float
+    aggregation), so the DuckDB twin hashes identically regardless of
+    summation order.
+
+    Reference precedent for derived-metric screens: rule_validator.py
+    length/range checks; the comment-structure signal is this engine's
+    code-corpus extension."""
+    from .functions import code as C
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    t = F.col("text")
+    c = C.comment_line_count(t)
+    n = C.total_line_count(t)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).cast("long").alias("total_lines"),
+        F.sum(c).cast("long").alias("comment_lines"),
+        F.round(
+            F.sum(c).cast("double") / F.sum(n).cast("double"), 6
+        ).alias("comment_ratio"),
+        F.sum((c == 0).cast("long")).cast("long").alias("docs_no_comments"),
+        F.sum((c.cast("double") / n.cast("double") > 0.8).cast("long"))
+        .cast("long")
+        .alias("docs_mostly_comments"),
+    )
+
+
+# Pattern literal mirrors functions/code.py COMMENT_LINE_PATTERN (Java ∩ RE2
+# common subset: (?m) inline flag, no lookarounds). Both sides count lines
+# via string_split/split on chr(10), so totals agree exactly.
+SQL_COMMENT_DENSITY = r"""
+WITH m AS (
+  SELECT source,
+    len(string_split(text, chr(10))) AS n,
+    len(regexp_extract_all(text, '(?m)^[ \t]*(//|#|--|;|/\*|\*|<!--)')) AS c
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_lines,
+       CAST(sum(c) AS BIGINT) AS comment_lines,
+       round(CAST(sum(c) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS comment_ratio,
+       CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_no_comments,
+       CAST(sum(CASE WHEN CAST(c AS DOUBLE) / n > 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_mostly_comments
+FROM m GROUP BY source
+"""
+
+
+def q_import_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dependency-declaration audit: import/include/require
+    lines extracted with functions.code.IMPORT_PATTERN (group 1 = the
+    module name), then aggregated to declaration count, distinct-module
+    count, and docs-with-imports — the ecosystem-slicing /
+    library-popularity signal a code corpus derives before training
+    (The Stack publishes exactly these per-language dependency stats).
+
+    Scale shape: the corpus is scanned ONCE (regexp_extract_all into a
+    per-doc bounded array), exploded via explode_outer so import-free
+    docs survive into n_docs, then ONE groupBy(source). The distinct
+    aggregates expand the exploded rows 3x inside the aggregate (Spark's
+    multi-countDistinct expand) — rows at that point are (source, doc_id,
+    module) triples, already reduced from corpus bytes to import
+    declarations, so the expansion is O(imports), not O(bytes)."""
+    from .functions import code as C
+
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select(
+        "source",
+        "doc_id",
+        F.explode_outer(C.import_modules(F.col("text"))).alias("module"),
+    )
+    return ex.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("module").cast("long").alias("n_import_lines"),
+        F.countDistinct("module").alias("n_modules"),
+        F.countDistinct(
+            F.when(F.col("module").isNotNull(), F.col("doc_id"))
+        ).alias("docs_with_imports"),
+    )
+
+
+# Pattern literal mirrors functions/code.py IMPORT_PATTERN. The LEFT JOIN
+# against the unnested declarations reproduces explode_outer (import-free
+# docs keep one NULL-module row on both sides).
+SQL_IMPORT_STATS = r"""
+WITH ex AS (
+  SELECT source, doc_id,
+         unnest(regexp_extract_all(text,
+           '(?m)^[ \t]*(?:import|from|#include|require|use|using)[ \t]+[<"'']?([A-Za-z_][A-Za-z0-9_./-]*)',
+           1)) AS module
+  FROM documents WHERE text IS NOT NULL)
+SELECT d.source,
+       count(DISTINCT d.doc_id) AS n_docs,
+       CAST(count(e.module) AS BIGINT) AS n_import_lines,
+       count(DISTINCT e.module) AS n_modules,
+       count(DISTINCT CASE WHEN e.module IS NOT NULL THEN e.doc_id END)
+         AS docs_with_imports
+FROM documents d LEFT JOIN ex e ON d.doc_id = e.doc_id
+GROUP BY d.source
+"""
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram language-model quality signal: per-document mean
     log-probability under the corpus's own unigram distribution, bucketed
@@ -4213,6 +4323,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repo_overlap": q_repo_overlap,
     "null_rate_by_group": q_null_rate_by_group,
     "sessionize": q_sessionize,
+    # round-5 late additions (positions 51+: oracle-paired, verified by
+    # tests/test_contract.py + scripts/check_oracles.py)
+    "comment_density": q_comment_density,
+    "import_stats": q_import_stats,
     # --- certified green in CORRECTNESS_r04.json (see VERDICT.md r4) ---
     "zero_value_users": q_zero_value_users,
     "repetition_profile": q_repetition_profile,
@@ -4371,4 +4485,6 @@ ORACLES: dict[str, str] = {
     "code_screen": SQL_CODE_SCREEN,
     "secrets_scan": SQL_SECRETS_SCAN,
     "repo_overlap": _sql_repo_overlap(),
+    "comment_density": SQL_COMMENT_DENSITY,
+    "import_stats": SQL_IMPORT_STATS,
 }

@@ -175,3 +175,68 @@ def redact_secrets(text: Column) -> Column:
     for kind in _SECRET_REDACT_ORDER:
         out = F.regexp_replace(out, SECRET_PATTERNS[kind], placeholder[kind])
     return out
+
+
+# --------------------------------------------------------------------------
+# Comment structure and dependency extraction
+# --------------------------------------------------------------------------
+# Two more signals every code-corpus pipeline derives before training:
+#  - comment-line density: StarCoder (Li et al. 2023 §3.1) keeps files whose
+#    comment-to-code ratio sits in a sane band — near-zero means minified or
+#    machine-dumped code, near-one means a license-header shell or a file of
+#    commented-out code; SantaCoder found comment density correlates with
+#    human-written quality.
+#  - import/include extraction: the dependency names a file declares are the
+#    cheapest structure signal a corpus has (library-popularity stats,
+#    ecosystem slicing, dependency-aware dedup).
+# Both stay in the Java-regex ∩ RE2 common subset ((?m) inline flag, no
+# lookarounds) so the DuckDB oracle twins in contract.py count identically.
+
+# A line whose first non-blank characters open a comment, for the mainstream
+# marker families: #, //, --, ;, /*, * (block-comment body), <!--.
+COMMENT_LINE_PATTERN = r"(?m)^[ \t]*(//|#|--|;|/\*|\*|<!--)"
+
+# An import-like declaration at line start: the keyword, then the first
+# module-ish token (optionally wrapped by <, " or ' as in #include <stdio.h>
+# or require 'json'). Capture group 1 is the module name.
+IMPORT_PATTERN = (
+    r"(?m)^[ \t]*(?:import|from|#include|require|use|using)"
+    r"[ \t]+[<\"']?([A-Za-z_][A-Za-z0-9_./-]*)"
+)
+
+
+def comment_line_count(text: Column) -> Column:
+    """Number of lines opening with a comment marker; 0 for null text.
+    One multiline regexp_count pass — JVM codegen, no per-line array."""
+    return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
+        F.regexp_count(text, F.lit(COMMENT_LINE_PATTERN)).cast("long")
+    )
+
+
+def total_line_count(text: Column) -> Column:
+    """Total number of lines (split on \\n); 0 for null text."""
+    return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(
+        F.size(F.split(text, "\n")).cast("long")
+    )
+
+
+def comment_ratio(text: Column) -> Column:
+    """comment lines / total lines as double; NULL for null/empty text."""
+    n = total_line_count(text)
+    return F.when(
+        text.isNull() | (n == 0), F.lit(None).cast("double")
+    ).otherwise(comment_line_count(text).cast("double") / n.cast("double"))
+
+
+def import_modules(text: Column) -> Column:
+    """Array of module names declared by import-like lines (group 1 of
+    IMPORT_PATTERN); empty array for null text. regexp_extract_all — one
+    codegen'd pass, the array bounded by one document's import count."""
+    return F.when(text.isNull(), F.array().cast("array<string>")).otherwise(
+        F.regexp_extract_all(text, F.lit(IMPORT_PATTERN), 1)
+    )
+
+
+def import_line_count(text: Column) -> Column:
+    """Number of import-like declarations; 0 for null text."""
+    return F.size(import_modules(text)).cast("long")

@@ -1,0 +1,140 @@
+"""Comment-structure and import-extraction metrics (functions/code.py
+COMMENT_LINE_PATTERN / IMPORT_PATTERN): differential test against an
+independent Python-regex twin on crafted source files, plus the contract
+queries' aggregate semantics on a fixed-frame fixture."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.functions import code as C
+
+FILES = [
+    # python: imports, comments, blank lines
+    "import os\nfrom sys import path\n# a comment\nx = 1\n\nprint(x)",
+    # c: includes, // and /* */ comments
+    "#include <stdio.h>\n#include \"local.h\"\n// entry\nint main() {\n"
+    "  /* body\n   * continued\n   */\n  return 0;\n}",
+    # ruby/js/rust mix of require / use / using
+    "require 'json'\nuse strict\nusing System.IO\n-- sql comment\n; lisp",
+    # license-header shell: almost all comments
+    "# Copyright\n# All rights reserved\n# blah\nX = 1",
+    # minified: no comments, no imports, one line
+    "var a=1;var b=2;var c=a+b;",
+    # indented import, tab-separated keyword, fromage decoy
+    " import indented.mod\nimport\ttabbed\nfromage is not an import",
+    # empty-ish
+    "   \n\t\n",
+    # html comment marker
+    "<!-- header -->\n<div>x</div>",
+]
+
+_C_RE = re.compile(r"^[ \t]*(//|#|--|;|/\*|\*|<!--)", re.M)
+_I_RE = re.compile(
+    r"^[ \t]*(?:import|from|#include|require|use|using)"
+    r"[ \t]+[<\"']?([A-Za-z_][A-Za-z0-9_./-]*)",
+    re.M,
+)
+
+
+def _twin(text: str) -> dict:
+    return {
+        "comments": len(_C_RE.findall(text)),
+        "lines": len(text.split("\n")),
+        "modules": _I_RE.findall(text),
+    }
+
+
+@pytest.fixture(scope="module")
+def computed(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(FILES)], "i int, text string")
+    rows = (
+        df.select(
+            "i",
+            C.comment_line_count(F.col("text")).alias("c"),
+            C.total_line_count(F.col("text")).alias("n"),
+            C.import_modules(F.col("text")).alias("m"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    return rows
+
+
+@pytest.mark.parametrize("i", range(len(FILES)))
+def test_against_python_twin(computed, i):
+    want = _twin(FILES[i])
+    row = computed[i]
+    assert row.c == want["comments"]
+    assert row.n == want["lines"]
+    assert row.m == want["modules"]
+
+
+def test_specific_extractions(computed):
+    # python file: os + sys; the '# comment' line is the only comment —
+    # no wait: '#include' style does not appear; exactly 1 comment line.
+    assert computed[0].m == ["os", "sys"]
+    assert computed[0].c == 1
+    # C file: both includes extracted (angle + quoted), comment lines are
+    # the two #include lines (leading '#'), //, /*, *, */ bodies.
+    assert computed[1].m == ["stdio.h", "local.h"]
+    assert computed[1].c == 6
+    # keyword variants
+    assert computed[2].m == ["json", "strict", "System.IO"]
+    # license shell: 3 of 4 lines comments, no imports
+    assert computed[3].c == 3 and computed[3].m == []
+    # minified: nothing
+    assert computed[4].c == 0 and computed[4].m == []
+    # decoy line 'fromage…' must not match; indentation and tab do
+    assert computed[5].m == ["indented.mod", "tabbed"]
+
+
+def test_comment_ratio_nulls(spark):
+    df = spark.createDataFrame([(None,), ("# x",)], "text string")
+    got = df.select(F.round(C.comment_ratio(F.col("text")), 6).alias("r")).collect()
+    assert got[0].r is None
+    assert got[1].r == 1.0
+
+
+def test_contract_aggregates(spark, tmp_path):
+    """comment_density / import_stats over a miniature documents table:
+    aggregates recomputed from the Python twin must match exactly."""
+    from bio_data_validation_spark import contract
+
+    rows = [(i, t, "en", "src%d" % (i % 2), len(t)) for i, t in enumerate(FILES)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    cd = {
+        r["source"]: r
+        for r in contract.q_comment_density(spark, str(tmp_path)).collect()
+    }
+    ist = {
+        r["source"]: r
+        for r in contract.q_import_stats(spark, str(tmp_path)).collect()
+    }
+
+    for src in ("src0", "src1"):
+        docs = [(i, t) for i, t in enumerate(FILES) if "src%d" % (i % 2) == src]
+        # Spark/DuckDB trim() strips SPACES only (not \t\n) — mirror that.
+        nonblank = [(i, t) for i, t in docs if t.strip(" ")]
+        twins = [_twin(t) for _, t in nonblank]
+        assert cd[src]["n_docs"] == len(nonblank)
+        assert cd[src]["total_lines"] == sum(w["lines"] for w in twins)
+        assert cd[src]["comment_lines"] == sum(w["comments"] for w in twins)
+        assert cd[src]["docs_no_comments"] == sum(
+            1 for w in twins if w["comments"] == 0
+        )
+        all_twins = [_twin(t) for _, t in docs]
+        mods = [m for w in all_twins for m in w["modules"]]
+        assert ist[src]["n_docs"] == len(docs)
+        assert ist[src]["n_import_lines"] == len(mods)
+        assert ist[src]["n_modules"] == len(set(mods))
+        assert ist[src]["docs_with_imports"] == sum(
+            1 for w in all_twins if w["modules"]
+        )
