@@ -1,0 +1,85 @@
+"""PATH_* screens (rules_v1.4.0.yml): vendored-tree and generated/lockfile
+path exclusions (The Stack preprocessing, Kocetkov et al. 2022 §3) checked
+rule-by-rule against an independent Python-regex twin on a crafted snapshot
+run through the real engine."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from bio_data_validation_spark.engine import run_validation
+
+RULES_DIR = Path(__file__).parent.parent / "bio_data_validation_spark" / "rules"
+V14 = str(RULES_DIR / "rules_v1.4.0.yml")
+
+# (path, expect_vendor, expect_gen)
+PATHS = [
+    ("src/main.py", False, False),
+    ("vendor/lib/util.go", True, False),
+    ("a/b/node_modules/x/index.js", True, False),
+    ("third_party/proto/foo.cc", True, False),
+    ("deps/zlib/inflate.c", True, False),
+    ("myvendor/notvendored.py", False, False),      # substring must not match
+    ("vendored/also_not.py", False, False),          # 'vendored' != 'vendor(s)'
+    ("package-lock.json", False, True),
+    ("ui/yarn.lock", False, True),
+    ("rust/Cargo.lock", False, True),
+    ("dist/app.min.js", False, True),
+    ("styles/theme.min.css", False, True),
+    ("gen/service_pb2.py", False, True),
+    ("api/types.pb.go", False, True),
+    ("locks/notalock.json", False, False),
+    ("vendor_tools/keep.py", False, False),          # prefix, not a vendor dir
+]
+
+_VENDOR_RE = re.compile(
+    r"(^|/)(vendor|vendors|node_modules|third_party|thirdparty|external|deps|\.git)/"
+)
+_GEN_RES = [
+    re.compile(
+        r"(^|/)(package-lock\.json|yarn\.lock|pnpm-lock\.yaml|Cargo\.lock|"
+        r"poetry\.lock|Pipfile\.lock|go\.sum|composer\.lock|Gemfile\.lock)$"
+    ),
+    re.compile(r"\.min\.(js|css)$"),
+    re.compile(r"(_pb2\.py|\.pb\.go|_generated\.(go|py|java|cs))$"),
+]
+
+
+def test_fixture_expectations_match_python_twin():
+    for path, vendor, gen in PATHS:
+        assert bool(_VENDOR_RE.search(path)) == vendor, path
+        assert any(r.search(path) for r in _GEN_RES) == gen, path
+
+
+def test_v14_engine_flags_paths(spark, tmp_path):
+    rows = [
+        (f"org/repo{i % 2}", p, f"{i:040x}", "python", f"content {i}\n" * 3)
+        for i, (p, _, _) in enumerate(PATHS)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    src = str(tmp_path / "snap")
+    df.write.mode("overwrite").parquet(src)
+    man = str(tmp_path / "manifest")
+    df.select("repo", "path").distinct().write.mode("overwrite").parquet(man)
+
+    rep = run_validation(
+        spark, src, str(tmp_path / "out"),
+        manifest_path=man, registry_path=V14, snapshot_id="paths",
+    )
+    assert rep["ruleset_metadata"]["rule_version"] == "1.4.0"
+
+    viol = pd.read_parquet(tmp_path / "out" / "violations")
+    got_vendor = set(viol[viol["rule_id"] == "PATH_VENDOR_001"]["path"])
+    got_gen = set(viol[viol["rule_id"] == "PATH_GEN_001"]["path"])
+    exp_vendor = {p for p, v, _ in PATHS if v}
+    exp_gen = {p for p, _, g in PATHS if g}
+    assert got_vendor == exp_vendor
+    assert got_gen == exp_gen
+    # info severity only — the run must not be rejected for path screens
+    assert rep["final_decision"] == "accepted"
