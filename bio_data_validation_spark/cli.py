@@ -126,6 +126,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "(0 = drop on any secret; default: screen off)",
     )
     c.add_argument(
+        "--clone-normalize", action="store_true",
+        help="run the dedup stages (LSH clusters, exact-dup collapse, "
+        "--against screen) over comment-stripped whitespace-collapsed "
+        "content, so type-1 code clones deduplicate (kept text stays "
+        "original)",
+    )
+    c.add_argument(
         "--redact-pii", action="store_true",
         help="rewrite kept-corpus text through PII redaction "
         "(email/IPv4/phone -> typed placeholders)",
@@ -247,6 +254,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             max_encoding_damage=args.max_encoding_damage,
             max_secrets=args.max_secrets,
+            clone_normalize=args.clone_normalize,
         )
         print(json.dumps(stats, default=str))
         return 0

@@ -217,6 +217,7 @@ def curation_decisions(
     license_policy: list[str] | None = None,
     max_encoding_damage: int | None = None,
     max_secrets: int | None = None,
+    clone_normalize: bool = False,
 ) -> DataFrame:
     """The declarative core of :func:`curate`: one decision row per input
     doc — (doc_id, lang, n_words, dup_word_frac, dup_bigram_frac,
@@ -249,7 +250,17 @@ def curation_decisions(
     — functions.code.SECRET_PATTERNS) EXCEEDS this value; 0 means "drop
     on any secret". The alternative to dropping is keeping the doc and
     rewriting it through ``functions.code.redact_secrets``. Same cost
-    shape as the encoding screen: regexp_count projections on the scan."""
+    shape as the encoding screen: regexp_count projections on the scan.
+
+    ``clone_normalize`` (opt-in, for code corpora): run the dedup stages
+    (LSH clustering, exact-dup collapse, cross-corpus screen) over
+    ``functions.code.normalize_code`` content — comments stripped,
+    whitespace collapsed, lowercased — so type-1 code clones that differ
+    only in comments/layout deduplicate (SourcererCC semantics).
+    'exact_dup' then means "identical after normalization". Quality
+    signals, sampling and the kept corpus keep the ORIGINAL text; the
+    normalizer is three regexp_replace passes fused into the clustering
+    scan, so the plan shape is unchanged."""
     q = {**DEFAULT_QUALITY, **(quality or {})}
     sample_rates = sample_rates or {}
     nonnull = base.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
@@ -263,8 +274,13 @@ def curation_decisions(
     # costs no second full-corpus sha256 scan or sha-keyed shuffle; docs
     # outside every size>1 cluster are never exact dups (their sha group is
     # a singleton), so the left-join's null coalesces to False correctly.
+    dedup_src = nonnull
+    if clone_normalize:
+        from ..functions.code import normalize_code
+
+        dedup_src = nonnull.withColumn(text_col, normalize_code(F.col(text_col)))
     clusters = dup_clusters(
-        nonnull, text_col, "doc_id",
+        dedup_src, text_col, "doc_id",
         num_hashes=lsh_num_hashes, bands=lsh_bands, hash_fn=hash_fn,
         with_exact=True,
     ).select(
@@ -288,8 +304,15 @@ def curation_decisions(
     if against is not None:
         from ..functions.dedup import cross_corpus_dedup
 
+        against_src = against
+        if clone_normalize:
+            from ..functions.code import normalize_code
+
+            against_src = against.withColumn(
+                text_col, normalize_code(F.col(text_col))
+            )
         corpus_dup = cross_corpus_dedup(
-            nonnull, against, text_col, "doc_id",
+            dedup_src, against_src, text_col, "doc_id",
             threshold=against_threshold,
             num_hashes=lsh_num_hashes, bands=lsh_bands, hash_fn=hash_fn,
         ).select(F.col("new_id").alias("doc_id"), F.col("is_dup").alias("corpus_dup"))
@@ -441,6 +464,7 @@ def curate(
     license_policy: list[str] | None = None,
     max_encoding_damage: int | None = None,
     max_secrets: int | None = None,
+    clone_normalize: bool = False,
 ) -> dict:
     """Run the curation pipeline; returns the stats dict (and, when
     ``out_dir`` is given, writes ``kept`` + ``decisions`` parquet and
@@ -476,6 +500,7 @@ def curate(
         license_policy=license_policy,
         max_encoding_damage=max_encoding_damage,
         max_secrets=max_secrets,
+        clone_normalize=clone_normalize,
     )
 
     pre_budget = None

@@ -102,3 +102,38 @@ def test_clone_pair_found_only_after_normalization(spark):
     # of (0, 1) in some band only if tokens diverge enough; the invariant
     # worth pinning is that normalization never LOSES the clone pair
     assert norm_pairs >= (raw_pairs & {(0, 1)})
+
+
+def test_curate_clone_normalize(spark):
+    """Opt-in clone-aware curation: with clone_normalize the comment
+    variant collapses onto its clone (exact_dup after normalization);
+    without it both survive. Kept text stays ORIGINAL in both modes."""
+    from bio_data_validation_spark.engine.curate import curation_decisions
+
+    rows = [(0, BASE, "python"), (1, CLONE, "python"), (2, OTHER, "sql")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    quality = {
+        "min_words": 1,
+        "max_dup_word_frac": 1.0,
+        "max_dup_bigram_frac": 1.0,
+    }
+
+    plain = {
+        r.doc_id: r
+        for r in curation_decisions(df, quality=quality).collect()
+    }
+    cloned = {
+        r.doc_id: r
+        for r in curation_decisions(
+            df, quality=quality, clone_normalize=True
+        ).collect()
+    }
+
+    # raw text differs (comments) -> no exact dup without normalization
+    assert plain[0].keep and plain[2].keep
+    # normalized: BASE and CLONE are byte-identical -> one canonical kept
+    kept_pair = [d for d in (0, 1) if cloned[d].keep]
+    assert len(kept_pair) == 1
+    dropped = ({0, 1} - set(kept_pair)).pop()
+    assert cloned[dropped].drop_reason in ("exact_dup", "near_dup")
+    assert cloned[2].keep
