@@ -173,6 +173,7 @@ def curate_stream(
     bands: int = 8,
     max_encoding_damage: int | None = None,
     max_secrets: int | None = None,
+    clone_normalize: bool = False,
 ) -> DataFrame:
     """Streaming curation: the streaming-expressible subset of
     engine.curate with IDENTICAL thresholds and semantics — per-record
@@ -223,7 +224,16 @@ def curate_stream(
     ``max_encoding_damage``: the batch encoding screen (drop when the
     U+FFFD + control + mojibake anomaly count exceeds the threshold),
     identical decision boundary — three regexp_count projections, a pure
-    stateless filter."""
+    stateless filter.
+
+    ``clone_normalize``: the batch flag's streaming twin — the dedup
+    screens (watermark content dedup, ``against`` sha anti-join,
+    ``corpus_banded`` banding probes) run over
+    ``functions.code.normalize_code`` content so type-1 code clones
+    deduplicate; quality signals and the kept records stay original.
+    The normalizer is pure column math, so every screen remains
+    stateless. When set, the ``corpus_banded`` relation must have been
+    built over normalize_code(corpus) with the same num_hashes/bands."""
     from ..engine.curate import DEFAULT_QUALITY
     from ..functions.dedup import token_hash
 
@@ -274,8 +284,14 @@ def curate_stream(
         from ..functions.code import secrets_total
 
         kept = kept.filter(secrets_total(F.col(text_col)) <= int(max_secrets))
+    dedup_col = text_col
+    if clone_normalize:
+        from ..functions.code import normalize_code
+
+        kept = kept.withColumn("__clone_text", normalize_code(F.col(text_col)))
+        dedup_col = "__clone_text"
     if content_dedup:
-        kept = stream_dedup(kept, ts_col, content_col=text_col, watermark=watermark)
+        kept = stream_dedup(kept, ts_col, content_col=dedup_col, watermark=watermark)
     if against is not None:
         # Crawl-refresh screen against a STANDING corpus as a stream-static
         # LEFT ANTI join on content sha256 — natively supported by
@@ -283,11 +299,16 @@ def curate_stream(
         # state). Exact-dup only: LSH near-dup closure needs the candidate
         # graph and stays batch (engine.curate against=), same split as
         # near-dup clustering above.
+        corpus_text = F.col(text_col)
+        if clone_normalize:
+            from ..functions.code import normalize_code
+
+            corpus_text = normalize_code(corpus_text)
         corpus_shas = against.filter(F.col(text_col).isNotNull()).select(
-            F.sha2(F.col(text_col), 256).alias("__corpus_sha")
+            F.sha2(corpus_text, 256).alias("__corpus_sha")
         ).distinct()
         kept = (
-            kept.withColumn("__sha", F.sha2(F.col(text_col), 256))
+            kept.withColumn("__sha", F.sha2(F.col(dedup_col), 256))
             .join(
                 corpus_shas,
                 F.col("__sha") == F.col("__corpus_sha"),
@@ -300,7 +321,7 @@ def curate_stream(
 
         rows_per_band = num_hashes // bands
         toks_arr = F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            F.split(F.lower(F.trim(F.col(dedup_col))), r"\s+"),
             lambda t: F.length(t) > 0,
         )
         # Per-record MinHash signature: min seeded token hash per seed —
@@ -370,6 +391,8 @@ def curate_stream(
             .filter(~bloom_hit_any("__grams", m_bits))
             .drop("__bloom", "__grams")
         )
+    if clone_normalize:
+        kept = kept.drop("__clone_text")
     return kept
 
 

@@ -137,3 +137,45 @@ def test_curate_clone_normalize(spark):
     dropped = ({0, 1} - set(kept_pair)).pop()
     assert cloned[dropped].drop_reason in ("exact_dup", "near_dup")
     assert cloned[2].keep
+
+
+def test_curate_stream_clone_normalize(spark, tmp_path):
+    """Streaming twin of the clone flag: comment variants of the same file
+    collapse in the watermark content dedup; without the flag both pass."""
+    from datetime import datetime
+
+    from bio_data_validation_spark.streaming import curate_stream
+
+    TS = datetime.fromisoformat("2024-01-01 00:00:10")
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    rows = [(0, BASE, "python", TS), (1, CLONE, "python", TS), (2, OTHER, "sql", TS)]
+    d = tmp_path / "clone_stream_in"
+    spark.createDataFrame(rows, schema).write.parquet(str(d))
+    quality = {
+        "min_words": 1,
+        "max_dup_word_frac": 1.0,
+        "max_dup_bigram_frac": 1.0,
+    }
+
+    def run(flag, name):
+        src = spark.readStream.schema(schema).parquet(str(d))
+        out = curate_stream(src, "ts", quality=quality, clone_normalize=flag)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return {r["doc_id"] for r in spark.sql(f"select doc_id from {name}").collect()}
+        finally:
+            q.stop()
+
+    assert run(False, "clone_off") == {0, 1, 2}
+    kept = run(True, "clone_on")
+    assert 2 in kept
+    assert len(kept & {0, 1}) == 1  # the variants collapsed to one record
+    # the surviving records carry ORIGINAL text (no __clone_text column)
+    cols = spark.sql("select * from clone_on").columns
+    assert "__clone_text" not in cols
