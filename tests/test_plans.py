@@ -358,3 +358,38 @@ def test_dup_clusters_sizes_have_no_window(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(dup_clusters(docs, with_exact=True))
     assert "Window" not in plan
+
+
+def test_round5_code_audit_plans_are_scale_shaped(spark):
+    """comment_density: ONE parquet scan, ONE source exchange (partial agg
+    first), zero joins/windows — the regex work lives in the scan stage.
+    import_stats: the explode runs BEFORE the aggregate (rows = import
+    declarations, not bytes), no window, no join. clone_candidates: the
+    normalize_code projection must fuse into the scan-side stage — no plan
+    node beyond what the raw-text minhash_lsh_candidates plan has."""
+    from bio_data_validation_spark.contract import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(QUERIES["comment_density"](spark, sf))
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" not in p and "Join" not in p
+
+    p = _plan(QUERIES["import_stats"](spark, sf))
+    assert p.count("Scan parquet") == 1
+    assert "Generate explode" in p
+    assert "Window" not in p and "Join" not in p
+
+    def shape(plan: str) -> tuple[int, int, int]:
+        return (
+            plan.count("Scan parquet"),
+            plan.count("Exchange"),
+            plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+            + plan.count("ShuffledHashJoin"),
+        )
+
+    clone = _plan(QUERIES["clone_candidates"](spark, sf))
+    raw = _plan(QUERIES["minhash_lsh_candidates"](spark, sf))
+    assert shape(clone) == shape(raw)
+    assert "CartesianProduct" not in clone
