@@ -83,6 +83,11 @@ SKIP_AT_BENCH = {
     "dup_clusters",
     # levenshtein rescore over the same pair-output candidate set
     "levenshtein_near_dups",
+    # clone_candidates: minhash_lsh_candidates over normalize_code content —
+    # identical quadratic pair output on this dup-heavy corpus (the
+    # normalization projection adds nothing measurable to the banding
+    # stage, which lsh_bucket_stats/lsh_star_edges already bench)
+    "clone_candidates",
     # cross-corpus twins of the pair ops above: same quadratic pair
     # intermediate on the dup-heavy synthetic corpus, same md5_60 oracle
     # hash — correctness-gated at sf0.01; the linear candidate stage is
