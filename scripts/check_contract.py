@@ -7,10 +7,13 @@ Usage: python scripts/check_contract.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import duckdb
 import numpy as np
 import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from bio_data_validation_spark.contract import ORACLES, QUERIES
 from bio_data_validation_spark.session import get_spark
