@@ -4,6 +4,11 @@ and values (columns sorted by name, rows sorted by all columns — the same
 normalization the driver applies before hashing).
 
 Usage: python scripts/check_oracles.py [query ...]   (default: all)
+
+Set ORACLE_REPORT=path.json to also write a machine-readable record
+(per-query status/rows/seconds + the sweep summary) — the committed
+full-registry certification artifact complementing the driver's
+50-entry CORRECTNESS window.
 """
 
 from __future__ import annotations
@@ -77,6 +82,7 @@ def main() -> int:
         )
 
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -89,6 +95,10 @@ def main() -> int:
                 print(
                     f"PASS {name:32s} rows={len(spdf):6d} {time.time() - t0:6.2f}s  (rows-only: no oracle)"
                 )
+                records[name] = {
+                    "status": "PASS", "mode": "rows_only",
+                    "rows": len(spdf), "sec": round(time.time() - t0, 2),
+                }
                 continue
             odf = con.sql(ORACLES[name]).df()
             ok, why = compare(spdf, odf)
@@ -97,10 +107,34 @@ def main() -> int:
             spdf = pd.DataFrame()
         status = "PASS" if ok else "FAIL"
         print(f"{status} {name:32s} rows={len(spdf):6d} {time.time() - t0:6.2f}s  {why if not ok else ''}")
+        records[name] = {
+            "status": status, "mode": "oracle", "rows": len(spdf),
+            "sec": round(time.time() - t0, 2),
+            **({} if ok else {"why": why}),
+        }
         if not ok:
             failures.append((name, why))
     spark.stop()
     print(f"\n{len(failures)} failures" + (": " + ", ".join(n for n, _ in failures) if failures else ""))
+
+    report_path = os.environ.get("ORACLE_REPORT")
+    if report_path:
+        import json
+
+        with open(report_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_checked": len(records),
+                    "n_oracle": sum(1 for r in records.values() if r["mode"] == "oracle"),
+                    "n_rows_only": sum(1 for r in records.values() if r["mode"] == "rows_only"),
+                    "n_failures": len(failures),
+                    "queries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"report written: {report_path}")
     return 1 if failures else 0
 
 
