@@ -1,0 +1,81 @@
+"""The north rule's two-cluster-size criterion made executable for
+CORRECTNESS (the throughput half lives in bench.py --scaling): the engine
+must reproduce the pass/fail matrix and the violation rows EXACTLY at N
+and 4N parallelism. Two CLI subprocess runs over the same dirty snapshot —
+local[2]/shuffle=4 vs local[8]/shuffle=32 — must produce identical
+verdict matrices, identical per-(pid, rule) violation counts, and the
+same decision. Stable pids (crc32(repo) % P, never derived from cluster
+size) are what make this invariance possible."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+REPO = Path(__file__).parent.parent
+
+
+def _run(snapshot, out_dir: Path, master: str) -> dict:
+    # shuffle partitions follow the master's core count in get_spark
+    # (local[2] -> 4, local[8] -> 8), so the two runs also differ in
+    # shuffle layout — the invariance must survive both knobs.
+    import os
+
+    env = {**os.environ, "PYTHONPATH": str(REPO)}
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "bio_data_validation_spark.cli",
+            "validate",
+            "--source", str(Path(snapshot["dirty"]).resolve()),
+            "--out", str(out_dir),
+            "--manifest", str(Path(snapshot["manifest"]).resolve()),
+            "--snapshot-id", f"inv-{master}",
+            "--no-resume",
+            "--master", master,
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 1, proc.stderr[-3000:]  # dirty → rejected
+    return json.loads((out_dir / "report.json").read_text())
+
+
+def _verdicts(out_dir: Path) -> pd.DataFrame:
+    v = pd.read_parquet(out_dir / "verdicts")
+    keys = [c for c in ("pid", "rule_id") if c in v.columns]
+    return v.sort_values(keys).reset_index(drop=True)
+
+
+def _violation_counts(out_dir: Path) -> pd.DataFrame:
+    frames = [pd.read_parquet(out_dir / "violations")]
+    g = out_dir / "violations_global"
+    if g.exists():
+        frames.append(pd.read_parquet(g))
+    v = pd.concat(frames, ignore_index=True)
+    return (
+        v.groupby(["pid", "rule_id"], dropna=False)
+        .size()
+        .reset_index(name="n")
+        .sort_values(["pid", "rule_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_verdicts_and_violations_invariant_across_parallelism(snapshot, tmp_path):
+    rep_n = _run(snapshot, tmp_path / "n", "local[2]")
+    rep_4n = _run(snapshot, tmp_path / "4n", "local[8]")
+
+    assert rep_n["final_decision"] == rep_4n["final_decision"] == "rejected"
+    assert sorted(rep_n["failed_rules"]) == sorted(rep_4n["failed_rules"])
+
+    va, vb = _verdicts(tmp_path / "n"), _verdicts(tmp_path / "4n")
+    pd.testing.assert_frame_equal(va, vb)
+
+    ca, cb = _violation_counts(tmp_path / "n"), _violation_counts(tmp_path / "4n")
+    pd.testing.assert_frame_equal(ca, cb)
+    assert len(ca) > 0  # the dirty snapshot must actually exercise the rules
