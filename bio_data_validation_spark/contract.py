@@ -1550,7 +1550,7 @@ def _sql_clone_candidates() -> str:
     norm_src = r"""(SELECT doc_id,
   lower(trim(regexp_replace(regexp_replace(regexp_replace(text,
     '(?s)/\*.*?\*/', ' ', 'g'),
-    '(?m)(^|[ \t])(//|#|--)[^\n]*', '\1 ', 'g'),
+    '(\A|\n|[ \t])(//|#|--)[^\n]*', '\1 ', 'g'),
     '\s+', ' ', 'g'))) AS text
  FROM documents WHERE text IS NOT NULL) n"""
     return f"""

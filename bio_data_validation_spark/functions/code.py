@@ -262,7 +262,12 @@ def import_line_count(text: Column) -> Column:
 # the same literals with the 'g' flag and \1 instead of $1.
 
 BLOCK_COMMENT_PATTERN = r"(?s)/\*.*?\*/"
-LINE_COMMENT_PATTERN = r"(?m)(^|[ \t])(//|#|--)[^\n]*"
+# Anchored with an explicit (\A|\n|[ \t]) alternation, NOT (?m)^ — Java's
+# multiline ^ also matches after a lone \r (and U+0085/U+2028/U+2029),
+# where RE2 (the DuckDB oracle) and Python re match after \n only; the
+# explicit alternation gives all three engines the same answer on
+# CR-only line endings (found by the hypothesis twin test).
+LINE_COMMENT_PATTERN = r"(\A|\n|[ \t])(//|#|--)[^\n]*"
 
 
 def normalize_code(text: Column) -> Column:

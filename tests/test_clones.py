@@ -51,7 +51,10 @@ OTHER = (
 
 def _py_normalize(text: str) -> str:
     t = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
-    t = re.sub(r"(^|[ \t])(//|#|--)[^\n]*", r"\1 ", t, flags=re.M)
+    # explicit (\A|\n|[ \t]) anchoring, same as the Spark/DuckDB pattern —
+    # NOT re.M ^, whose line-terminator set differs between Java and
+    # RE2/Python (Java ^ also fires after a lone \r)
+    t = re.sub(r"(\A|\n|[ \t])(//|#|--)[^\n]*", r"\1 ", t)
     t = re.sub(r"\s+", " ", t)
     return t.strip().lower()
 
@@ -179,3 +182,37 @@ def test_curate_stream_clone_normalize(spark, tmp_path):
     # the surviving records carry ORIGINAL text (no __clone_text column)
     cols = spark.sql("select * from clone_on").columns
     assert "__clone_text" not in cols
+
+
+# ---- property: normalize_code == the Python twin on adversarial ASCII ----
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# ASCII-only alphabet, dense in the normalizer's own special characters:
+# comment openers/closers, the guard blanks, and newline variants. ASCII
+# keeps Java's \s/lower() and Python's re/.lower() in agreement (same
+# scoping as the existing ASCII-\s code-metric property tests).
+_ALPHABET = " \t\n\r/*#-;<!abz0._'\"="
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=_ALPHABET, min_size=0, max_size=80),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_normalize_code_property_matches_twin(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {
+        r.i: r.n
+        for r in df.select("i", C.normalize_code(F.col("text")).alias("n")).collect()
+    }
+    for i, t in rows:
+        assert got[i] == _py_normalize(t), (i, t)
