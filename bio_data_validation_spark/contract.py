@@ -3203,7 +3203,7 @@ SQL_COMMENT_DENSITY = r"""
 WITH m AS (
   SELECT source,
     len(string_split(text, chr(10))) AS n,
-    len(regexp_extract_all(text, '(?m)^[ \t]*(//|#|--|;|/\*|\*|<!--)')) AS c
+    len(regexp_extract_all(text, '(?:\A|\n)[ \t]*(//|#|--|;|/\*|\*|<!--)')) AS c
   FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
 SELECT source, count(*) AS n_docs,
        CAST(sum(n) AS BIGINT) AS total_lines,
@@ -3256,7 +3256,7 @@ SQL_IMPORT_STATS = r"""
 WITH ex AS (
   SELECT source, doc_id,
          unnest(regexp_extract_all(text,
-           '(?m)^[ \t]*(?:import|from|#include|require|use|using)[ \t]+[<"'']?([A-Za-z_][A-Za-z0-9_./-]*)',
+           '(?:\A|\n)[ \t]*(?:import|from|#include|require|use|using)[ \t]+[<"'']?([A-Za-z_][A-Za-z0-9_./-]*)',
            1)) AS module
   FROM documents WHERE text IS NOT NULL)
 SELECT d.source,

@@ -194,13 +194,19 @@ def redact_secrets(text: Column) -> Column:
 
 # A line whose first non-blank characters open a comment, for the mainstream
 # marker families: #, //, --, ;, /*, * (block-comment body), <!--.
-COMMENT_LINE_PATTERN = r"(?m)^[ \t]*(//|#|--|;|/\*|\*|<!--)"
+# Anchored with a consuming (?:\A|\n), NOT (?m)^: Java's multiline ^ also
+# fires after a lone \r (and U+0085/U+2028/U+2029) where RE2 (DuckDB) and
+# Python fire after \n only — the explicit form counts identically in all
+# three. Consumption is safe for counting: each match eats only its own
+# line's preceding \n, which no other line's match needs.
+COMMENT_LINE_PATTERN = r"(?:\A|\n)[ \t]*(//|#|--|;|/\*|\*|<!--)"
 
 # An import-like declaration at line start: the keyword, then the first
 # module-ish token (optionally wrapped by <, " or ' as in #include <stdio.h>
-# or require 'json'). Capture group 1 is the module name.
+# or require 'json'). Capture group 1 is the module name. Same explicit
+# line anchoring as COMMENT_LINE_PATTERN (cross-engine \r agreement).
 IMPORT_PATTERN = (
-    r"(?m)^[ \t]*(?:import|from|#include|require|use|using)"
+    r"(?:\A|\n)[ \t]*(?:import|from|#include|require|use|using)"
     r"[ \t]+[<\"']?([A-Za-z_][A-Za-z0-9_./-]*)"
 )
 

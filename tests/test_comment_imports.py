@@ -30,13 +30,20 @@ FILES = [
     "   \n\t\n",
     # html comment marker
     "<!-- header -->\n<div>x</div>",
+    # CR-only and CRLF line endings: lone-\r must NOT start a new line in
+    # ANY engine (the Java (?m)^ would have); CRLF's \n does
+    "\r# not a new line\r# still not",
+    "# first\r\n# second\r\nimport os",
 ]
 
-_C_RE = re.compile(r"^[ \t]*(//|#|--|;|/\*|\*|<!--)", re.M)
+# Same consuming (?:\A|\n) anchoring as the Spark/DuckDB patterns — NOT
+# re.M ^, whose line-terminator set differs from Java's ((?m)^ in Java also
+# fires after a lone \r). Consumption never double-counts: each line owns
+# its preceding \n.
+_C_RE = re.compile(r"(?:\A|\n)[ \t]*(//|#|--|;|/\*|\*|<!--)")
 _I_RE = re.compile(
-    r"^[ \t]*(?:import|from|#include|require|use|using)"
-    r"[ \t]+[<\"']?([A-Za-z_][A-Za-z0-9_./-]*)",
-    re.M,
+    r"(?:\A|\n)[ \t]*(?:import|from|#include|require|use|using)"
+    r"[ \t]+[<\"']?([A-Za-z_][A-Za-z0-9_./-]*)"
 )
 
 
@@ -74,8 +81,7 @@ def test_against_python_twin(computed, i):
 
 
 def test_specific_extractions(computed):
-    # python file: os + sys; the '# comment' line is the only comment —
-    # no wait: '#include' style does not appear; exactly 1 comment line.
+    # python file: os + sys extracted; '# a comment' is the only comment line
     assert computed[0].m == ["os", "sys"]
     assert computed[0].c == 1
     # C file: both includes extracted (angle + quoted), comment lines are
@@ -138,3 +144,37 @@ def test_contract_aggregates(spark, tmp_path):
         assert ist[src]["docs_with_imports"] == sum(
             1 for w in all_twins if w["modules"]
         )
+
+
+# ---- property: count/extract == the Python twin on adversarial ASCII ----
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ALPHABET = " \t\n\r/*#-;<!abz0._'\"=import from use"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=_ALPHABET, min_size=0, max_size=80),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_comment_import_property_matches_twin(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {
+        r.i: (r.c, r.m)
+        for r in df.select(
+            "i",
+            C.comment_line_count(F.col("text")).alias("c"),
+            C.import_modules(F.col("text")).alias("m"),
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == (len(_C_RE.findall(t)), _I_RE.findall(t)), (i, t)
