@@ -3197,8 +3197,9 @@ def q_comment_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Pattern literal mirrors functions/code.py COMMENT_LINE_PATTERN (Java ∩ RE2
-# common subset: (?m) inline flag, no lookarounds). Both sides count lines
-# via string_split/split on chr(10), so totals agree exactly.
+# common subset: consuming (?:\A|\n) line anchor — not (?m)^, whose
+# line-terminator set differs between the engines — no lookarounds). Both
+# sides count lines via string_split/split on chr(10), so totals agree.
 SQL_COMMENT_DENSITY = r"""
 WITH m AS (
   SELECT source,

@@ -189,8 +189,9 @@ def redact_secrets(text: Column) -> Column:
 #  - import/include extraction: the dependency names a file declares are the
 #    cheapest structure signal a corpus has (library-popularity stats,
 #    ecosystem slicing, dependency-aware dedup).
-# Both stay in the Java-regex ∩ RE2 common subset ((?m) inline flag, no
-# lookarounds) so the DuckDB oracle twins in contract.py count identically.
+# Both stay in the Java-regex ∩ RE2 common subset (explicit (?:\A|\n)
+# line anchors, no lookarounds) so the DuckDB oracle twins in contract.py
+# count identically.
 
 # A line whose first non-blank characters open a comment, for the mainstream
 # marker families: #, //, --, ;, /*, * (block-comment body), <!--.
@@ -263,9 +264,9 @@ def import_line_count(text: Column) -> Column:
 #    normalization to be CONSISTENT, not syntax-aware.
 #  - markers are honored only at line start or after a blank, so 'x--',
 #    'http://…' and '#include' mid-expression survive where they should.
-# All three regexes live in the Java ∩ RE2 common subset ((?s)/(?m) inline
-# flags, non-greedy, no lookarounds); the DuckDB twin in contract.py chains
-# the same literals with the 'g' flag and \1 instead of $1.
+# All three regexes live in the Java ∩ RE2 common subset ((?s) inline flag,
+# explicit line anchors, non-greedy, no lookarounds); the DuckDB twin in
+# contract.py chains the same literals with the 'g' flag and \1 not $1.
 
 BLOCK_COMMENT_PATTERN = r"(?s)/\*.*?\*/"
 # Anchored with an explicit (\A|\n|[ \t]) alternation, NOT (?m)^ — Java's
