@@ -278,7 +278,13 @@ def curation_decisions(
     if clone_normalize:
         from ..functions.code import normalize_code
 
-        dedup_src = nonnull.withColumn(text_col, normalize_code(F.col(text_col)))
+        # nullif: a doc that normalizes to EMPTY (comment-only file) is not
+        # a clone of every other comment-only file — null text flows
+        # through the dedup stages as "no signature, never a dup" instead
+        # of collapsing into one sha256('') exact-dup group.
+        dedup_src = nonnull.withColumn(
+            text_col, F.nullif(normalize_code(F.col(text_col)), F.lit(""))
+        )
     clusters = dup_clusters(
         dedup_src, text_col, "doc_id",
         num_hashes=lsh_num_hashes, bands=lsh_bands, hash_fn=hash_fn,

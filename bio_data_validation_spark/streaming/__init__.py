@@ -288,7 +288,14 @@ def curate_stream(
     if clone_normalize:
         from ..functions.code import normalize_code
 
-        kept = kept.withColumn("__clone_text", normalize_code(F.col(text_col)))
+        # nullif mirrors the batch path: a comment-only record normalizes
+        # to NULL, so stream_dedup's null-bypass passes it through, the
+        # sha anti-join never matches it (null key), and the banding
+        # probes below become no-ops for it (null join keys never match a
+        # LEFT ANTI condition) — it is not a clone of anything.
+        kept = kept.withColumn(
+            "__clone_text", F.nullif(normalize_code(F.col(text_col)), F.lit(""))
+        )
         dedup_col = "__clone_text"
     if content_dedup:
         kept = stream_dedup(kept, ts_col, content_col=dedup_col, watermark=watermark)
@@ -327,8 +334,10 @@ def curate_stream(
         # Per-record MinHash signature: min seeded token hash per seed —
         # column math only (HOF lambdas run interpreted, but this is a
         # per-record screen, not the corpus-side hot path; the corpus was
-        # banded offline). Every record here has >= 1 token (the ~empty
-        # filter ran above), so no null signature slots.
+        # banded offline). Without clone_normalize every record has >= 1
+        # token (the ~empty filter ran above); with it, a comment-only
+        # record's dedup text is NULL (nullif above) — its buckets are
+        # forced NULL below so the LEFT ANTI joins provably keep it.
         # NB: the lambda must take exactly ONE parameter — F.transform
         # treats a two-parameter lambda as (element, index), so a seed
         # smuggled in via a default arg gets silently overwritten by the
@@ -343,9 +352,11 @@ def curate_stream(
         for b in range(bands):
             kept = kept.withColumn(
                 f"__nb{b}",
-                _band_bucket(
-                    [sig[b * rows_per_band + i] for i in range(rows_per_band)],
-                    hash_fn,
+                F.when(F.col(dedup_col).isNull(), F.lit(None)).otherwise(
+                    _band_bucket(
+                        [sig[b * rows_per_band + i] for i in range(rows_per_band)],
+                        hash_fn,
+                    )
                 ),
             )
         # Chain of per-band LEFT ANTI equi-joins = "survives iff NO band

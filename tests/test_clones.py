@@ -216,3 +216,83 @@ def test_normalize_code_property_matches_twin(spark, texts):
     }
     for i, t in rows:
         assert got[i] == _py_normalize(t), (i, t)
+
+
+COMMENT_ONLY_A = "# license: apache\n# copyright 2020 alpha\n"
+COMMENT_ONLY_B = "// TODO rewrite this module\n// nothing else here\n"
+
+
+def test_comment_only_files_are_not_mutual_clones(spark):
+    """Two unrelated files that are ALL comments both normalize to the
+    empty string — they must NOT collapse into one sha256('') exact-dup
+    group (review finding): empty normalization means 'no signature',
+    not 'clone of every other comment-only file'."""
+    from bio_data_validation_spark.engine.curate import curation_decisions
+
+    rows = [
+        (0, COMMENT_ONLY_A, "python"),
+        (1, COMMENT_ONLY_B, "javascript"),
+        (2, BASE, "python"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    quality = {
+        "min_words": 1,
+        "max_dup_word_frac": 1.0,
+        "max_dup_bigram_frac": 1.0,
+    }
+    got = {
+        r.doc_id: r
+        for r in curation_decisions(
+            df, quality=quality, clone_normalize=True
+        ).collect()
+    }
+    assert got[0].keep and got[1].keep and got[2].keep
+    assert got[0].drop_reason is None and got[1].drop_reason is None
+
+
+def test_stream_comment_only_files_survive_clone_dedup(spark, tmp_path):
+    from datetime import datetime
+
+    from bio_data_validation_spark.functions.dedup import minhash_banded
+    from bio_data_validation_spark.streaming import curate_stream
+
+    TS = datetime.fromisoformat("2024-01-01 00:00:10")
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    rows = [
+        (0, COMMENT_ONLY_A, "python", TS),
+        (1, COMMENT_ONLY_B, "javascript", TS),
+        (2, BASE, "python", TS),
+    ]
+    d = tmp_path / "co_stream_in"
+    spark.createDataFrame(rows, schema).write.parquet(str(d))
+    # a standing corpus that itself contains a comment-only doc AND is
+    # banded (over its raw text; none of the stream docs near-dup it)
+    corpus = spark.createDataFrame(
+        [(100, "## corpus header only\n", "python", TS), (101, OTHER, "sql", TS)],
+        schema,
+    )
+    banded = minhash_banded(corpus, "text", "doc_id", num_hashes=8, bands=2)
+    quality = {
+        "min_words": 1,
+        "max_dup_word_frac": 1.0,
+        "max_dup_bigram_frac": 1.0,
+    }
+    src = spark.readStream.schema(schema).parquet(str(d))
+    out = curate_stream(
+        src, "ts", quality=quality, clone_normalize=True,
+        against=corpus, corpus_banded=banded, num_hashes=8, bands=2,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("co_clone")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r["doc_id"] for r in spark.sql("select doc_id from co_clone").collect()}
+    finally:
+        q.stop()
+    # neither the corpus's comment-only doc (sha('') trap) nor the shared
+    # constant banding bucket may drop the stream's comment-only records
+    assert kept == {0, 1, 2}

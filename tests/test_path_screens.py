@@ -34,6 +34,12 @@ PATHS = [
     ("api/types.pb.go", False, True),
     ("locks/notalock.json", False, False),
     ("vendor_tools/keep.py", False, False),          # prefix, not a vendor dir
+    # regex-escaping regression pins: a '.'-as-wildcard bug (SQL string
+    # literals eat one backslash level) made each of these false-positive
+    ("agit/readme.md", False, False),                # '.git' must be literal
+    ("dist/admin.js", False, False),                 # '.min.' must be literal
+    ("static/vitamin.css", False, False),            # ditto
+    ("sub/xgit/tool.py", False, False),              # 4-char dir ending 'git'
 ]
 
 _VENDOR_RE = re.compile(
@@ -57,7 +63,10 @@ def test_fixture_expectations_match_python_twin():
 
 def test_v14_engine_flags_paths(spark, tmp_path):
     rows = [
-        (f"org/repo{i % 2}", p, f"{i:040x}", "python", f"content {i}\n" * 3)
+        # 'xml' mentioned in a header must NOT trip CODE_AUTOGEN_001
+        # (the '<\?xml' escaping pin: '?' must bind to a literal '\?')
+        (f"org/repo{i % 2}", p, f"{i:040x}", "python",
+         f"content about xml parsing {i}\n" * 3)
         for i, (p, _, _) in enumerate(PATHS)
     ]
     df = spark.createDataFrame(
@@ -81,5 +90,7 @@ def test_v14_engine_flags_paths(spark, tmp_path):
     exp_gen = {p for p, _, g in PATHS if g}
     assert got_vendor == exp_vendor
     assert got_gen == exp_gen
+    # 'xml' in plain prose must not read as a generated-file marker
+    assert "CODE_AUTOGEN_001" not in set(viol["rule_id"])
     # info severity only — the run must not be rejected for path screens
     assert rep["final_decision"] == "accepted"
