@@ -233,7 +233,12 @@ def curate_stream(
     deduplicate; quality signals and the kept records stay original.
     The normalizer is pure column math, so every screen remains
     stateless. When set, the ``corpus_banded`` relation must have been
-    built over normalize_code(corpus) with the same num_hashes/bands."""
+    built over normalize_code(corpus) with the same num_hashes/bands.
+    Cost note: with ``against`` the static side is re-evaluated per
+    micro-batch (Structured Streaming semantics), and under this flag
+    that re-evaluation includes the corpus's normalize+sha pass — for a
+    large standing corpus, pre-normalize once and pass the result (or
+    use ``corpus_banded``, whose banding is precomputed by design)."""
     from ..engine.curate import DEFAULT_QUALITY
     from ..functions.dedup import token_hash
 
