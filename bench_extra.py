@@ -1,0 +1,79 @@
+"""Extra benchmarks for optimization work (guide §1.4): time individual
+contract queries in isolation with the noop sink, optionally dump their
+formatted plans. Does NOT replace bench.py (frozen for driver measurement).
+
+Usage:
+    python bench_extra.py [--sf-dir DIR] [--reps N] [--plans OUTDIR] [q ...]
+
+Defaults: DIR=$SPARK_GRAFT_SF_DIR or /root/repo/data/perf_sf1, reps=2
+(min reported, like bench.py), all non-pair queries if none named.
+Prints one JSON line per query: {"name", "secs": [..], "best"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "shm")
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", str(REPO / "data" / "perf_sf1")))
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--plans", default=None,
+                    help="dir to write <query>.txt formatted plans into")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    from bench import SKIP_AT_BENCH  # same exclusion list as the frozen bench
+
+    from bio_data_validation_spark.contract import QUERIES
+    from bio_data_validation_spark.session import get_spark
+
+    names = args.queries or [q for q in QUERIES if q not in SKIP_AT_BENCH]
+    unknown = set(names) - set(QUERIES)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+        return 1
+
+    spark = get_spark(f"local[{args.cpus}]", app_name="bench-extra")
+    out = {}
+    for name in names:
+        fn = QUERIES[name]
+        if args.plans:
+            pdir = Path(args.plans)
+            pdir.mkdir(parents=True, exist_ok=True)
+            (pdir / f"{name}.txt").write_text(formatted(fn(spark, args.sf_dir)))
+        secs = []
+        for _ in range(args.reps):
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            t0 = time.time()
+            fn(spark, args.sf_dir).write.mode("overwrite").format("noop").save()
+            secs.append(round(time.time() - t0, 3))
+        out[name] = min(secs)
+        print(json.dumps({"name": name, "secs": secs, "best": min(secs)}),
+              flush=True)
+    print(json.dumps({"sf_dir": args.sf_dir, "best": out}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

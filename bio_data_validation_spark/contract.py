@@ -37,6 +37,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Raise pre-shuffle parallelism for compute-heavy pipelines over small
+    single-split inputs (guide §2.5 input skew / §6 input split size).
+
+    The testdata tables are one parquet file with one row group each, so a
+    scan yields ONE partition no matter the core count, and everything up
+    to the first exchange (per-gram md5, regex passes, per-pair kernels)
+    runs on one core. A round-robin repartition to the cluster's default
+    parallelism costs one exchange of the (small) input and unlocks an
+    N-way speedup of the dominant compute.
+
+    Scale-adaptive, not local-tuned: the target derives from
+    defaultParallelism, and the repartition is a NO-OP whenever the scan
+    already carries at least that many splits — the normal case on a real
+    cluster reading many files — so no shuffle is added at 100 TB."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # --------------------------------------------------------------------------
 # §2.2/§2.3 — schema & rule-engine family (null rates, types, ranges, dup,
 # uniqueness, referential integrity, custom expressions)
@@ -529,7 +551,7 @@ SELECT source, round(max(abs(ocdf - gcdf)), 6) AS ks FROM c GROUP BY source
 # --------------------------------------------------------------------------
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     nt = T.token_count(F.col("text"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -561,7 +583,7 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count stats under a BPE-style pre-tokenization (letters/digits/
     punctuation split — the unit LLM token budgets are estimated from),
     grouped per source."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     nt = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
         F.regexp_count(F.lower(F.col("text")), F.lit(BPE_TOKEN_PATTERN))
     )
@@ -591,7 +613,7 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source — a corpus-quality signal (mojibake / binary-in-text / single-
     char spam collapse entropy). Two shuffles: char histogram, then the
     per-source entropy fold; both map-side combinable."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     chars = d.select(
         "source",
         F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S"), 0)).alias("ch"),
@@ -623,7 +645,7 @@ GROUP BY h.source
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     score = T.quality_score(F.col("text"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -651,7 +673,7 @@ SELECT lang, count(*) AS n_docs, round(avg(q), 6) AS avg_quality FROM s GROUP BY
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(T.lang_id_en(F.col("text"))).cast("long").alias("n_pred_en"),
@@ -744,7 +766,7 @@ def q_repo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram STRINGS never shuffle. See dedup.group_overlap_pairs."""
     from .functions.dedup import group_overlap_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return group_overlap_pairs(
         d,
         group_col="source",
@@ -934,9 +956,20 @@ def q_type_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONS_002 value-level type conformance via try_cast null-delta
     (rule_validator.py:189-200, _is_compatible_type :438-450): parse failures
     count as violations instead of raising, fused into one agg."""
-    e = _t(spark, sf_dir, "events")
-    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).try_cast("int")
-    return e.agg(
+    e = _spread(_t(spark, sf_dir, "events"))
+    # project the parsed k ONCE before the aggregate: referencing a column
+    # computed in a child Project instead of repeating the regexp_extract
+    # inside three aggregate expressions drops the per-row regex passes
+    # from 3-4 to 1 (the aggregate operators do not share common
+    # subexpressions across aggregate functions)
+    k = F.col("__k")
+    proj = e.select(
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+        .try_cast("int").alias("__k"),
+        "props",
+        "event_type",
+    )
+    return proj.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(k.isNotNull(), 1)).alias("n_k_parsed"),
         F.count(F.when(k.isNull() & F.col("props").isNotNull(), 1)).alias("n_k_fail"),
@@ -1213,7 +1246,7 @@ FROM documents
 def q_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 explode(split(...)) shape (variant_validator.py:329-358) as a
     token-frequency top-k: split → explode → groupBy → ordered limit."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     tok = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
     return (
         d.filter(F.col("text").isNotNull())
@@ -1379,29 +1412,77 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import dot, l2_norm, sign_lsh_bucket_col
 
     e = _t(spark, sf_dir, "embeddings")
-    # Bucket AND norm are computed inline in each side's single projection —
-    # one scan per side, no bucket-attach join. (Norm arithmetic is identical
-    # to cosine() — sqrt of sum of squares — so the rounded values match the
-    # oracle exactly; the pairwise join then pays one dot product per pair.)
+    # r6 kernel rewrite (guide §4.2): the within-bucket all-pairs cosine is
+    # a dense numeric block — per-pair JVM expression evaluation (HOF fold
+    # OR unrolled codegen, both measured: 81 s / 47 s at sf1 for 25M pairs)
+    # is the wrong tool; one vectorized batch per bucket is the right one.
+    # Bit-exactness is preserved by construction: the pair dot products are
+    # accumulated PER DIMENSION (acc += outer(V[:,k], V[:,k]) for k in dim
+    # order), so every pair's sum applies the identical IEEE-754 ops in the
+    # identical left-fold order as F.aggregate/zip_with and the oracle;
+    # norms fold the same way; cos = dot / (norm_a * norm_b) multiplies
+    # then divides exactly as the column expression did. Rounding and the
+    # threshold compare stay in Spark (same F.round HALF_UP), with a loose
+    # raw-value prefilter (0.3499 << one ulp below any value that could
+    # round to >= 0.35) applied batch-side only to bound the emitted rows.
+    # Scale shape: groupBy(bucket) is one exchange of (id, vec); a hot
+    # bucket is one task's matmul block — add planes to shrink blocks as
+    # density grows (unchanged from the join form, which had the same
+    # per-bucket confinement).
+    import numpy as np
+    import pandas as pd
+
     bucket = sign_lsh_bucket_col(_near_dup_planes(), "embedding")
-    a = e.select(
-        bucket.alias("bucket"), F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"), l2_norm(F.col("embedding")).alias("norm_a"),
-    )
-    b = e.select(
-        bucket.alias("bucket"), F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"), l2_norm(F.col("embedding")).alias("norm_b"),
-    )
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 4
-            ).alias("cos"),
+
+    def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf[pdf["embedding"].notna()]
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "__raw": pd.Series(dtype="float64")}
         )
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]],
+            dtype=np.float64,
+        )
+        dims = V.shape[1]
+        # norms: same sequential dim fold as l2_norm
+        nacc = np.zeros(n, dtype=np.float64)
+        for k in range(dims):
+            x = V[:, k]
+            nacc += x * x
+        norms = np.sqrt(nacc)
+        out_a, out_b, out_c = [], [], []
+        chunk = max(1, (1 << 21) // max(1, n))  # ~16 MB of f64 scratch
+        for s in range(0, n, chunk):
+            t = min(s + chunk, n)
+            acc = np.zeros((t - s, n), dtype=np.float64)
+            for k in range(dims):
+                acc += np.multiply.outer(V[s:t, k], V[:, k])
+            cos = acc / np.multiply.outer(norms[s:t], norms)
+            m = (ids[s:t, None] < ids[None, :]) & (cos >= 0.3499)
+            ii, jj = np.nonzero(m)
+            out_a.append(ids[s:t][ii])
+            out_b.append(ids[jj])
+            out_c.append(cos[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a),
+             "vec_b": np.concatenate(out_b),
+             "__raw": np.concatenate(out_c)}
+        )
+
+    return (
+        _spread(e)
+        .select(bucket.alias("bucket"), "vec_id", "embedding")
+        .groupBy("bucket")
+        .applyInPandas(_bucket_pairs, schema="vec_a long, vec_b long, __raw double")
+        .select("vec_a", "vec_b", F.round("__raw", 4).alias("cos"))
         .filter(F.col("cos") >= 0.35)
     )
 
@@ -1502,7 +1583,7 @@ def q_lsh_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket."""
     from .functions.dedup import minhash_lsh_star_edges
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return minhash_lsh_star_edges(
         d, "text", "doc_id",
         num_hashes=MINHASH_NUM_HASHES, bands=MINHASH_BANDS, hash_fn="md5_60",
@@ -1571,7 +1652,7 @@ def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the bench."""
     from .functions.dedup import lsh_bucket_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return lsh_bucket_stats(
         d, "text", "doc_id",
         num_hashes=MINHASH_NUM_HASHES, bands=MINHASH_BANDS, hash_fn="md5_60",
@@ -1683,7 +1764,7 @@ def q_kgram_fingerprints(
     every downstream shuffle and the fingerprint state to ~len/p per doc —
     position-robust, unlike whole-doc sha, and with no prefix cap blinding
     the fingerprint to content past char 256."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(_t(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     t = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     grams = (
         d.select("doc_id", t.alias("__t"))
@@ -1910,7 +1991,7 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen into interpreted eval — measured 4× slower than
     this native formulation); dedup via array_distinct. No explode, no
     shuffle beyond the scan."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(_t(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     n = F.size(words)
     bigrams = F.arrays_zip(F.slice(words, 1, n - 1), F.slice(words, 2, n - 1))
@@ -1974,7 +2055,7 @@ def q_contamination_check(
     combined row per map partition per hash."""
     from .functions.text import word_grams_exploded
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(_t(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     marked = d.select(
         "doc_id",
         (F.col("source") == CONTAM_BENCH_SOURCE).cast("int").alias("__bench"),
@@ -1984,15 +2065,35 @@ def q_contamination_check(
         marked, CONTAM_K, carry=("doc_id", "__bench")
     ).select("doc_id", "__bench", token_hash(F.col("__gs"), 0, hash_fn).alias("h"))
     gh = grams.groupBy("doc_id", "__bench", "h").agg(F.count(F.lit(1)).alias("c"))
-    hits = gh.groupBy("h").agg(F.max("__bench").alias("__hit"))
+    # r6: ONE shingle pass instead of two. The old form filtered the join
+    # branch to __bench = 0 BEFORE the join; that filter was pushed down
+    # into the branch's copy of the gh subtree, the two pre-agg exchanges
+    # stopped being canonically equal, ReuseExchange could not fire, and
+    # the corpus was exploded + hashed twice (the docstring's "two scans").
+    # Now BOTH consumers read the identical unfiltered gh: bench docs ride
+    # through the join (a tiny fraction by definition) and are dropped by a
+    # HAVING-style filter on the aggregated flag, which no rule can push
+    # below the aggregate. The __hit expression references every gh column
+    # (c via least(c,1), doc_id via a *0 term — both value-neutral: c >= 1
+    # and doc_id is non-null) so column pruning cannot specialize the hits
+    # branch's copy either — same load-bearing-reference idiom as
+    # duplicated_spans' count("c"). Verified: one Exchange
+    # hashpartitioning(doc_id, __bench, h) feeding both consumers.
+    hits = gh.groupBy("h").agg(
+        F.max(
+            F.col("__bench") * F.least(F.col("c"), F.lit(1))
+            + F.col("doc_id") * F.lit(0)
+        ).alias("__hit")
+    )
     return (
-        gh.filter(F.col("__bench") == 0)
-        .join(hits, "h")
+        gh.join(hits, "h")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_grams"),
             F.sum(F.col("__hit") * F.col("c")).cast("bigint").alias("n_overlap"),
+            F.max("__bench").alias("__isb"),
         )
+        .filter(F.col("__isb") == 0)
         .select(
             "doc_id", "n_grams", "n_overlap", (F.col("n_overlap") > 0).alias("contaminated")
         )
@@ -2057,7 +2158,7 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .functions.text import word_grams_exploded
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(_t(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     marked = d.select(
         "doc_id",
         (F.col("source") == CONTAM_BENCH_SOURCE).cast("int").alias("__bench"),
@@ -2142,7 +2243,7 @@ def q_duplicated_spans(
     cross-doc membership via pre-agg + groupBy(h) + h-join (skew-safe, see
     below) — never a doc×doc comparison. Production uses xxhash64; md5_60
     here keeps the oracle value-exact."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(_t(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     t = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     grams = (
         d.select("doc_id", t.alias("__t"))
@@ -2296,7 +2397,7 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-aggregated; pure column math)."""
     from .functions.dedup import simhash
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return simhash(d, "text", "doc_id", hash_fn="md5_60")
 
 
@@ -2383,7 +2484,7 @@ def q_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < LSH_BATCH_NQ).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk_batch(e, queries, k=10, n_planes=LSH_TOPK_PLANES)
+    return lsh_topk_batch(_spread(e), queries, k=10, n_planes=LSH_TOPK_PLANES)
 
 
 def _sql_lsh_topk_batch() -> str:
@@ -2495,7 +2596,7 @@ def q_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_seeded_topk_batch(
-        e, queries, k=10, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+        _spread(e), queries, k=10, n_cells=IVF_CELLS, n_probe=IVF_PROBE
     )
 
 
@@ -2547,7 +2648,8 @@ def q_ivf_sq8_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_sq8_topk_batch(
-        e, queries, k=10, rescore=SQ8_RESCORE, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+        _spread(e), queries, k=10, rescore=SQ8_RESCORE, n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
     )
 
 
@@ -2669,7 +2771,7 @@ def q_sq8_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < LSH_BATCH_NQ).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sq8_topk_batch(e, queries, k=10, rescore=SQ8_RESCORE)
+    return sq8_topk_batch(_spread(e), queries, k=10, rescore=SQ8_RESCORE)
 
 
 def _sql_sq8_topk_batch() -> str:
@@ -2800,7 +2902,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     n_cells = max(1, e.count() // SEMDEDUP_TARGET_CELL)
-    return semantic_dedup(e, n_cells=n_cells, tau=SEMDEDUP_TAU)
+    # the count above stays a parquet-metadata job on the raw scan; only
+    # the compute-heavy assignment/pair path gets the _spread parallelism
+    return semantic_dedup(_spread(e), n_cells=n_cells, tau=SEMDEDUP_TAU)
 
 
 def _sql_semantic_dedup() -> str:
@@ -2844,7 +2948,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference precedent for threshold screens: statistical_heuristics.py
     length/imbalance checks; the screen set itself is LLM-curation surface."""
-    d = _t(spark, sf_dir, "documents").filter(
+    d = _spread(_t(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
     )
     norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
@@ -2932,7 +3036,7 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension (no reference twin)."""
     from .functions import text as T
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     e = T.pii_count(F.col("text"), "email")
     i = T.pii_count(F.col("text"), "ipv4")
     p = T.pii_count(F.col("text"), "phone")
@@ -2961,11 +3065,17 @@ def q_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong-character sequence rules (bio_rules.py alphabet checks)."""
     from .functions import text as T
 
-    d = _t(spark, sf_dir, "documents")
-    r = T.encoding_anomaly_count(F.col("text"), "replacement")
-    c = T.encoding_anomaly_count(F.col("text"), "control")
-    m = T.encoding_anomaly_count(F.col("text"), "mojibake")
-    return d.groupBy("source").agg(
+    d = _spread(_t(spark, sf_dir, "documents"))
+    # regex counters projected once before the aggregate (each was
+    # evaluated twice: its own sum + the docs_damaged combination)
+    proj = d.select(
+        "source",
+        T.encoding_anomaly_count(F.col("text"), "replacement").alias("__r"),
+        T.encoding_anomaly_count(F.col("text"), "control").alias("__c"),
+        T.encoding_anomaly_count(F.col("text"), "mojibake").alias("__m"),
+    )
+    r, c, m = F.col("__r"), F.col("__c"), F.col("__m")
+    return proj.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(r).cast("long").alias("n_replacement"),
         F.sum(c).cast("long").alias("n_control"),
@@ -3016,25 +3126,38 @@ def q_code_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the (repo,path,commit,lang,content) table)."""
     from .functions import code as C
 
-    d = _t(spark, sf_dir, "documents").filter(
+    d = _spread(_t(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
     )
     t = F.col("text")
-    fail_line = (C.max_line_length(t) > 1000) | (C.avg_line_length(t) > 200.0)
-    fail_alnum = C.alnum_fraction(t) < 0.25
-    fail_blob = C.data_blob_fraction(t) > 0.30
-    fail_autogen = C.autogen_marker(t)
-    fail_token = C.longest_token_length(t) > 80
+    # project each screen scalar ONCE before the aggregate: aggregate
+    # functions do not share common subexpressions, so referencing the
+    # HOF-heavy screens (line/token splits) from 2-3 aggregate exprs was
+    # evaluating each of them 2-3x per row (same fix as type_conformance)
+    proj = d.select(
+        "source",
+        C.max_line_length(t).alias("__maxl"),
+        C.avg_line_length(t).alias("__avgl"),
+        C.alnum_fraction(t).alias("__alnum"),
+        C.data_blob_fraction(t).alias("__blob"),
+        C.autogen_marker(t).alias("__autogen"),
+        C.longest_token_length(t).alias("__maxtok"),
+    )
+    fail_line = (F.col("__maxl") > 1000) | (F.col("__avgl") > 200.0)
+    fail_alnum = F.col("__alnum") < 0.25
+    fail_blob = F.col("__blob") > 0.30
+    fail_autogen = F.col("__autogen")
+    fail_token = F.col("__maxtok") > 80
     passes = ~(fail_line | fail_alnum | fail_blob | fail_autogen | fail_token)
-    return d.groupBy("source").agg(
+    return proj.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(fail_line.cast("long")).cast("long").alias("fail_line_len"),
         F.sum(fail_alnum.cast("long")).cast("long").alias("fail_alnum_frac"),
         F.sum(fail_blob.cast("long")).cast("long").alias("fail_data_blob"),
         F.sum(fail_autogen.cast("long")).cast("long").alias("fail_autogen"),
         F.sum(fail_token.cast("long")).cast("long").alias("fail_long_token"),
-        F.max(C.max_line_length(t)).cast("int").alias("max_line_len"),
-        F.max(C.longest_token_length(t)).cast("int").alias("max_token_len"),
+        F.max("__maxl").cast("int").alias("max_line_len"),
+        F.max("__maxtok").cast("int").alias("max_token_len"),
         F.sum(passes.cast("long")).cast("long").alias("n_pass_all"),
     )
 
@@ -3096,7 +3219,7 @@ def q_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules; the secrets surface is this engine's code-corpus extension."""
     from .functions import code as C
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     a = C.secret_count(F.col("text"), "aws_key")
     k = C.secret_count(F.col("text"), "private_key")
     t = C.secret_count(F.col("text"), "token_assign")
@@ -3292,7 +3415,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference precedent for distributional quality screens:
     statistical_heuristics.py (imbalance/outlier screens); the LM scoring
     itself is LLM-curation surface (CCNet, Wenzek et al. 2020)."""
-    d = _t(spark, sf_dir, "documents").filter(
+    d = _spread(_t(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
     )
     toks = d.select(
@@ -3382,7 +3505,7 @@ def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistical_heuristics.py; the C4 stage is LLM-curation surface."""
     from .functions import text as T
 
-    d = _t(spark, sf_dir, "documents").filter(
+    d = _spread(_t(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
     )
     dt = _derived_line_text()
@@ -3437,7 +3560,7 @@ def q_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero joins, zero Python, one partial-aggregated exchange."""
     from .functions import text as T
 
-    d = _t(spark, sf_dir, "documents").filter(
+    d = _spread(_t(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
     )
     dt = _derived_line_text()
@@ -3491,7 +3614,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(line), not the line bytes, so shuffle width is 32 bytes/line
     regardless of line length; production would swap xxhash64 via the same
     hash_fn lever the span ops use."""
-    d = _t(spark, sf_dir, "documents").filter(
+    d = _spread(_t(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
     )
     e = d.select(
@@ -3577,7 +3700,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference precedent for distribution-vs-reference screens:
     statistical_heuristics.py (drift/imbalance); the importance-weight
     computation is LLM-curation surface (DSIR)."""
-    d = _t(spark, sf_dir, "documents").filter(
+    d = _spread(_t(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
     )
     toks = d.select(
@@ -3716,7 +3839,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape plus one BroadcastHashJoin (tests/test_plans.py)."""
     from .functions.quality import doc_scores
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     doc = doc_scores(d, weights=None, n_buckets=QC_BUCKETS, hash_fn="md5_60")
     bucket = F.floor(
         F.col("sv").cast("double") / (F.lit(25.0) * F.col("nt").cast("double"))
@@ -4085,7 +4208,7 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort."""
     from .functions.selection import budget_select
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     nt = T.token_count(F.col("text"))
     base = d.select(
         "doc_id",
@@ -4173,7 +4296,7 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII-only (everything lands in 'latin'), which still proves the
     regex-dialect parity; multi-script behavior is fixture-tested in
     tests/test_functions.py."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(_t(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     counts = [
         F.regexp_count(F.col("text"), F.lit(pat)).alias(name)
         for name, pat in SCRIPT_CLASSES

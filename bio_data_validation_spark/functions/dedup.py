@@ -218,7 +218,16 @@ def minhash_signatures(
             *[token_hash(F.col("tok"), seed, hash_fn).alias(f"th{seed}")
               for seed in range(num_hashes)],
         )
-        hashed = toks.join(vocab, "tok")
+        # EXPLICIT broadcast of the vocab side (guide §3.1: size estimates
+        # after aggregates are unreliable). Left to its own estimates the
+        # planner intermittently chose BuildLeft — broadcasting the
+        # million-row POSTINGS side and probing with the vocab — which
+        # inlined the num_hashes md5/conv expressions into the join-output
+        # path: num_hashes md5s PER POSTING row (43M at sf1) on the
+        # handful of partitions the 31-token probe side hashes into.
+        # Measured as an intermittent ~30 s single-task stall in every
+        # md5 minhash consumer (star edges, bucket stats, candidates).
+        hashed = toks.join(F.broadcast(vocab), "tok")
         mins = hashed.groupBy("doc_id").agg(
             *[F.min(f"th{seed}").alias(f"h{seed}") for seed in range(num_hashes)]
         )

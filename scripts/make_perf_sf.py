@@ -1,0 +1,179 @@
+"""Generate a perf-measurement dataset shaped like the driver testdata at a
+larger scale factor (default sf=1.0, matching BENCH_r05's escalated sf).
+
+The driver's sf0.001/0.01/0.1 dirs are read-only and its larger-sf generator
+is not shipped, so optimization work bootstraps a statistically similar
+dataset from the observed sf0.1 distributions: 31-word vocab documents
+(10-100 words uniform), unit-norm 64-dim float32 embeddings, dense-key
+TPC-H-ish tables with row counts = (count at sf0.1) * sf/0.1.
+
+Measurement only — never used for correctness gates (those run on the
+driver's own dirs at small sf).
+
+Usage: python scripts/make_perf_sf.py [sf] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = Path(__file__).resolve().parent.parent
+SRC = Path("/root/testdata/sf0.1")
+
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "query", "batch", "part", "line", "order", "small", "sort",
+    "fast", "scan", "a", "hash", "slow", "group", "agg", "filter", "big",
+    "key", "row", "data", "join", "shuffle", "cache", "index",
+]
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_P = [0.41, 0.15, 0.149, 0.148, 0.143]
+
+
+def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
+    lens = rng.integers(10, 101, size=n)
+    words = rng.integers(0, len(VOCAB), size=int(lens.sum()))
+    texts: list[str] = []
+    pos = 0
+    voc = VOCAB
+    for L in lens:
+        texts.append(" ".join(voc[w] for w in words[pos : pos + L]))
+        pos += L
+    # ~0.2% exact duplicates, like the observed sf0.1 snapshot
+    n_dup = max(1, n // 500)
+    dup_to = rng.integers(0, n, size=n_dup)
+    dup_from = rng.integers(0, n, size=n_dup)
+    for i, j in zip(dup_to, dup_from):
+        texts[i] = texts[j]
+    lang = rng.choice(LANGS, size=n, p=LANG_P)
+    source = np.array([f"src{i % 20}" for i in rng.integers(0, 20, size=n)])
+    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(lang),
+            "source": pa.array(source),
+            "n_chars": pa.array(n_chars),
+        }
+    )
+
+
+def gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
+    V = rng.standard_normal(size=(n, 64))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V = V.astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(V), type=pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 10, size=n), type=pa.int64()),
+        }
+    )
+
+
+def resample(rng: np.random.Generator, src: pa.Table, n: int,
+             overrides: dict[str, np.ndarray]) -> pa.Table:
+    idx = rng.integers(0, src.num_rows, size=n)
+    cols = {}
+    for name in src.column_names:
+        if name in overrides:
+            cols[name] = pa.array(overrides[name])
+        else:
+            cols[name] = src.column(name).take(pa.array(idx))
+    return pa.table(cols)
+
+
+def main() -> int:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    out = Path(sys.argv[2]) if len(sys.argv) > 2 else REPO / "data" / f"perf_sf{sf:g}"
+    out.mkdir(parents=True, exist_ok=True)
+    scale = sf / 0.1
+    rng = np.random.default_rng(1234)
+
+    counts = {
+        "documents": int(5000 * scale),
+        "embeddings": int(2000 * scale),
+        "events": int(100000 * scale),
+        "lineitem": int(600000 * scale),
+        "orders": int(150000 * scale),
+        "customer": int(15000 * scale),
+        "part": int(20000 * scale),
+        "supplier": int(1000 * scale),
+    }
+
+    pq.write_table(gen_documents(rng, counts["documents"]), out / "documents.parquet")
+    pq.write_table(gen_embeddings(rng, counts["embeddings"]), out / "embeddings.parquet")
+
+    for t in ("region", "nation"):
+        pq.write_table(pq.read_table(SRC / f"{t}.parquet"), out / f"{t}.parquet")
+
+    n_cust, n_ord = counts["customer"], counts["orders"]
+    n_part, n_supp = counts["part"], counts["supplier"]
+
+    ev = pq.read_table(SRC / "events.parquet")
+    n_ev = counts["events"]
+    # keep the observed mean inter-event gap; extend the span proportionally
+    ts = ev.column("ts").to_pandas()
+    gap_us = (ts.max() - ts.min()).value / 1000 / len(ts)
+    start = ts.min().value // 1000
+    new_ts = start + np.cumsum(rng.exponential(gap_us, size=n_ev)).astype(np.int64)
+    pq.write_table(
+        resample(rng, ev, n_ev, {
+            "event_id": np.arange(n_ev, dtype=np.int64),
+            "ts": new_ts.view("datetime64[us]") if hasattr(new_ts, "view") else new_ts,
+            "user_id": rng.integers(0, max(1, int(1500 * scale)), size=n_ev),
+        }),
+        out / "events.parquet",
+    )
+
+    li = pq.read_table(SRC / "lineitem.parquet")
+    n_li = counts["lineitem"]
+    pq.write_table(
+        resample(rng, li, n_li, {
+            "l_orderkey": rng.integers(0, n_ord, size=n_li),
+            "l_partkey": rng.integers(0, n_part, size=n_li),
+            "l_suppkey": rng.integers(0, n_supp, size=n_li),
+        }),
+        out / "lineitem.parquet",
+    )
+
+    od = pq.read_table(SRC / "orders.parquet")
+    pq.write_table(
+        resample(rng, od, n_ord, {
+            "o_orderkey": np.arange(n_ord, dtype=np.int64),
+            "o_custkey": rng.integers(0, int(n_cust * 1.05), size=n_ord),
+        }),
+        out / "orders.parquet",
+    )
+
+    cu = pq.read_table(SRC / "customer.parquet")
+    pq.write_table(
+        resample(rng, cu, n_cust, {"c_custkey": np.arange(n_cust, dtype=np.int64)}),
+        out / "customer.parquet",
+    )
+    pt = pq.read_table(SRC / "part.parquet")
+    pq.write_table(
+        resample(rng, pt, n_part, {"p_partkey": np.arange(n_part, dtype=np.int64)}),
+        out / "part.parquet",
+    )
+    sp = pq.read_table(SRC / "supplier.parquet")
+    pq.write_table(
+        resample(rng, sp, n_supp, {"s_suppkey": np.arange(n_supp, dtype=np.int64)}),
+        out / "supplier.parquet",
+    )
+
+    (out / "_DONE").write_text("")
+    (out / "MANIFEST.json").write_text(json.dumps({"sf": sf, "counts": counts}))
+    print(f"wrote {out} ({counts})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
