@@ -305,6 +305,34 @@ def run_validation(
         report["skew"] = skew_report(spark.read.parquet(str(out / "repo_stats")))
         _mark("skew_report", t)
 
+    # ---- PASS 2 prep, OVERLAPPED with PASS 1 + drift (guide §2.6: overlap
+    # independent jobs). The violating-key sets, the manifest read, and the
+    # manifest fingerprint depend ONLY on the PASS-A profile and the
+    # manifest — not on stats or drift — so their materialization jobs
+    # (persist + count per set, the dominant PASS-2 cost at bench scale)
+    # run from a driver thread while the stats/drift jobs fill the same
+    # executors. Spark schedules concurrent jobs FIFO, which is exactly the
+    # back-fill behavior wanted here. The future is consumed (and its
+    # persisted sets unpersisted) on every exit path below.
+    pass2_stats: dict = {}
+
+    def _pass2_prep():
+        t_p = time.time()
+        mani = read_manifest(spark, manifest_path) if manifest_path else None
+        fp = None
+        if mani is not None:
+            from .incremental import relation_fingerprint
+
+            fp = relation_fingerprint(mani)
+        res = profile_violations(
+            profile_cur, registry, mani, full_profile=profile_all,
+            stats_out=pass2_stats,
+        )
+        return mani, fp, res, time.time() - t_p
+
+    prep_pool = ThreadPoolExecutor(max_workers=1)
+    f_prep = prep_pool.submit(_pass2_prep)
+
     # ---- PASS 1: fused stats over the profile (one shuffle); all rollups
     # happen driver-side from the collected fine table (≤ P×|langs|×bins
     # rows regardless of data scale), so PASS 1 is ONE action + one small
@@ -328,6 +356,14 @@ def run_validation(
         # on-disk verdict table, or a no-op resume would mask a rejection
         # (check_status.py:39-45 semantics require the gate to stay red).
         fine.unpersist()  # this early return skips the main-path unpersist
+        # Drain the overlapped PASS-2 prep: the cross-partition (global)
+        # relation is REUSED below (it was built over the full profile, the
+        # exact recompute this path needs); the local relation is empty by
+        # construction (profile_cur has no rows here). The fingerprint
+        # intentionally stays the prior report's (restored below) — the
+        # no-op-resume carry semantics predate this overlap.
+        _, _, (_prep_local, _prep_global, _prep_preps), _ = f_prep.result()
+        prep_pool.shutdown()
         report.update({"note": "no partitions to process", "elapsed_sec": time.time() - t0})
         if build_baseline:
             # The baseline is built from THIS run's stats; with nothing
@@ -360,15 +396,12 @@ def run_validation(
             # from the on-disk profile — profile-table algebra only, no
             # content scan — and patch every pid's DUP_003/DUP_004 verdicts.
             if registry.content_duplicates or registry.near_duplicates:
-                _, global_v, gpreps_p = profile_violations(
-                    profile_all, registry, None,
-                    full_profile=profile_all, include_local=False,
-                )
                 try:
-                    gcounts = _write_global_violations(global_v, out)
+                    gcounts = _write_global_violations(_prep_global, out)
                 finally:
-                    for p in gpreps_p:
+                    for p in _prep_preps:
                         p.unpersist()
+                    _prep_preps = []
                 all_verdicts, patched = _patch_global_verdicts(
                     all_verdicts, gcounts, registry
                 )
@@ -399,6 +432,8 @@ def run_validation(
                 )
         else:
             report.update({"final_decision": "accepted", "exit_code": 0})
+        for p in _prep_preps:  # any sets not consumed by the dup refresh
+            p.unpersist()
         (out / "report.json").write_text(json.dumps(report, indent=2, default=str))
         (out / "report.md").write_text(render_markdown(report, all_verdicts))
         (out / "report.html").write_text(render_html(report, all_verdicts))
@@ -436,27 +471,28 @@ def run_validation(
     fine.unpersist()
     _mark("drift", t)
 
-    # ---- PASS 2: violation rows from the profile, deterministic order
-    t = time.time()
-    manifest = read_manifest(spark, manifest_path) if manifest_path else None
-    if manifest is not None:
-        # Recorded so a later incremental run can prove the manifest
-        # unchanged (carry-forward of referential verdicts is only sound
-        # against the same manifest — incremental.py module doc).
-        from .incremental import relation_fingerprint
-
-        report["manifest_fingerprint"] = relation_fingerprint(manifest)
+    # ---- PASS 2: violation rows from the profile, deterministic order.
+    # The prep (manifest read + fingerprint + violating-key sets) was
+    # materialized concurrently with PASS 1 + drift above; join it here.
     # LOOKUP_002 twin (reference bio_lookups.py ambiguous-result path): the
     # reference treats a lookup returning multiple conflicting results per
     # key as its own finding; the local-dim equivalent is the manifest
     # carrying duplicate keys, which the anti-join would silently collapse.
     # Detected inside the violation prep itself (one filter+count over the
     # dedup shuffle the RI join needs anyway — no extra manifest pass).
-    pass2_stats: dict = {}
-    violations, global_violations, preps = profile_violations(
-        profile_cur, registry, manifest, full_profile=profile_all,
-        stats_out=pass2_stats,
-    )
+    t = time.time()
+    manifest, man_fp, prep_res, prep_secs = f_prep.result()
+    prep_pool.shutdown()
+    # Overlap accounting: pass_2_violations times the non-overlapped tail;
+    # the prep's own wall time (running under PASS 1 + drift) is reported
+    # separately, so phase sums can exceed elapsed_sec by the overlap.
+    phases["pass_2_prep_overlapped"] = round(prep_secs, 3)
+    if man_fp is not None:
+        # Recorded so a later incremental run can prove the manifest
+        # unchanged (carry-forward of referential verdicts is only sound
+        # against the same manifest — incremental.py module doc).
+        report["manifest_fingerprint"] = man_fp
+    violations, global_violations, preps = prep_res
     violations = violations.persist()
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -438,10 +438,13 @@ def simhash(
     if hash_fn == "md5_60":
         # One md5 per DISTINCT token, joined back (same rationale as
         # minhash_signatures — md5 per occurrence is the wrong cost shape).
+        # Explicit broadcast of the vocab side for the same reason as
+        # minhash_signatures: left to estimates the planner intermittently
+        # broadcast the postings side and recomputed the hash per posting.
         vocab = toks.select("tok").distinct().select(
             "tok", token_hash(F.col("tok"), 0, hash_fn).alias("__th")
         )
-        toks = toks.join(vocab, "tok")
+        toks = toks.join(F.broadcast(vocab), "tok")
         h = F.col("__th")
     else:
         h = F.xxhash64(F.col("tok"))
