@@ -552,11 +552,13 @@ SELECT source, round(max(abs(ocdf - gcdf)), 6) AS ks FROM c GROUP BY source
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_t(spark, sf_dir, "documents"))
-    nt = T.token_count(F.col("text"))
-    return d.groupBy("lang").agg(
+    # token_count projected once below the aggregate (it fed two aggregate
+    # expressions — sum and avg — and was evaluated twice per row)
+    proj = d.select("lang", T.token_count(F.col("text")).alias("__nt"))
+    return proj.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(nt).cast("long").alias("sum_tokens"),
-        F.round(F.avg(nt), 6).alias("avg_tokens"),
+        F.sum("__nt").cast("long").alias("sum_tokens"),
+        F.round(F.avg("__nt"), 6).alias("avg_tokens"),
     )
 
 
@@ -584,14 +586,19 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation split — the unit LLM token budgets are estimated from),
     grouped per source."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    nt = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
-        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_TOKEN_PATTERN))
+    # regexp_count projected once below the aggregate (it fed three
+    # aggregate expressions and was evaluated three times per row)
+    proj = d.select(
+        "source",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.regexp_count(F.lower(F.col("text")), F.lit(BPE_TOKEN_PATTERN)))
+        .alias("__nt"),
     )
-    return d.groupBy("source").agg(
+    return proj.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(nt).cast("long").alias("sum_bpe_tokens"),
-        F.round(F.avg(nt), 6).alias("avg_bpe_tokens"),
-        F.max(nt).cast("long").alias("max_bpe_tokens"),
+        F.sum("__nt").cast("long").alias("sum_bpe_tokens"),
+        F.round(F.avg("__nt"), 6).alias("avg_bpe_tokens"),
+        F.max("__nt").cast("long").alias("max_bpe_tokens"),
     )
 
 
@@ -2968,6 +2975,23 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.col("text")), F.lit(r"\b(the|be|to|of|and|that|have|with)\b")
     ).cast("long")
 
+    # project each screen scalar ONCE below the aggregate — the regex-heavy
+    # expressions (norm/split/regexp_count) fed multiple aggregate exprs
+    # (fail flags + the pass-all combination) and were re-evaluated per use
+    d = d.select(
+        "source",
+        n_words.alias("__nw"),
+        mean_wlen.alias("__mwl"),
+        n_nonalpha.alias("__nna"),
+        alpha_frac.alias("__af"),
+        n_symbols.alias("__ns"),
+        stop_hits.alias("__sh"),
+    )
+    n_words = F.col("__nw")
+    mean_wlen = F.col("__mwl")
+    alpha_frac = F.col("__af")
+    n_symbols = F.col("__ns")
+    stop_hits = F.col("__sh")
     fail_wc = (n_words < 50) | (n_words > 100000)
     fail_mwl = (mean_wlen < 3.0) | (mean_wlen > 10.0)
     fail_sym = n_symbols.cast("double") / n_words.cast("double") > 0.1

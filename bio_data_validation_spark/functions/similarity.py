@@ -1024,34 +1024,77 @@ def semantic_dedup(
     AQE skew-splits any hot cell of the blocked self-join. The rounded-cos
     threshold makes the keep/drop decision reproducible against a SQL
     oracle (round-then-compare on both sides)."""
+    import numpy as np
+    import pandas as pd
+
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     cents = [[float(x) for x in r[vec_col]] for r in rows]
-    dims = len(cents[0]) if cents and cents[0] is not None else None
     # Arrow-batched assignment: plan size is O(1) in n_cells (the Column
     # form inlines n_cells literal subtrees — ~5 s of driver analysis at 62
     # cells, impossible at SemDeDup's ~50k production clusters), while the
     # distances stay bit-identical to seeded_cell_col / the SQL oracle
-    # (sequential dims fold — see seeded_cell_pandas). The within-cell pair
-    # kernel uses the unrolled codegen dot/norm (same fold order, see dot).
+    # (sequential dims fold — see seeded_cell_pandas).
+    #
+    # r6: the within-cell pair scan is one grouped Arrow kernel per cell
+    # (the same bit-exact per-dimension accumulation as
+    # contract.q_embedding_near_dup — identical IEEE-754 fold order as the
+    # HOF dot/norm it replaces), instead of a cell self-join evaluating the
+    # assignment THREE times and shuffling both sides. The kernel emits
+    # (id, raw cos) candidates behind a loose prefilter; the decisive
+    # round-then-compare stays in Spark so the oracle's HALF_UP rounding is
+    # bit-identical.
     cell = seeded_cell_pandas(cents, vec_col)
-    a = df.select(
-        cell.alias("cell"), F.col(id_col).alias("__ida"),
-        F.col(vec_col).alias("__va"), l2_norm(F.col(vec_col)).alias("__na"),
-    )
-    b = df.select(
-        cell.alias("cell"), F.col(id_col).alias("__idb"),
-        F.col(vec_col).alias("__vb"), l2_norm(F.col(vec_col)).alias("__nb"),
+    cut = float(tau) - 6e-5  # below any raw value that can round to >= tau
+
+    def _cell_dups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf[pdf["__vec"].notna()]
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"__ida": pd.Series(dtype="int64"),
+             "__raw": pd.Series(dtype="float64")}
+        )
+        if n < 2:
+            return empty
+        ids = pdf["__id"].to_numpy(dtype="int64")
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]],
+            dtype=np.float64,
+        )
+        dims = V.shape[1]
+        nacc = np.zeros(n, dtype=np.float64)
+        for k in range(dims):
+            x = V[:, k]
+            nacc += x * x
+        norms = np.sqrt(nacc)
+        out_i, out_r = [], []
+        chunk = max(1, (1 << 21) // max(1, n))  # ~16 MB f64 scratch cap
+        for s in range(0, n, chunk):
+            t = min(s + chunk, n)
+            acc = np.zeros((t - s, n), dtype=np.float64)
+            for k in range(dims):
+                acc += np.multiply.outer(V[s:t, k], V[:, k])
+            cos = acc / np.multiply.outer(norms[s:t], norms)
+            m = (ids[None, :] < ids[s:t, None]) & (cos >= cut)
+            ii = np.nonzero(m.any(axis=1))[0]
+            if len(ii):
+                # max raw per id decides exactly: round is monotone, so a
+                # smaller raw can never round >= tau when the max does not
+                out_i.append(ids[s:t][ii])
+                out_r.append(np.where(m, cos, -np.inf)[ii].max(axis=1))
+        if not out_i:
+            return empty
+        return pd.DataFrame(
+            {"__ida": np.concatenate(out_i), "__raw": np.concatenate(out_r)}
+        )
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
+        cell.alias("cell"),
     )
     dups = (
-        a.join(b, "cell")
-        .filter(F.col("__idb") < F.col("__ida"))
-        .filter(
-            F.round(
-                dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")), 4
-            )
-            >= F.lit(tau)
-        )
+        base.groupBy("cell")
+        .applyInPandas(_cell_dups, schema="__ida long, __raw double")
+        .filter(F.round(F.col("__raw"), 4) >= F.lit(tau))
         .select(F.col("__ida").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(True))

@@ -35,12 +35,24 @@ def char_class_ratio(text: Column, pattern: str) -> Column:
     )
 
 
+def char_set_ratio(text: Column, chars: str) -> Column:
+    """char_class_ratio for a PLAIN character set: ``translate`` (per-char
+    map lookup) instead of a regexp_replace rebuild — measured ~6x cheaper
+    on full-text passes and character-for-character identical to the
+    ``[chars]`` regex class for sets with no ranges/escapes."""
+    n = F.length(text)
+    removed = F.length(F.translate(text, chars, ""))
+    return F.when(text.isNull() | (n == 0), F.lit(None).cast("double")).otherwise(
+        (n - removed).cast("double") / n.cast("double")
+    )
+
+
 def punct_ratio(text: Column) -> Column:
-    return char_class_ratio(text, r"[.,!?;:]")
+    return char_set_ratio(text, ".,!?;:")
 
 
 def digit_ratio(text: Column) -> Column:
-    return char_class_ratio(text, r"[0-9]")
+    return char_set_ratio(text, "0123456789")
 
 
 def stopword_count(text: Column) -> Column:
