@@ -1,0 +1,157 @@
+"""Round-6 kernel-rewrite pins: the grouped Arrow pair kernels
+(embedding_near_dup, semantic_dedup) must be BIT-identical to the
+HOF-join formulations they replaced, and the per-batch top-R prescore
+pre-selection must survive ties that straddle Arrow batch boundaries.
+
+The equivalence argument (per-dimension accumulation == the zip_with/
+aggregate left fold, op for op) is asserted here empirically on data with
+exact float comparisons — not rounded, not approximate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_data_validation_spark.contract import (
+    EMBED_DIMS,
+    _near_dup_planes,
+    q_embedding_near_dup,
+)
+from bio_data_validation_spark.functions.similarity import (
+    dot,
+    l2_norm,
+    semantic_dedup,
+    sign_lsh_bucket_col,
+    sq8_topk,
+    sq8_topk_batch,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _hof_near_dup_pairs(spark, sf_dir):
+    """The pre-r6 formulation: bucket self-join + HOF cosine."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bucket = sign_lsh_bucket_col(_near_dup_planes(), "embedding")
+    a = e.select(
+        bucket.alias("bucket"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"), l2_norm(F.col("embedding")).alias("norm_a"),
+    )
+    b = e.select(
+        bucket.alias("bucket"), F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"), l2_norm(F.col("embedding")).alias("norm_b"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")), 4
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
+
+
+def test_embedding_near_dup_kernel_equals_hof_join(spark):
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in q_embedding_near_dup(spark, SF_DIR).collect()
+    }
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in _hof_near_dup_pairs(spark, SF_DIR).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:  # exact float equality — same IEEE ops in same order
+        assert got[k] == want[k], k
+
+
+def _hof_semantic_dedup(df, n_cells, tau):
+    """The pre-r6 pair stage: cell self-join + HOF cosine filter."""
+    from bio_data_validation_spark.functions.similarity import (
+        seeded_cell_pandas,
+    )
+
+    rows = df.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    cell = seeded_cell_pandas(cents, "embedding")
+    a = df.select(
+        cell.alias("cell"), F.col("vec_id").alias("__ida"),
+        F.col("embedding").alias("__va"), l2_norm(F.col("embedding")).alias("__na"),
+    )
+    b = df.select(
+        cell.alias("cell"), F.col("vec_id").alias("__idb"),
+        F.col("embedding").alias("__vb"), l2_norm(F.col("embedding")).alias("__nb"),
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .filter(
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")), 4
+            ) >= F.lit(tau)
+        )
+        .select(F.col("__ida").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        df.select("vec_id", cell.alias("cell"))
+        .join(dups, "vec_id", "left")
+        .select("vec_id", "cell", F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"))
+    )
+
+
+def test_semantic_dedup_kernel_equals_hof_join(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # include a null-embedding row: it must land in a null cell, never pair
+    null_row = e.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.col("label"),
+    )
+    df = e.unionByName(null_row)
+    got = sorted(
+        (tuple(r) for r in semantic_dedup(df, n_cells=15, tau=0.4).collect()),
+        key=lambda t: t[0],
+    )
+    want = sorted(
+        (tuple(r) for r in _hof_semantic_dedup(df, 15, 0.4).collect()),
+        key=lambda t: t[0],
+    )
+    assert got == want
+    null_rows = [t for t in got if t[0] >= 1_000_000]
+    assert null_rows and all(t[1] is None and t[2] is False for t in null_rows)
+
+
+def test_sq8_batch_top_r_preselect_survives_tiny_batches_and_ties(spark):
+    """Force many Arrow batches (ties straddle batch boundaries) and a
+    tie-heavy prescore distribution; batch output must equal the singles."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # vectors drawn from a TINY value set so int8 codes collide massively
+    vals = np.array([-1.0, 0.0, 1.0])
+    V = rng.choice(vals, size=(400, 8)).astype("float32")
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(len(V))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [(int(i), [float(x) for x in V[i]]) for i in range(5)]
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "23")
+    try:
+        batch = {
+            (r["query_id"], r["vec_id"]): r["cos"]
+            for r in sq8_topk_batch(df, queries, k=6, rescore=3).collect()
+        }
+    finally:
+        if old_batch is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+    singles = {}
+    for qid, vec in queries:
+        for r in sq8_topk(df, vec, k=6, rescore=3).collect():
+            singles[(qid, r["vec_id"])] = r["cos"]
+    assert batch == singles
